@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Loaders for the driver-provided parquet fixtures (TESTDATA.md) plus
+  * shared numeric helpers used to keep Spark results bit-identical to
+  * the DuckDB oracle.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Order-independent double sum: route through exact decimal addition
+    * (associative, so shuffle/partition order can't change the result),
+    * then a single rounding back to double. The DuckDB oracle does the
+    * same cast dance, so both sides agree bit-for-bit.
+    * Oracle shape: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+    */
+  def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+
+  /** Order-independent average with the same decimal trick.
+    * Oracle shape: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x)
+    */
+  def davg(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6))).cast(DoubleType) / count(c)
+}

@@ -1,0 +1,349 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.Tables.{davg, dsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational pack: scan → filter → join → aggregate → window →
+  * top-k, TPC-H-flavored over the driver fixtures.
+  *
+  * Scale notes (100 TB): dimension joins (region/nation/supplier/
+  * customer at these cardinalities) are explicit `broadcast`; fact-fact
+  * joins shuffle on the join key only after filters are pushed to the
+  * parquet scan; global top-k uses orderBy+limit which Spark plans as
+  * TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  * no global sort).
+  *
+  * Determinism notes: all double sums go through [[Tables.dsum]]
+  * (exact decimal addition → one final rounding) so partition order
+  * can't change low bits; every rank/limit ordering carries a unique
+  * key tie-break.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary (agg breadth: sum/avg/count). */
+  val q1PricingSummary = GraftQuery(
+    "q1_pricing_summary",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_extendedprice").as("avg_price"),
+          davg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus"""),
+    bench = true)
+
+  /** TPC-H Q6-shaped single-row forecast (pure scan+filter+sum —
+    * predicate pushdown showcase). */
+  val q6ForecastRevenue = GraftQuery(
+    "q6_forecast_revenue",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter(
+          $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount".between(0.04, 0.06) &&
+          $"l_quantity" < 24)
+        .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+             count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT
+        CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24"""),
+    bench = true)
+
+  /** Multi-join star query: revenue per region/nation for 1996 orders.
+    * Dims are broadcast; the lineitem⋈orders fact join shuffles on
+    * orderkey AFTER the orderdate filter prunes the orders side. */
+  val q3RevenueByNation = GraftQuery(
+    "q3_revenue_by_nation",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+             count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY r_name, n_name"""),
+    bench = true)
+
+  /** Left-semi join (EXISTS): order counts by priority where the order
+    * has at least one returned line. SURVEY §2.4 notes semi comes free
+    * with Dataset.join. */
+  val q4OrderPriority = GraftQuery(
+    "q4_order_priority",
+    (s, d) => {
+      import s.implicits._
+      val returned = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+        .select($"l_orderkey")
+      Tables.orders(s, d)
+        .join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority"""))
+
+  /** Left-anti join — the reference's one true relational join (J1,
+    * data_processing.py:8-12) re-expressed on the fixtures: customers
+    * with no urgent 1996 order. Broadcast-able right side. */
+  val q5AntiCustomers = GraftQuery(
+    "q5_anti_join_customers",
+    (s, d) => {
+      import s.implicits._
+      val urgent = Tables.orders(s, d).filter(
+        $"o_orderpriority" === "1-URGENT" &&
+        $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      Tables.customer(s, d)
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT'
+                          AND o_orderdate >= TIMESTAMP '1996-01-01'
+                          AND o_orderdate < TIMESTAMP '1997-01-01')"""))
+
+  /** Windowed top-k per group: top 3 orders per customer by price
+    * (row_number, tie-broken by orderkey → deterministic). */
+  val q2TopOrders = GraftQuery(
+    "q2_top_orders_per_customer",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        FROM orders) t
+      WHERE rk <= 3"""),
+    bench = true)
+
+  /** Global top-k: 20 customers by returned-line revenue. Spark plans
+    * orderBy+limit as TakeOrderedAndProject — no global sort at scale. */
+  val q10ReturnedRevenue = GraftQuery(
+    "q10_returned_revenue",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey".asc)
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name
+      ORDER BY revenue DESC, c_custkey ASC
+      LIMIT 20"""),
+    bench = true)
+
+  /** Revenue per supplier-nation per ship year (broadcast chain through
+    * two dims + year() projection). */
+  val q7SupplierYear = GraftQuery(
+    "q7_supplier_nation_year",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", year($"l_shipdate").as("ship_year"))
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    },
+    Some("""
+      SELECT n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name, ship_year"""))
+
+  /** Dimension stats: min/max/avg/count per brand (part table). */
+  val q9PartStats = GraftQuery(
+    "q9_part_brand_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .groupBy($"p_brand")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          min($"p_size").as("min_size"),
+          max($"p_size").as("max_size"),
+          davg($"p_retailprice").as("avg_price"),
+          countDistinct($"p_type").as("n_types"))
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n_parts, MIN(p_size) AS min_size,
+        MAX(p_size) AS max_size,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price,
+        COUNT(DISTINCT p_type) AS n_types
+      FROM part GROUP BY p_brand"""))
+
+  /** A1 semantics (data_processing.py:11): groupBy + sorted distinct
+    * collect + string-join — `', '.join(set(x))` pinned deterministic
+    * via array_sort (SURVEY §7.4.2). */
+  val qAggCollect = GraftQuery(
+    "q_agg_collect_set",
+    (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          array_join(array_sort(collect_set($"n_name")), ", ").as("nations"),
+          countDistinct($"n_name").as("n_nations"),
+          count(lit(1)).as("n_customers"))
+    },
+    Some("""
+      SELECT c_mktsegment,
+        string_agg(DISTINCT n_name, ', ' ORDER BY n_name) AS nations,
+        COUNT(DISTINCT n_name) AS n_nations,
+        COUNT(*) AS n_customers
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY c_mktsegment"""))
+
+  /** A5 semantics (utahZip.py:28-44): grouped nested collection —
+    * region → sorted list of its nations. */
+  val qAggNested = GraftQuery(
+    "q_agg_nested_collect",
+    (s, d) => {
+      import s.implicits._
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(array_sort(collect_list($"n_name")).as("nations"),
+             count(lit(1)).as("n_nations"))
+    },
+    Some("""
+      SELECT r_name, list(n_name ORDER BY n_name) AS nations, COUNT(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name"""))
+
+  /** Full-outer join + conditional projection: customer account-balance
+    * status vs their order spend (exercises outer join null handling). */
+  val qOuterBalance = GraftQuery(
+    "q_outer_join_balance",
+    (s, d) => {
+      import s.implicits._
+      val spend = Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(dsum($"o_totalprice").as("total_spend"))
+      Tables.customer(s, d)
+        .join(spend, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(
+          coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          coalesce($"total_spend", lit(0.0)).as("total_spend"),
+          when($"c_acctbal".isNull, "unknown")
+            .when($"c_acctbal" < 0, "overdrawn")
+            .otherwise("ok").as("balance_status"))
+    },
+    Some("""
+      SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        COALESCE(total_spend, 0.0) AS total_spend,
+        CASE WHEN c_acctbal IS NULL THEN 'unknown'
+             WHEN c_acctbal < 0 THEN 'overdrawn'
+             ELSE 'ok' END AS balance_status
+      FROM customer
+      FULL OUTER JOIN (
+        SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_spend
+        FROM orders GROUP BY o_custkey) s
+      ON c_custkey = o_custkey"""))
+
+  /** Set ops: union + except + intersect over customer key slices. */
+  val qSetOps = GraftQuery(
+    "q_set_ops",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val auto = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+      val rich = c.filter($"c_acctbal" > 0).select($"c_custkey")
+      val both = auto.intersect(rich).withColumn("tag", lit("auto_positive"))
+      val autoOnly = auto.except(rich).withColumn("tag", lit("auto_negative"))
+      both.union(autoOnly)
+    },
+    Some("""
+      SELECT c_custkey, 'auto_positive' AS tag FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 0) a
+      UNION ALL
+      SELECT c_custkey, 'auto_negative' AS tag FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 0) b"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,
+    q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q9PartStats,
+    q10ReturnedRevenue, qAggCollect, qAggNested, qOuterBalance, qSetOps)
+}
