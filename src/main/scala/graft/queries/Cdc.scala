@@ -1,3 +1,82 @@
 package graft.queries
-import graft.GraftQuery
-object Cdc { val all: Seq[GraftQuery] = Seq() }
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture semantics (SURVEY §2.9 T2, J2/J3) in batch
+  * form: previous snapshot ⟗ current batch keyed by business key,
+  * emitting new_listing / price_change / off_market events exactly as
+  * main.py:14-37 + hunter.py:336-354 derive them. The streaming
+  * flatMapGroupsWithState twin lives in graft.operators.Cdc and is
+  * exercised by ScalaTest (no SQL oracle for stateful streams).
+  *
+  * Snapshots are simulated from lineitem: linenumber 1 = previous
+  * state, linenumber 2 = current batch, keyed by orderkey with
+  * extendedprice as the tracked value.
+  */
+object Cdc {
+
+  val qCdcEvents = GraftQuery(
+    "q_cdc_events",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val prev = li.filter($"l_linenumber" === 1)
+        .select($"l_orderkey".as("key"), $"l_extendedprice".as("old_price"))
+      val cur = li.filter($"l_linenumber" === 2)
+        .select($"l_orderkey".as("key"), $"l_extendedprice".as("new_price"))
+      cur.join(prev, Seq("key"), "full_outer")
+        .select(
+          $"key",
+          when($"old_price".isNull, "new_listing")
+            .when($"new_price".isNull, "off_market")
+            .when($"new_price" =!= $"old_price", "price_change")
+            .otherwise("unchanged").as("status"),
+          round(($"new_price" - $"old_price") / $"old_price" * 100, 6)
+            .as("price_change_pct"))
+        .filter($"status" =!= "unchanged")
+    },
+    Some("""
+      WITH prev AS (
+        SELECT l_orderkey AS key, l_extendedprice AS old_price
+        FROM lineitem WHERE l_linenumber = 1),
+      cur AS (
+        SELECT l_orderkey AS key, l_extendedprice AS new_price
+        FROM lineitem WHERE l_linenumber = 2),
+      ev AS (
+        SELECT COALESCE(cur.key, prev.key) AS key,
+          CASE WHEN old_price IS NULL THEN 'new_listing'
+               WHEN new_price IS NULL THEN 'off_market'
+               WHEN new_price <> old_price THEN 'price_change'
+               ELSE 'unchanged' END AS status,
+          round((new_price - old_price) / old_price * 100, 6) AS price_change_pct
+        FROM cur FULL OUTER JOIN prev ON cur.key = prev.key)
+      SELECT * FROM ev WHERE status <> 'unchanged'"""))
+
+  /** J3 off-market anti join in its literal form (hunter.py:336-354):
+    * state keys absent from the current batch, with time-on-market in
+    * whole days from the tracked found-date (here: o_orderdate vs a
+    * fixed "now"). */
+  val qCdcOffMarket = GraftQuery(
+    "q_cdc_off_market",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val state = Tables.orders(s, d)
+      val batchKeys = li.filter($"l_linenumber" === 2).select($"l_orderkey")
+      state.join(batchKeys, $"o_orderkey" === $"l_orderkey", "left_anti")
+        .select(
+          $"o_orderkey".as("key"),
+          lit("off_market").as("status"),
+          datediff(to_date(lit("2002-01-01")), to_date($"o_orderdate"))
+            .as("time_on_market_days"))
+    },
+    Some("""
+      SELECT o_orderkey AS key, 'off_market' AS status,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS time_on_market_days
+      FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_linenumber = 2 AND l_orderkey = o_orderkey)"""))
+
+  val all: Seq[GraftQuery] = Seq(qCdcEvents, qCdcOffMarket)
+}
