@@ -1,3 +1,173 @@
 package graft.queries
-import graft.GraftQuery
-object Dedup { val all: Seq[GraftQuery] = Seq() }
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the core of a
+  * training-data pipeline. Four families (SURVEY extension surface):
+  * exact (hash groupBy), MinHash signatures + LSH banding
+  * (shingle → minhash → band → bucket join), SimHash (in
+  * TextAnalysis.qFingerprint), and n-gram Jaccard.
+  *
+  * Scale notes: exact dedup is one hash-aggregate shuffle on the
+  * fingerprint. MinHash signatures are per-row expressions (NO
+  * shuffle, no explode — array_min over a transform). LSH candidate
+  * generation shuffles once on (band, bucket) — the whole point is
+  * that the quadratic pair space is never materialized, only
+  * same-bucket pairs.
+  */
+object Dedup {
+
+  /** 3-word shingles, distinct, as a column expression. */
+  private def shingles(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i),
+            element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array(array_join(toks, " "))))
+  }
+
+  /** Shingle string → stable 48-bit integer via md5 prefix (same
+    * construction in the DuckDB oracle: CAST('0x'||substr(md5,1,12))). */
+  private def shingleHash(sh: Column): Column =
+    conv(substring(md5(sh), 1, 12), 16, 10).cast("long")
+
+  /** (a,b) pairs for the 8 minhash permutations h_i(v) = (a*v+b) % p. */
+  private val perms: Seq[(Long, Long)] = Seq(
+    (7L, 3L), (11L, 5L), (13L, 7L), (17L, 11L),
+    (19L, 13L), (23L, 17L), (29L, 19L), (31L, 23L))
+  private val P = 2147483647L // 2^31-1; a*v < 31*2^48 << 2^63 — no overflow
+
+  private def minhashCol(sh: Column, a: Long, b: Long): Column =
+    array_min(transform(sh, v => (shingleHash(v) * a + b) % P))
+
+  private def withSignature(df: DataFrame): DataFrame = {
+    val sh = shingles(col("text"))
+    perms.zipWithIndex.foldLeft(df) { case (acc, ((a, b), i)) =>
+      acc.withColumn(s"mh$i", minhashCol(sh, a, b))
+    }
+  }
+
+  private val shinglesSql =
+    """CASE WHEN length(toks) >= 3
+         THEN list_distinct(list_transform(range(1, length(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [array_to_string(toks, ' ')] END"""
+
+  private def minhashSql(i: Int): String = {
+    val (a, b) = perms(i)
+    s"""list_min(list_transform(sh, v ->
+       (CAST('0x' || substr(md5(v),1,12) AS BIGINT) * $a + $b) % $P))"""
+  }
+
+  private val sigCte =
+    s"""WITH t AS (
+         SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+         FROM documents),
+       s AS (SELECT doc_id, source, $shinglesSql AS sh FROM t),
+       sig AS (SELECT doc_id, source,
+         ${(0 until 8).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+       FROM s)"""
+
+  /** Exact dedup: canonical doc per md5(normalized text). */
+  val qDedupExact = GraftQuery(
+    "dd_exact",
+    (s, d) => {
+      import s.implicits._
+      val norm = array_join(split(trim($"text"), "\\s+"), " ")
+      Tables.documents(s, d)
+        .groupBy(md5(norm).as("fp"))
+        .agg(min($"doc_id").as("canonical_id"),
+             count(lit(1)).as("n_copies"))
+    },
+    Some("""
+      SELECT md5(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS fp,
+        min(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1"""))
+
+  /** MinHash signatures: 8 permutation minima per doc, computed as
+    * per-row array expressions (zero shuffle). */
+  val qMinhashSig = GraftQuery(
+    "dd_minhash_signature",
+    (s, d) => {
+      import s.implicits._
+      withSignature(Tables.documents(s, d))
+        .select($"doc_id" +: (0 until 8).map(i => col(s"mh$i")): _*)
+    },
+    Some(s"""$sigCte SELECT doc_id, ${(0 until 8).map(i => s"mh$i").mkString(", ")} FROM sig"""))
+
+  /** LSH banding: 4 bands × 2 rows; docs sharing any band bucket are
+    * candidate near-dup pairs; estimated Jaccard = signature agreement. */
+  val qLshPairs = GraftQuery(
+    "dd_lsh_candidate_pairs",
+    (s, d) => {
+      import s.implicits._
+      val sig = withSignature(Tables.documents(s, d))
+        .select($"doc_id" +: (0 until 8).map(i => col(s"mh$i")): _*)
+      val bands = (0 until 4).map { b =>
+        val cols = Seq($"doc_id", lit(b).as("band"),
+          concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bucket")) ++
+          (0 until 8).map(i => col(s"mh$i"))
+        sig.select(cols: _*)
+      }.reduce(_ union _)
+      val l = bands.as("l")
+      val r = bands.as("r")
+      val agree = (0 until 8).map(i =>
+        when(col(s"l.mh$i") === col(s"r.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      l.join(r,
+          col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          (agree.cast("double") / 8).as("est_jaccard"))
+        .distinct()
+    },
+    Some(s"""$sigCte,
+      bands AS (
+        SELECT doc_id, b.band,
+          CAST(CASE b.band WHEN 0 THEN mh0 WHEN 1 THEN mh2 WHEN 2 THEN mh4 ELSE mh6 END AS VARCHAR)
+            || '_' ||
+          CAST(CASE b.band WHEN 0 THEN mh1 WHEN 1 THEN mh3 WHEN 2 THEN mh5 ELSE mh7 END AS VARCHAR)
+            AS bucket,
+          mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+        FROM sig, (SELECT unnest(range(0, 4)) AS band) b)
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        CAST(${(0 until 8).map(i => s"(CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE) / 8 AS est_jaccard
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id"""))
+
+  /** True n-gram Jaccard on a linear pair set (consecutive doc_ids) —
+    * the verification-side of near-dup detection. At scale this runs
+    * on LSH candidates; here the pair generator is pinned
+    * deterministic so the oracle can replay it. */
+  val qNgramJaccard = GraftQuery(
+    "dd_ngram_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", shingles($"text").as("sh"))
+      val a = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+      val b = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select($"doc_a", $"doc_b",
+          round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size(array_union($"sh_a", $"sh_b")), 6).as("jaccard"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      s AS (SELECT doc_id, $shinglesSql AS sh FROM t)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        round(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          length(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard)
+}

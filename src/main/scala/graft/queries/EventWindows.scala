@@ -1,3 +1,150 @@
 package graft.queries
-import graft.GraftQuery
-object EventWindows { val all: Seq[GraftQuery] = Seq() }
+
+import graft.{GraftQuery, Tables}
+import graft.Tables.dsum
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table (SURVEY §7.2 M5):
+  * tumbling windows, running aggregates, gap-based sessionization, and
+  * JSON prop extraction. The Structured Streaming twins (watermarked
+  * windowed aggs, session_window, flatMapGroupsWithState) are driven
+  * by ScalaTest — these batch forms pin the semantics against DuckDB.
+  *
+  * events.ts is nanosecond-precision parquet; Spark truncates to
+  * micros, so oracle-visible timestamps are only emitted after
+  * date_trunc/time_bucket ≥ 1 minute, and gap math uses floor-seconds
+  * on both engines.
+  */
+object EventWindows {
+
+  /** Tumbling 1-hour windows via Spark's window() operator (struct
+    * start/end), vs DuckDB time_bucket — same epoch alignment. */
+  val qTumbling = GraftQuery(
+    "w_tumbling_hourly",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             dsum($"value").as("total_value"))
+        .select($"window.start".as("w_start"), $"event_type",
+                $"n_events", $"total_value")
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY w_start, event_type"""),
+    bench = true)
+
+  /** Sliding-window analog via two granularities: 15-minute buckets
+    * rolled up per user per day (map-side partial aggs). */
+  val qQuarterHour = GraftQuery(
+    "w_quarter_hour_user",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "15 minutes").getField("start").as("w_start"),
+                 $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+        user_id, COUNT(*) AS n_events
+      FROM events
+      GROUP BY w_start, user_id"""))
+
+  /** Per-user running aggregate ordered by event time (window
+    * functions; sequential accumulation is identical both engines). */
+  val qRunning = GraftQuery(
+    "w_running_user_value",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).select(
+        $"event_id", $"user_id", $"event_type",
+        round(sum($"value").over(w), 6).as("running_value"),
+        count(lit(1)).over(w).as("running_n"),
+        lag($"event_type", 1).over(
+          Window.partitionBy($"user_id").orderBy($"event_id".asc))
+          .as("prev_type"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+        round(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value,
+        COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+        lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id ASC) AS prev_type
+      FROM events"""))
+
+  /** Gap-based sessionization (30-minute inactivity): islands via
+    * lag + cumulative sum of session starts, then per-session rollup.
+    * Gap math on floor-seconds so ns-vs-µs truncation can't differ. */
+  val qSessionize = GraftQuery(
+    "w_sessionize_30m",
+    (s, d) => {
+      import s.implicits._
+      val sec = unix_timestamp($"ts")
+      val byUser = Window.partitionBy($"user_id").orderBy($"sec".asc, $"event_id".asc)
+      val withGap = Tables.events(s, d)
+        .select($"event_id", $"user_id", $"value", sec.as("sec"))
+        .withColumn("is_new",
+          when(lag($"sec", 1).over(byUser).isNull, 1)
+            .when($"sec" - lag($"sec", 1).over(byUser) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      withGap.groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min($"sec").as("session_start_sec"),
+             max($"sec").as("session_end_sec"),
+             dsum($"value").as("session_value"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, value,
+          CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events),
+      g AS (
+        SELECT *, CASE
+            WHEN lag(sec, 1) OVER w IS NULL THEN 1
+            WHEN sec - lag(sec, 1) OVER w > 1800 THEN 1
+            ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC)),
+      s AS (
+        SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM g)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        min(sec) AS session_start_sec, max(sec) AS session_end_sec,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
+      FROM s GROUP BY user_id, session_id"""),
+    bench = true)
+
+  /** E13-adjacent: JSON prop extraction + daily rollup. */
+  val qJsonProps = GraftQuery(
+    "w_json_props_daily",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(date_trunc("day", $"ts").as("day"), $"event_type",
+          get_json_object($"props", "$.k").try_cast("long").as("k"))
+        .groupBy($"day", $"event_type")
+        .agg(count($"k").as("n_with_k"), sum($"k").as("sum_k"))
+    },
+    Some("""
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+        COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      FROM events
+      GROUP BY day, event_type"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps)
+}

@@ -1,3 +1,140 @@
 package graft.queries
-import graft.GraftQuery
-object Similarity { val all: Seq[GraftQuery] = Seq() }
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (array<float>, 64-d).
+  *
+  * Determinism across engines: float dot products depend on summation
+  * order, so vectors are quantized to int64 (floor(x*10000 + 0.5)) and
+  * all dot/norm arithmetic is exact integer math — bit-identical in
+  * any order on both engines. Cosine then divides identical ints.
+  *
+  * Scale notes: the brute-force path broadcasts the (small) probe set
+  * against the full corpus — a map-side nested loop, no shuffle of the
+  * big side; ranking is a per-probe window over k·N rows. The LSH
+  * bucketed variant (sim_lsh_buckets) is the 100 TB path: candidate
+  * generation via random-hyperplane sign buckets, quadratic work only
+  * within buckets.
+  */
+object Similarity {
+
+  /** Quantized embedding: int64 per element, exact both engines. */
+  private def quant(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
+
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, z) => acc + z)
+
+  private val quantSql =
+    "list_transform(%s, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+
+  /** Brute-force cosine top-k: 5 nearest neighbors for each probe
+    * (vec_id < 20), ranked by rounded cosine with id tie-break. */
+  val qCosineTopK = GraftQuery(
+    "sim_cosine_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d).select($"vec_id", quant($"embedding").as("q"))
+      val probes = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("probe_id"), $"q".as("pq"))
+      val cos = round(
+        idot($"pq", $"q").cast("double") /
+          (sqrt(idot($"pq", $"pq").cast("double")) *
+           sqrt(idot($"q", $"q").cast("double"))), 6)
+      val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"vec_id".asc)
+      e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id", cos.as("cosine"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id, ${quantSql.format("embedding")} AS q
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, q AS pq FROM q WHERE vec_id < 20),
+      sims AS (
+        SELECT p.probe_id, q.vec_id,
+          round(
+            CAST(list_sum(list_transform(range(1, 65), i -> pq[i] * q[i])) AS DOUBLE) /
+            (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> pq[i] * pq[i])) AS DOUBLE)) *
+             sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS DOUBLE))), 6)
+          AS cosine
+        FROM p JOIN q ON q.vec_id <> p.probe_id),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rk
+        FROM sims)
+      SELECT probe_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5"""))
+
+  /** Random-hyperplane LSH bucketing (the ANN scale path): 8 sign bits
+    * from pseudo-random ±1 hyperplanes → bucket id per vector, plus
+    * per-bucket population. Hyperplane j element i sign =
+    * bit of md5-free deterministic LCG((j*64+i)) — pure arithmetic,
+    * identical in the oracle. */
+  val qLshBuckets = GraftQuery(
+    "sim_lsh_buckets",
+    (s, d) => {
+      import s.implicits._
+      def planeSign(j: Int): Column => Column = qv =>
+        // sign of Σ_i s(j,i)·v_i with s = ±1 from LCG parity
+        when(aggregate(zip_with(qv,
+          sequence(lit(0), lit(63)),
+          (x, i) => {
+            val lcg = (i + lit(64L * j)) * 1103515245L + 12345L
+            when(shiftright(lcg, 16).bitwiseAND(1) === 1, x).otherwise(-x)
+          }), lit(0L), (acc, z) => acc + z) >= 0, 1L).otherwise(0L)
+      val e = Tables.embeddings(s, d).select($"vec_id", quant($"embedding").as("q"))
+      val bucket = (0 until 8).map(j => planeSign(j)($"q") * (1L << j)).reduce(_ + _)
+      val withB = e.select($"vec_id", bucket.as("bucket"))
+      withB.groupBy($"bucket")
+        .agg(count(lit(1)).as("n_vectors"),
+             min($"vec_id").as("min_vec_id"),
+             max($"vec_id").as("max_vec_id"))
+    },
+    Some {
+      def planeSql(j: Int): String =
+        s"""(CASE WHEN list_sum(list_transform(range(1, 65), i ->
+           CASE WHEN (((i - 1 + ${64L * j}) * 1103515245 + 12345) >> 16) & 1 = 1
+           THEN q[i] ELSE -q[i] END)) >= 0 THEN ${1L << j} ELSE 0 END)"""
+      s"""
+      WITH q AS (
+        SELECT vec_id, ${quantSql.format("embedding")} AS q
+        FROM embeddings),
+      b AS (SELECT vec_id, ${(0 until 8).map(planeSql).mkString(" + ")} AS bucket FROM q)
+      SELECT bucket, COUNT(*) AS n_vectors, min(vec_id) AS min_vec_id,
+        max(vec_id) AS max_vec_id
+      FROM b GROUP BY bucket"""
+    })
+
+  /** Centroid per label (the IVF coarse-quantizer training step):
+    * element-wise mean of quantized vectors. Element sums via
+    * posexplode → (label, pos) hash-aggregate — 64·N rows, one
+    * shuffle, exact int arithmetic; no collect_list of whole vectors
+    * (which would break at scale). */
+  val qLabelCentroids = GraftQuery(
+    "sim_label_centroids",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"label", quant($"embedding").as("q"))
+      e.select($"label", posexplode($"q").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg((sum($"v").cast("double") / count(lit(1)) / 10000)
+               .as("centroid_v"),
+             count(lit(1)).as("n_vectors"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+        FROM embeddings)
+      SELECT label, i - 1 AS pos,
+        CAST(SUM(q[i]) AS DOUBLE) / COUNT(*) / 10000 AS centroid_v,
+        COUNT(*) AS n_vectors
+      FROM q, (SELECT unnest(range(1, 65)) AS i) idx
+      GROUP BY label, pos"""))
+
+  val all: Seq[GraftQuery] = Seq(qCosineTopK, qLshBuckets, qLabelCentroids)
+}

@@ -1,3 +1,190 @@
 package graft.queries
-import graft.GraftQuery
-object TextAnalysis { val all: Seq[GraftQuery] = Seq() }
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token stats, quality scoring, language ID,
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs) —
+  * at 100 TB these run embarrassingly parallel with zero shuffle.
+  */
+object TextAnalysis {
+
+  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Marker-word lists for the n-gram language heuristic. Real
+    * deployments would use char-trigram profiles; the scoring shape
+    * (per-language token hit count → argmax) is the same. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "von", "mit", "das"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "es"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "est", "dans"),
+    "zh" -> Seq("de", "le", "shi", "zai", "you", "wo", "ta"))
+
+  val qTokenStats = GraftQuery(
+    "t_token_stats",
+    (s, d) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      Tables.documents(s, d).select(
+        $"doc_id",
+        $"lang",
+        length($"text").as("n_chars_calc"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        round(length(regexp_replace($"text", "\\s", "")).cast("double") /
+          size(toks), 6).as("avg_token_len"))
+    },
+    Some("""
+      SELECT doc_id, lang,
+        length(text) AS n_chars_calc,
+        length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens,
+        round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+          length(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len
+      FROM documents"""))
+
+  /** Quality scoring: length band, stopword ratio, type-token ratio,
+    * punctuation density → composite score + keep flag. All integer
+    * counts divided identically on both sides → bit-identical. */
+  val qQualityScore = GraftQuery(
+    "t_quality_score",
+    (s, d) => {
+      import s.implicits._
+      val stop = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+      val toks = tokens($"text")
+      val nTok = size(toks)
+      val nStop = size(filter(toks, t => t.isInCollection(stop)))
+      // raw ratios feed the score; rounding only at the output edge.
+      // (Rounding twice creates exact decimal ties where Spark's
+      // BigDecimal rounding and DuckDB's scaled-double rounding split.)
+      val stopRatio = nStop.cast("double") / nTok
+      val ttr = size(array_distinct(toks)).cast("double") / nTok
+      val nPunct = length($"text") - length(regexp_replace($"text", "[^a-zA-Z0-9\\s]", ""))
+      val score =
+        when(nTok.between(10, 2000), 0.5).otherwise(0.0) +
+        when(stopRatio.between(0.01, 0.5), 0.25).otherwise(0.0) +
+        ttr * 0.25
+      Tables.documents(s, d).select(
+        $"doc_id", nTok.as("n_tokens"), nStop.as("n_stopwords"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(ttr, 6).as("type_token_ratio"),
+        nPunct.as("n_punct"), round(score, 6).as("quality_score"),
+        (score >= 0.5).as("keep"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          length(toks) AS n_tokens,
+          length(list_filter(toks, x -> list_contains(
+            ['the','a','and','of','to','in','is','on','for','with'], x))) AS n_stopwords,
+          length(list_distinct(toks)) AS n_distinct,
+          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct
+        FROM t),
+      r AS (
+        SELECT doc_id, n_tokens, n_stopwords,
+          CAST(n_stopwords AS DOUBLE) / n_tokens AS sr,
+          CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+          n_punct
+        FROM m),
+      sc AS (
+        SELECT *, (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.5 ELSE 0.0 END) +
+                  (CASE WHEN sr BETWEEN 0.01 AND 0.5 THEN 0.25 ELSE 0.0 END) +
+                  ttr * 0.25 AS score
+        FROM r)
+      SELECT doc_id, n_tokens, n_stopwords,
+        round(sr, 6) AS stop_ratio,
+        round(ttr, 6) AS type_token_ratio,
+        n_punct,
+        round(score, 6) AS quality_score,
+        score >= 0.5 AS keep
+      FROM sc"""))
+
+  /** Language ID: per-language marker hit count → argmax with
+    * alphabetical tie-break ('unknown' when nothing hits). */
+  val qLangId = GraftQuery(
+    "t_lang_id",
+    (s, d) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      val scores = markers.map { case (lang, words) =>
+        lang -> size(filter(toks, t => t.isInCollection(words)))
+      }
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      // alphabetical-first argmax: fold over langs sorted by name
+      val predicted = scores.sortBy(_._1).foldRight(lit("unknown")) {
+        case ((lang, sc), acc) =>
+          when(sc === best && best > 0, lang).otherwise(acc)
+      }
+      Tables.documents(s, d).select(
+        $"doc_id", $"lang".as("labeled_lang"),
+        predicted.as("predicted_lang"),
+        scores.find(_._1 == "en").get._2.as("en_score"))
+    },
+    Some {
+      val langSql = markers.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"length(list_filter(toks, x -> list_contains($lst, x))) AS score_$lang"
+      }.mkString(", ")
+      val best = markers.map(m => s"score_${m._1}").mkString("greatest(", ", ", ")")
+      val cases = markers.map(_._1).sorted.reverse
+        .foldLeft("'unknown'") { (acc, lang) =>
+          s"CASE WHEN score_$lang = best AND best > 0 THEN '$lang' ELSE $acc END"
+        }
+      s"""
+      WITH t AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      sc AS (SELECT doc_id, lang, $langSql FROM t),
+      b AS (SELECT *, $best AS best FROM sc)
+      SELECT doc_id, lang AS labeled_lang, $cases AS predicted_lang,
+        score_en AS en_score
+      FROM b"""
+    })
+
+  /** Document fingerprinting: md5 of whitespace-normalized text (the
+    * exact-dup key) + a 16-bit SimHash over distinct tokens (the
+    * near-dup key). SimHash bit i = sign of Σ ±1 over token hashes. */
+  val qFingerprint = GraftQuery(
+    "t_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      val norm = array_join(tokens($"text"), " ")
+      val toks = array_distinct(tokens($"text"))
+      val hv = transform(toks, t =>
+        conv(substring(md5(t), 1, 12), 16, 10).cast("long"))
+      def bit(i: Int): Column =
+        when(aggregate(hv, lit(0L), (acc, v) =>
+          acc + when(shiftright(v, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+        ) >= 0, 1L).otherwise(0L)
+      val simhash = (0 until 16).map(i => bit(i) * (1L << i)).reduce(_ + _)
+      Tables.documents(s, d).select(
+        $"doc_id",
+        md5(norm).as("exact_fp"),
+        simhash.as("simhash16"))
+    },
+    Some {
+      def bitSql(i: Int): String =
+        s"""(CASE WHEN list_sum(list_transform(dtoks, t ->
+           CASE WHEN (CAST('0x' || substr(md5(t),1,12) AS BIGINT) >> $i) & 1 = 1
+           THEN 1 ELSE -1 END)) >= 0 THEN ${1L << i} ELSE 0 END)"""
+      val sim = (0 until 16).map(bitSql).mkString(" + ")
+      """
+      WITH t AS (
+        SELECT doc_id,
+          array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ') AS norm,
+          list_distinct(regexp_split_to_array(trim(text), '\s+')) AS dtoks
+        FROM documents)
+      SELECT doc_id, md5(norm) AS exact_fp, """ + sim + """ AS simhash16
+      FROM t"""
+    })
+
+  val all: Seq[GraftQuery] =
+    Seq(qTokenStats, qQualityScore, qLangId, qFingerprint)
+}
