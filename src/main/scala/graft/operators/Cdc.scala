@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.model.{Listing, ListingEvent}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful change-data-capture (SURVEY §2.9 T2, §2.4 J2/J3):
+  * the reference's per-key dict probe (main.py:14-37) and off-market
+  * sweep (hunter.py:336-354) as Spark operators.
+  *
+  * Two forms:
+  *  - [[batchEvents]]: previous ⟗ current full-outer join — used for
+  *    batch reconciliation and oracle testing.
+  *  - [[streamingEvents]]: flatMapGroupsWithState keyed by mls —
+  *    state is the last-seen Listing; transitions emit typed events.
+  *    Off-market detection uses processing-time timeout (the
+  *    streaming analog of "state key absent from this cycle").
+  *
+  * Scale: both shuffle once on mls (hash partition); state store is
+  * per-key and incremental — no per-cycle full-state rewrite like the
+  * reference's SavedListings.json dump (main.py:144-171).
+  */
+object Cdc {
+
+  /** Event derivation shared by both forms, matching
+    * check_price_change_percentage (main.py:39-52). */
+  private def priceChange(newL: Listing, old: Listing): ListingEvent = {
+    val pct = (newL.price - old.price).toDouble / old.price * 100
+    ListingEvent(newL.mls, "price_change",
+      Some(f"Price changed from ${old.price} to ${newL.price} (${pct}%.2f%%)"),
+      newL.price, Some(old.price), Some(pct), None, newL.source)
+  }
+
+  def batchEvents(prev: Dataset[Listing], cur: Dataset[Listing],
+      nowEpoch: Long): Dataset[ListingEvent] = {
+    val spark = prev.sparkSession
+    import spark.implicits._
+    prev.as("p").joinWith(cur.as("c"), $"p.mls" === $"c.mls", "full_outer")
+      .flatMap { case (old, newL) =>
+        (Option(old), Option(newL)) match {
+          case (None, Some(n)) =>
+            Some(ListingEvent(n.mls, "new_listing", None, n.price, None,
+              None, None, n.source))
+          case (Some(o), Some(n)) if n.price != o.price =>
+            Some(priceChange(n, o))
+          case (Some(o), None) =>
+            val days = ((nowEpoch - o.foundDate) / 86400).toInt
+            Some(ListingEvent(o.mls, "off_market", None, o.price, None,
+              None, Some(days), o.source))
+          case _ => None // unchanged → no-op (T5)
+        }
+      }
+  }
+
+  /** Streaming CDC. Emits new_listing/price_change on updates and
+    * off_market when a key times out (no sighting within
+    * `offMarketTimeoutMs` of processing time). */
+  def streamingEvents(stream: Dataset[Listing], offMarketTimeoutMs: Long,
+      nowEpoch: () => Long = () => System.currentTimeMillis() / 1000)
+      : Dataset[ListingEvent] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.groupByKey(_.mls)
+      .flatMapGroupsWithState[Listing, ListingEvent](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (mls: String, rows: Iterator[Listing], state: GroupState[Listing]) =>
+          if (state.hasTimedOut) {
+            val old = state.get
+            state.remove()
+            val days = ((nowEpoch() - old.foundDate) / 86400).toInt
+            Iterator.single(ListingEvent(old.mls, "off_market", None,
+              old.price, None, None, Some(days), old.source))
+          } else {
+            // last-write-wins within a batch, keyed ordering not
+            // guaranteed — reference semantics are last-seen (T5)
+            val events = rows.flatMap { n =>
+              val out = state.getOption match {
+                case None =>
+                  Some(ListingEvent(n.mls, "new_listing", None, n.price,
+                    None, None, None, n.source))
+                case Some(o) if n.price != o.price => Some(priceChange(n, o))
+                case _ => None
+              }
+              state.update(n)
+              out
+            }.toVector
+            state.setTimeoutDuration(offMarketTimeoutMs)
+            events.iterator
+          }
+      }
+  }
+
+  /** Convenience: replay a deterministic sequence of micro-batches
+    * through the batch CDC, threading state like the reference's
+    * poll loop (main.py:109-138). Returns (events per cycle, final
+    * state). Driver-side loop over CYCLES (a handful), not rows. */
+  def replay(spark: SparkSession, cycles: Seq[Seq[Listing]], nowEpoch: Long)
+      : (Seq[Seq[ListingEvent]], Dataset[Listing]) = {
+    import spark.implicits._
+    var state = spark.emptyDataset[Listing]
+    val out = cycles.map { batch =>
+      val cur = batch.toDS()
+      val events = batchEvents(state, cur, nowEpoch).collect().toSeq
+      // state transition: survivors replaced, newcomers added,
+      // missing keys dropped (off_market removes state, hunter.py:352)
+      state = cur
+      events
+    }
+    (out, state)
+  }
+}

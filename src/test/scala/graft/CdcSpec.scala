@@ -1,0 +1,107 @@
+package graft
+
+import graft.model.{Listing, ListingEvent}
+import graft.operators.Cdc
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** T2/T5/J2/J3 semantics: the scripted 3-cycle scenario from SURVEY §5
+  * (new → price change → disappear) plus idempotence + streaming. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val now = 1700000000L // fixed clock (E10 determinism)
+  private val day = 86400L
+
+  test("batch CDC: new → price_change → off_market over 3 cycles") {
+    val a1 = Listing.minimal("A", 100000, foundDate = now - 10 * day)
+    val b1 = Listing.minimal("B", 200000, foundDate = now - 5 * day)
+    val cycles = Seq(
+      Seq(a1, b1),                       // both new
+      Seq(a1.copy(price = 90000), b1),   // A price drop, B unchanged
+      Seq(b1))                           // A gone
+    val (events, state) = Cdc.replay(spark, cycles, now)
+
+    assert(events(0).map(e => (e.mls, e.status)).sorted ==
+      Seq(("A", "new_listing"), ("B", "new_listing")))
+
+    assert(events(1).map(e => (e.mls, e.status)) == Seq(("A", "price_change")))
+    val pc = events(1).head
+    assert(pc.oldPrice.contains(100000L))
+    assert(math.abs(pc.priceChangePct.get - -10.0) < 1e-9)
+    assert(pc.additionalText.get.contains("100000") && pc.additionalText.get.contains("90000"))
+
+    assert(events(2).map(e => (e.mls, e.status)) == Seq(("A", "off_market")))
+    assert(events(2).head.timeOnMarketDays.contains(10))
+
+    assert(state.collect().map(_.mls).toSeq == Seq("B"))
+  }
+
+  test("batch CDC idempotence: identical batch re-emits zero events (T5)") {
+    val batch = Seq(Listing.minimal("X", 1), Listing.minimal("Y", 2))
+    val (events, _) = Cdc.replay(spark, Seq(batch, batch), now)
+    assert(events(0).size == 2)
+    assert(events(1).isEmpty)
+  }
+
+  test("batch CDC invariant: event count ≤ prev ∪ cur key count") {
+    val prev = Seq(Listing.minimal("A", 1), Listing.minimal("B", 2)).toDS()
+    val cur = Seq(Listing.minimal("B", 3), Listing.minimal("C", 4)).toDS()
+    val ev = Cdc.batchEvents(prev, cur, now).collect()
+    assert(ev.length <= 3)
+    assert(ev.map(e => (e.mls, e.status)).sorted.toSeq ==
+      Seq(("A", "off_market"), ("B", "price_change"), ("C", "new_listing")))
+  }
+
+  /** With ProcessingTimeTimeout the micro-batch engine keeps
+    * constructing timeout-check batches, so processAllAvailable never
+    * sees a quiescent stream — poll the sink with a deadline instead. */
+  private def awaitRows(table: String, pred: Seq[ListingEvent] => Boolean,
+      timeoutMs: Long = 60000): Seq[ListingEvent] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var got = Seq.empty[ListingEvent]
+    while (System.currentTimeMillis() < deadline && !pred(got)) {
+      Thread.sleep(200)
+      got = spark.table(table).as[ListingEvent].collect().toSeq
+    }
+    got
+  }
+
+  test("streaming CDC: flatMapGroupsWithState emits new + price_change") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixedNow = now // local copy — the closure must not capture the spec
+    val input = MemoryStream[Listing]
+    val events = Cdc.streamingEvents(input.toDS(), offMarketTimeoutMs = 600000,
+      nowEpoch = () => fixedNow)
+    val q = events.writeStream
+      .format("memory").queryName("cdc_out").outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(Listing.minimal("A", 100))
+      awaitRows("cdc_out", _.size >= 1)
+      input.addData(Listing.minimal("A", 80), Listing.minimal("B", 50))
+      val got = awaitRows("cdc_out", _.size >= 3)
+        .map(e => (e.mls, e.status)).sorted
+      assert(got == Seq(("A", "new_listing"), ("A", "price_change"),
+        ("B", "new_listing")))
+    } finally q.stop()
+  }
+
+  test("streaming CDC: processing-time timeout emits off_market") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixedNow = now // local copy — the closure must not capture the spec
+    val input = MemoryStream[Listing]
+    val events = Cdc.streamingEvents(input.toDS(), offMarketTimeoutMs = 100,
+      nowEpoch = () => fixedNow)
+    val q = events.writeStream
+      .format("memory").queryName("cdc_timeout").outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(Listing.minimal("A", 100, foundDate = now - 3 * day))
+      val got = awaitRows("cdc_timeout", _.exists(_.status == "off_market"))
+      val off = got.filter(_.status == "off_market")
+      assert(off.map(_.mls) == Seq("A"))
+      assert(off.head.timeOnMarketDays.contains(3))
+    } finally q.stop()
+  }
+}
