@@ -1,0 +1,91 @@
+package graft
+
+import graft.model.Listing
+import graft.operators.MediaPipeline
+import graft.sinks.CsvSinks
+import graft.sources.{FileScans, FixtureSource}
+import java.nio.file.Files
+
+/** S1/S7/S8/S9 sources, K2/K3/K4 sinks, and the multimodal pipeline. */
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeFile(dir: String, name: String, content: String): String = {
+    val p = java.nio.file.Paths.get(dir, name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("S1 FixtureSource: pages → parsed listings, zip filter applied") {
+    val page = """<table class="public-detail-quickview">
+      <span class="mls">Z1</span><span class="price">$100,000</span></table>"""
+    val pages = Seq(("84601", page), ("84058", page.replace("Z1", "Z2")))
+      .toDF("zip", "html")
+    val src = new FixtureSource(pages)
+    val got = src.scan(spark, Seq("84601"))
+    assert(got.collect().map(_.mls).toSeq == Seq("Z1"))
+  }
+
+  test("S7 contacts CSV scan normalizes phones") {
+    val dir = tmp("contacts")
+    val csv = writeFile(dir, "contacts.csv",
+      "First Name,Last Name,Phone\njane,doe,(801) 555-0001\nbob,known,8015550002\n")
+    val df = FileScans.contacts(spark, csv)
+    assert(df.columns.toSeq == Seq("first_name", "last_name", "phone"))
+    assert(df.collect().map(_.getString(2)).sorted.toSeq ==
+      Seq("+18015550001", "+18015550002"))
+  }
+
+  test("S9 nested zip JSON double-explodes and validates zips (F4/F6)") {
+    val dir = tmp("zips")
+    val json = writeFile(dir, "z.json",
+      """{"Utah": {"Provo": ["84601", "84602"], "Orem": ["84058"]},
+          "Salt Lake": {"Sandy": ["84070", "bad"]}}""")
+    val all = FileScans.nestedZips(spark, json)
+    assert(all.count() == 4) // "bad" dropped by F6
+    val utah = FileScans.nestedZips(spark, json, Seq("Utah"))
+    assert(utah.select("zip").as[String].collect().sorted.toSeq ==
+      Seq("84058", "84601", "84602"))
+  }
+
+  test("K4 listing CSV frame: fixed 8-col header, empty Email, sentinels") {
+    val ls = Seq(
+      Listing.minimal("M1", 100, city = Some("Provo"),
+        agentName = Some("Jane"), agentPhone = Some("1")),
+      Listing.minimal("M2", 200)).toDS()
+    val df = CsvSinks.listingsFrame(ls)
+    assert(df.columns.toSeq == Seq("Property Address", "City", "State",
+      "Zip", "Price", "Agent", "Email", "Phone"))
+    val rows = df.collect()
+    assert(rows.forall(_.getString(6) == "")) // Email always ''
+    assert(rows.exists(_.getString(1) == "")) // sentinel for missing city
+  }
+
+  test("K2/S11 state round-trip; corrupt path → empty state") {
+    val dir = tmp("state") + "/st"
+    val state = Seq(Listing.minimal("A", 1), Listing.minimal("B", 2)).toDS()
+    CsvSinks.writeState(state, dir)
+    val back = CsvSinks.readState(spark, dir)
+    assert(back.collect().map(_.mls).sorted.toSeq == Seq("A", "B"))
+    assert(CsvSinks.readState(spark, "/nonexistent/state").isEmpty)
+  }
+
+  test("multimodal: per-partition batched decode, deterministic features") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val assets = MediaPipeline.assetsFromDocuments(docs)
+    val feats = MediaPipeline.extractFeatures(assets).cache()
+    assert(feats.count() == docs.count())
+    val f = feats.filter(_.asset_id == 0).head()
+    assert(f.n_bytes > 0 && f.width >= 1 && f.width <= 640 && f.height >= 1)
+    // videos get multi-frame, images/audio exactly 1
+    assert(feats.filter(_.media_type != "video").collect().forall(_.n_frames == 1))
+    assert(feats.filter(_.media_type == "video").collect().forall(_.n_frames >= 2))
+    // deterministic: second run identical
+    val again = MediaPipeline.extractFeatures(assets).collect().toSet
+    assert(again == feats.collect().toSet)
+    feats.unpersist()
+  }
+}
