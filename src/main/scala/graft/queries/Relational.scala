@@ -342,8 +342,42 @@ object Relational {
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 0) b"""))
 
+  /** Hierarchical totals: ROLLUP over (priority, status) — subtotal
+    * and grand-total rows with NULL group keys, same on both engines. */
+  val qRollup = GraftQuery(
+    "q_rollup_priority_status",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .rollup($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+             dsum($"o_totalprice").as("total_price"))
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+      FROM orders
+      GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""))
+
+  /** CUBE over (returnflag, linestatus): all grouping-set combos. */
+  val qCube = GraftQuery(
+    "q_cube_flag_status",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+             dsum($"l_quantity").as("sum_qty"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,
     q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q9PartStats,
-    q10ReturnedRevenue, qAggCollect, qAggNested, qOuterBalance, qSetOps)
+    q10ReturnedRevenue, qAggCollect, qAggNested, qOuterBalance, qSetOps,
+    qRollup, qCube)
 }

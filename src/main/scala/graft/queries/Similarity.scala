@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
+import graft.functions.VectorExpressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,11 +23,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Quantized embedding: int64 per element, exact both engines. */
-  private def quant(v: Column): Column =
-    transform(v, x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
+  private def quant(v: Column): Column = VectorExpressions.quantize(v)
 
+  /** Native codegen'd int64 dot product (see
+    * functions/VectorExpressions.scala; equivalence with the
+    * aggregate(zip_with(...)) formulation proven in VectorExprSpec). */
   private def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, z) => acc + z)
+    VectorExpressions.quantizedDot(a, b)
 
   private val quantSql =
     "list_transform(%s, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
@@ -67,7 +70,8 @@ object Similarity {
         SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
                                      ORDER BY cosine DESC, vec_id ASC) AS rk
         FROM sims)
-      SELECT probe_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5"""))
+      SELECT probe_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5"""),
+    bench = true)
 
   /** Random-hyperplane LSH bucketing (the ANN scale path): 8 sign bits
     * from pseudo-random ±1 hyperplanes → bucket id per vector, plus
