@@ -375,9 +375,62 @@ object Relational {
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 
+  /** Window-function breadth: rank/dense_rank/ntile/lead/lag over a
+    * fully tie-broken ordering. */
+  val qWindowFuncs = GraftQuery(
+    "q_window_functions",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables.orders(s, d).select(
+        $"o_orderkey", $"o_orderpriority",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lead($"o_orderkey", 1).over(w).as("next_key"),
+        lag($"o_orderkey", 2).over(w).as("prev2_key"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+        RANK() OVER w AS rnk,
+        DENSE_RANK() OVER w AS drnk,
+        NTILE(4) OVER w AS quartile,
+        LEAD(o_orderkey, 1) OVER w AS next_key,
+        LAG(o_orderkey, 2) OVER w AS prev2_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC)"""))
+
+  /** Exact interpolated percentiles per group — Spark percentile() and
+    * DuckDB quantile_cont() share the (1-d)·lower + d·upper formula
+    * over the sorted set; rounded at the edge as a float belt. */
+  val qPercentiles = GraftQuery(
+    "q_percentiles_quantity",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_quantity, 0.99)"), 6).as("p99"),
+          min($"l_quantity").as("min_q"),
+          max($"l_quantity").as("max_q"))
+    },
+    Some("""
+      SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        round(quantile_cont(l_quantity, 0.99), 6) AS p99,
+        MIN(l_quantity) AS min_q,
+        MAX(l_quantity) AS max_q
+      FROM lineitem
+      GROUP BY l_returnflag"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,
     q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q9PartStats,
     q10ReturnedRevenue, qAggCollect, qAggNested, qOuterBalance, qSetOps,
-    qRollup, qCube)
+    qRollup, qCube, qWindowFuncs, qPercentiles)
 }
