@@ -182,6 +182,69 @@ object Dedup {
           length(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
       FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"""))
 
+  /** Embedding-cosine near-dup: best same-bucket neighbor per vector
+    * (random-hyperplane buckets bound the pair space — the 100 TB
+    * path), flagged near_dup above a cosine threshold. Quantized
+    * integer math keeps cosine bit-identical cross-engine; ranking is
+    * tie-broken by neighbor id. */
+  val qEmbeddingNearDup = GraftQuery(
+    "dd_embedding_neardup",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.VectorExpressions.{quantize, quantizedDot}
+      def planeSign(j: Int)(qv: Column): Column =
+        when(aggregate(zip_with(qv, sequence(lit(0), lit(63)),
+          (x, i) => {
+            val lcg = (i + lit(64L * j)) * 1103515245L + 12345L
+            when(shiftright(lcg, 16).bitwiseAND(1) === 1, x).otherwise(-x)
+          }), lit(0L), (acc, z) => acc + z) >= 0, 1L).otherwise(0L)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val bucket = (0 until 8).map(j => planeSign(j)(col("q")) * (1L << j))
+        .reduce(_ + _)
+      val b = e.select(col("vec_id"), col("q"), bucket.as("bucket"))
+        .localCheckpoint(true) // materialize: q + bucket feed a self-join
+      val l = b.select(col("vec_id").as("a_id"), col("q").as("aq"), col("bucket"))
+      val r = b.select(col("vec_id").as("b_id"), col("q").as("bq"), col("bucket"))
+      val cos = round(
+        quantizedDot(col("aq"), col("bq")).cast("double") /
+          (sqrt(quantizedDot(col("aq"), col("aq")).cast("double")) *
+           sqrt(quantizedDot(col("bq"), col("bq")).cast("double"))), 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id").asc)
+      l.join(r, l("bucket") === r("bucket") && col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), cos.as("cosine"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("a_id"), col("b_id").as("nearest_in_bucket"),
+          col("cosine"), (col("cosine") >= 0.42).as("near_dup"))
+    },
+    Some {
+      def planeSql(j: Int): String =
+        s"""(CASE WHEN list_sum(list_transform(range(1, 65), i ->
+           CASE WHEN (((i - 1 + ${64L * j}) * 1103515245 + 12345) >> 16) & 1 = 1
+           THEN q[i] ELSE -q[i] END)) >= 0 THEN ${1L << j} ELSE 0 END)"""
+      s"""
+      WITH q AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+        FROM embeddings),
+      b AS (SELECT vec_id, q, ${(0 until 8).map(planeSql).mkString(" + ")} AS bucket FROM q),
+      pairs AS (
+        SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+          round(
+            CAST(list_sum(list_transform(range(1, 65), i -> l.q[i] * r.q[i])) AS DOUBLE) /
+            (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> l.q[i] * l.q[i])) AS DOUBLE)) *
+             sqrt(CAST(list_sum(list_transform(range(1, 65), i -> r.q[i] * r.q[i])) AS DOUBLE))), 6)
+            AS cosine
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                                     ORDER BY cosine DESC, b_id ASC) AS rk
+        FROM pairs)
+      SELECT a_id, b_id AS nearest_in_bucket, cosine, cosine >= 0.42 AS near_dup
+      FROM ranked WHERE rk = 1"""
+    })
+
   val all: Seq[GraftQuery] =
-    Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard)
+    Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard, qEmbeddingNearDup)
 }

@@ -185,6 +185,29 @@ object TextAnalysis {
       FROM t"""
     })
 
+  /** BPE-ish token counting: a GPT-2-flavored pre-tokenizer regex
+    * (letter runs / digit runs / single punctuation) — the whitespace
+    * count's companion for LLM-budget estimation. regexp_extract_all
+    * exists on both engines with compatible semantics for this
+    * character-class-only pattern. */
+  val qTokenBpe = GraftQuery(
+    "t_token_count_bpe",
+    (s, d) => {
+      import s.implicits._
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+      Tables.documents(s, d).select(
+        $"doc_id",
+        size(split(trim($"text"), "\\s+")).as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit(pat), lit(0))).as("n_bpe_tokens"),
+        ceil(length($"text") / 4.0).cast("long").as("n_chars_div4_est"))
+    },
+    Some("""
+      SELECT doc_id,
+        length(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_div4_est
+      FROM documents"""))
+
   val all: Seq[GraftQuery] =
-    Seq(qTokenStats, qQualityScore, qLangId, qFingerprint)
+    Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe)
 }
