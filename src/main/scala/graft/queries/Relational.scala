@@ -274,7 +274,9 @@ object Relational {
       GROUP BY c_mktsegment"""))
 
   /** A5 semantics (utahZip.py:28-44): grouped nested collection —
-    * region → sorted list of its nations. */
+    * region → sorted list of its nations. The list is emitted joined
+    * to a string so the driver's row hasher never sees a raw array
+    * cell (list values hash differently across parquet/db readers). */
   val qAggNested = GraftQuery(
     "q_agg_nested_collect",
     (s, d) => {
@@ -282,13 +284,38 @@ object Relational {
       Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name")
-        .agg(array_sort(collect_list($"n_name")).as("nations"),
+        .agg(array_join(array_sort(collect_list($"n_name")), "|").as("nations"),
              count(lit(1)).as("n_nations"))
     },
     Some("""
-      SELECT r_name, list(n_name ORDER BY n_name) AS nations, COUNT(*) AS n_nations
+      SELECT r_name, string_agg(n_name, '|' ORDER BY n_name) AS nations,
+        COUNT(*) AS n_nations
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name"""))
+
+  /** Correlated scalar subquery (Catalyst decorrelation): customers
+    * above their segment's average balance. The inner AVG routes
+    * through exact decimal so the comparison boundary is identical on
+    * both engines. */
+  val qCorrelatedSubquery = GraftQuery(
+    "q_correlated_subquery",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer_v c
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+          FROM customer_v c2
+          WHERE c2.c_mktsegment = c.c_mktsegment)""")
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        FROM customer c2
+        WHERE c2.c_mktsegment = c.c_mktsegment)"""))
 
   /** Full-outer join + conditional projection: customer account-balance
     * status vs their order spend (exercises outer join null handling). */
@@ -432,5 +459,5 @@ object Relational {
     q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,
     q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q9PartStats,
     q10ReturnedRevenue, qAggCollect, qAggNested, qOuterBalance, qSetOps,
-    qRollup, qCube, qWindowFuncs, qPercentiles)
+    qRollup, qCube, qWindowFuncs, qPercentiles, qCorrelatedSubquery)
 }
