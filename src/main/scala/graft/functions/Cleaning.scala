@@ -60,6 +60,12 @@ object Cleaning {
   def daysBetween(later: Column, earlier: Column): Column =
     datediff(to_date(later), to_date(earlier))
 
+  /** E16 — facts-item extraction (ure_scraping.py:226-231): the value
+    * is the last whitespace-separated token of the raw facts line
+    * ("Days on URE 17" → "17"). */
+  def lastToken(c: Column): Column =
+    element_at(split(trim(c), "\\s+"), -1)
+
   /** E12 — city-tag transform (data_processing.py:27-33): per element
     * of a comma-split list, append a suffix, rejoin with ', '. */
   def tagList(csv: Column, suffix: String): Column =

@@ -31,6 +31,28 @@ class FixtureSource(pages: DataFrame /* zip: string, html: string */)
   }
 }
 
+/** S4–S6 fixture source: Trulia-shaped two-phase scan — an index page
+  * per zip yields listing URLs (S5), then detail pages resolve to
+  * rows (S6). The detail "fetch" is a lookup join against the fixture
+  * detail frame — the partition-batched replacement for the
+  * reference's per-row GET (trulia_scraper.py:50,140). */
+class TruliaFixtureSource(
+    indexPages: DataFrame /* zip: string, html: string */,
+    detailPages: DataFrame /* url: string, html: string */)
+    extends ListingSource {
+  def scan(spark: SparkSession, zipCodes: Seq[String]): Dataset[Listing] = {
+    import spark.implicits._
+    val urls = indexPages
+      .filter(col("zip").isInCollection(zipCodes))
+      .select(col("html")).as[String]
+      .flatMap(HtmlListingParser.parseTruliaUrls _)
+      .toDF("url")
+    urls.join(detailPages, "url")
+      .select(col("html")).as[String]
+      .flatMap(h => HtmlListingParser.parseTruliaDetail(h))
+  }
+}
+
 /** Structure-only skeleton of the paginated HTTP source (S1). Layout
   * for a real deployment:
   *  - one input partition per zip code (353 partitions at reference

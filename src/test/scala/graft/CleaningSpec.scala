@@ -61,6 +61,11 @@ class CleaningSpec extends SparkSpec {
       "Provo Utah Market, Orem Utah Market, Lehi Utah Market")
   }
 
+  test("E16 last-token extraction (Days on URE)") {
+    assert(one("Days on URE 17", lastToken) == "17")
+    assert(one("  single  ", lastToken) == "single")
+  }
+
   test("E17 whitespace: single-pass double-space collapse (Python parity)") {
     // Python '   a    b'.replace('  ',' ') → ' a  b' (single pass!)
     assert(one("   a    b", cleanWhitespace) == "a  b")

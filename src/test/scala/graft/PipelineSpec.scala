@@ -48,6 +48,29 @@ class PipelineSpec extends SparkSpec {
     assert(r2.newState.collect().map(_.mls).toSeq == Seq("A"))
   }
 
+  test("EP2 branch: Trulia index→detail source unions into the same CDC") {
+    import graft.sources.TruliaFixtureSource
+    val index = Seq(("84601",
+      """<a data-testid="property-card-link" href="/p/1">x</a>
+         <a data-testid="property-card-link" href="/p/2">y</a>"""))
+      .toDF("zip", "html")
+    val details = Seq(
+      ("https://www.trulia.com/p/1",
+        """<span class="mls">T1</span><span class="price">$350,000</span>
+           <span class="features">3 Beds • 2 Baths • 1500 sqft</span>"""),
+      ("https://www.trulia.com/p/2", "<html>broken — no mls</html>"))
+      .toDF("url", "html")
+    val trulia = new TruliaFixtureSource(index, details)
+    val ureEmpty = new FixtureSource(Seq.empty[(String, String)].toDF("zip", "html"))
+
+    val r = ScrapePipeline.runCycle(spark, ureEmpty, trulia, Seq("84601"),
+      spark.emptyDataset[Listing], 1700000000L)
+    val evs = r.events.collect()
+    assert(evs.map(e => (e.mls, e.status, e.source)).toSeq ==
+      Seq(("T1", "new_listing", "TRULIA"))) // broken detail row dropped
+    assert(r.newState.head().beds.contains(3L))
+  }
+
   test("salted aggregation matches plain aggregation") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val plain = docs.groupBy($"lang")

@@ -12,6 +12,20 @@ class ScaleLayoutSpec extends SparkSpec {
   test("bucketed tables join without an exchange (co-located SMJ)") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist — clear them or CTAS refuses
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Tables.lineitem(spark, sf("sf0.001"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_bucketed")
@@ -42,6 +56,27 @@ class ScaleLayoutSpec extends SparkSpec {
       assert(rawPlan.contains("Exchange hashpartitioning"),
         s"raw join should shuffle:\n$rawPlan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("predicate pushdown reaches the parquet scan (q1/q6)") {
+    // formatted mode prints full PushedFilters/ReadSchema (the plan
+    // toString truncates the FileScan line)
+    def formatted(name: String): String = {
+      val df = Registry.byName(name).run(spark, sf("sf0.001"))
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    val p1 = formatted("q1_pricing_summary")
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"q1 shipdate filter must reach the scan:\n$p1")
+    // column pruning: the scan reads only the 7 needed of 11 columns
+    assert(p1.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate"),
+      s"q1 scan must prune columns:\n$p1")
+
+    val p6 = formatted("q6_forecast_revenue")
+    assert(p6.contains("GreaterThanOrEqual(l_discount,0.04)") &&
+      p6.contains("LessThan(l_quantity,24.0)"),
+      s"q6 range filters must reach the scan:\n$p6")
   }
 
   test("CMS sketch: one-pass approximate frequencies with upper-bound guarantee") {
