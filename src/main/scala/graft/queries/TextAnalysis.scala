@@ -208,6 +208,25 @@ object TextAnalysis {
         CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_div4_est
       FROM documents"""))
 
+  /** Approximate distinct counts (HLL++) per source — the sketch-based
+    * companion to exact countDistinct for 100 TB cardinality work. No
+    * SQL oracle: DuckDB's approx_count_distinct uses a different
+    * sketch, so the driver records the rows-only check; the exact
+    * column is there to eyeball the approximation in results. */
+  val qApproxDistinct = GraftQuery(
+    "t_approx_distinct_tokens",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"source", explode(tokens($"text")).as("tok"))
+        .groupBy($"source")
+        .agg(approx_count_distinct($"tok").as("approx_distinct_tokens"),
+             countDistinct($"tok").as("exact_distinct_tokens"),
+             count(lit(1)).as("n_tokens"))
+    },
+    None)
+
   val all: Seq[GraftQuery] =
-    Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe)
+    Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
+      qApproxDistinct)
 }
