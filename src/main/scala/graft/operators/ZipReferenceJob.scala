@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S12 — the zip-code reference one-shot job (utahZip.py:54-68):
+  * (county, city, zip) rows → three artifacts: the nested
+  * {county:{city:[zips]}} JSON, the flat zip array, and per-county zip
+  * counts. The nested build is A5's grouped nested collection
+  * (groupBy city collect → groupBy county map_from_entries), with F6
+  * zip validation applied on the way in. Round-trips through
+  * FileScans.nestedZips (S9).
+  */
+object ZipReferenceJob {
+
+  /** rows(county, city, zip) → single nested JSON object string. */
+  def nestedJson(rows: DataFrame): String = {
+    val perCity = rows
+      .filter(col("zip").rlike("^[0-9]{5}$")) // F6
+      .groupBy(col("county"), col("city"))
+      .agg(array_sort(collect_list(col("zip"))).as("zips"))
+    val perCounty = perCity
+      .groupBy(col("county"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("city"), col("zips"))))).as("cities"))
+    // one tiny row per county at this point — a driver-side fold over
+    // counties is O(#counties), not O(#rows)
+    val countyJson = perCounty
+      .select(col("county"), to_json(col("cities")).as("j"))
+      .orderBy(col("county"))
+      .collect()
+    countyJson.map(r => "\"" + r.getString(0) + "\": " + r.getString(1))
+      .mkString("{", ", ", "}")
+  }
+
+  /** Write all three artifacts like the reference's save_data_to_file. */
+  def run(spark: SparkSession, rows: DataFrame, outDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(Paths.get(outDir, "county_city_zips.json"),
+      nestedJson(rows))
+    val flat = rows.filter(col("zip").rlike("^[0-9]{5}$"))
+      .select(col("zip")).distinct().orderBy(col("zip"))
+      .collect().map(_.getString(0))
+    Files.writeString(Paths.get(outDir, "all_zip_codes.json"),
+      flat.mkString("[\"", "\", \"", "\"]"))
+    rows.filter(col("zip").rlike("^[0-9]{5}$"))
+      .groupBy(col("county")).agg(countDistinct(col("zip")).as("n_zips"))
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$outDir/county_counts")
+  }
+}

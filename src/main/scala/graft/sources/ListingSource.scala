@@ -96,9 +96,14 @@ object FileScans {
         Cleaning.normalizePhone(col("Phone")).as("phone"))
   }
 
-  /** S8: flat JSON zip array (data_loader.py:5-14). */
+  /** S8: flat JSON zip array (data_loader.py:5-14). A bare array of
+    * scalars isn't line-delimited JSON — read whole-text and explode
+    * the parsed array. */
   def zipCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("multiLine", "true").json(path).toDF("zip")
+    spark.read.option("wholetext", "true").text(path)
+      .select(explode(from_json(col("value"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))).as("zip"))
 
   /** S9: nested {county:{city:[zip]}} JSON → flat (county, city, zip)
     * rows with optional county membership filter (config.py:18-49).
