@@ -455,9 +455,41 @@ object Relational {
       FROM lineitem
       GROUP BY l_returnflag"""))
 
+  /** TPC-H Q18-shaped large-quantity orders: aggregate + HAVING +
+    * re-join the qualifying keys back to the fact (semi on an agg). */
+  val q18LargeOrders = GraftQuery(
+    "q18_large_orders",
+    (s, d) => {
+      import s.implicits._
+      val big = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(dsum($"l_quantity").as("total_qty"))
+        .filter($"total_qty" > 150.0)
+      // o_orderdate stays a timestamp: DATE cells read back as
+      // datetime.date objects from Spark parquet but datetime64 from
+      // DuckDB — a dtype-only hash mismatch (same trap as raw arrays)
+      Tables.orders(s, d)
+        .join(big, $"o_orderkey" === big("l_orderkey"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+          $"o_totalprice", $"total_qty")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderdate,
+        o_totalprice, total_qty
+      FROM orders
+      JOIN (
+        SELECT l_orderkey,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 150.0) b
+      ON o_orderkey = b.l_orderkey"""),
+    bench = true)
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,
     q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q9PartStats,
     q10ReturnedRevenue, qAggCollect, qAggNested, qOuterBalance, qSetOps,
-    qRollup, qCube, qWindowFuncs, qPercentiles, qCorrelatedSubquery)
+    qRollup, qCube, qWindowFuncs, qPercentiles, qCorrelatedSubquery,
+    q18LargeOrders)
 }
