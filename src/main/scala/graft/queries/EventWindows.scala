@@ -145,6 +145,43 @@ object EventWindows {
       FROM events
       GROUP BY day, event_type"""))
 
+  /** As-of join semantics composed from built-ins (preference (a) of
+    * the custom-operator ladder): each purchase event joined to the
+    * user's most recent PRIOR view event. Instead of a range/as-of
+    * join (quadratic or custom-operator territory), a single
+    * carry-forward window — last(view_id) IGNORE NULLS over preceding
+    * rows — resolves every purchase in one sort per user partition. */
+  val qAsOfPriorView = GraftQuery(
+    "w_asof_prior_view",
+    (s, d) => {
+      import s.implicits._
+      val sec = unix_timestamp($"ts")
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"sec".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type", sec.as("sec"))
+        .withColumn("prior_view_id",
+          last(when($"event_type" === "view", $"event_id"), ignoreNulls = true)
+            .over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"sec".as("purchase_sec"),
+          $"prior_view_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+          CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events),
+      c AS (
+        SELECT *, last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_id
+        FROM e)
+      SELECT event_id, user_id, sec AS purchase_sec, prior_view_id
+      FROM c WHERE event_type = 'purchase'"""))
+
   val all: Seq[GraftQuery] =
-    Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps)
+    Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
+      qAsOfPriorView)
 }
