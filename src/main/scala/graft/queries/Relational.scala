@@ -486,10 +486,35 @@ object Relational {
       ON o_orderkey = b.l_orderkey"""),
     bench = true)
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): chosen combos with
+    * grouping_id to disambiguate real NULL keys from aggregated-out
+    * keys on both engines. */
+  val qGroupingSets = GraftQuery(
+    "q_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,
     q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q9PartStats,
     q10ReturnedRevenue, qAggCollect, qAggNested, qOuterBalance, qSetOps,
     qRollup, qCube, qWindowFuncs, qPercentiles, qCorrelatedSubquery,
-    q18LargeOrders)
+    q18LargeOrders, qGroupingSets)
 }

@@ -79,6 +79,24 @@ class ScaleLayoutSpec extends SparkSpec {
       s"q6 range filters must reach the scan:\n$p6")
   }
 
+  test("partitioned parquet: partition pruning skips non-matching dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
+    Tables.documents(spark, sf("sf0.001"))
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("lang") === "en")
+    assert(df.count() > 0)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the lang predicate must be a PartitionFilter (pruned at planning),
+    // not a post-scan data filter
+    assert(formatted.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition pruning:\n$formatted")
+    val scannedParts = df.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(scannedParts.forall(_.contains("lang=en")),
+      s"scan touched non-en partitions: ${scannedParts.mkString(",")}")
+  }
+
   test("CMS sketch: one-pass approximate frequencies with upper-bound guarantee") {
     val cms = new CountMinSketch(depth = 4, width = 256)
     val docs = Tables.documents(spark, sf("sf0.001"))
