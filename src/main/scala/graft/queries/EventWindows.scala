@@ -181,7 +181,42 @@ object EventWindows {
       SELECT event_id, user_id, sec AS purchase_sec, prior_view_id
       FROM c WHERE event_type = 'purchase'"""))
 
+  /** Interval (range) join: purchase ⋈ views of the same user within
+    * the preceding hour — the batch twin of the watermarked
+    * stream-stream join (StreamStreamJoinSpec). Equi key on user
+    * carries the join; the time range is a post-join band filter, so
+    * the plan stays a hash/SMJ join, never a cross product. */
+  val qIntervalJoin = GraftQuery(
+    "w_interval_join_purchase_view",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type",
+          unix_timestamp($"ts").as("sec"))
+      val p = e.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id",
+          $"sec".as("p_sec"))
+      val v = e.filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id".as("v_user"),
+          $"sec".as("v_sec"))
+      p.join(v, $"user_id" === $"v_user" &&
+          $"v_sec" <= $"p_sec" && $"v_sec" >= $"p_sec" - 3600)
+        .select($"purchase_id", $"user_id", $"view_id",
+          ($"p_sec" - $"v_sec").as("gap_sec"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+          CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events)
+      SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+        p.sec - v.sec AS gap_sec
+      FROM e p JOIN e v
+        ON p.user_id = v.user_id
+       AND v.sec <= p.sec AND v.sec >= p.sec - 3600
+      WHERE p.event_type = 'purchase' AND v.event_type = 'view'"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
-      qAsOfPriorView)
+      qAsOfPriorView, qIntervalJoin)
 }

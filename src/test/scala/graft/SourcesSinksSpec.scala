@@ -73,6 +73,24 @@ class SourcesSinksSpec extends SparkSpec {
     assert(CsvSinks.readState(spark, "/nonexistent/state").isEmpty)
   }
 
+  test("S11 state tolerance: unknown fields in state JSON are ignored (from_dict permissiveness)") {
+    // the reference's Listing.from_dict accepts any keys
+    // (listing.py:48-52); the schema'd JSON read reproduces that:
+    // extra fields are dropped, known fields load
+    val dir = tmp("state_evo")
+    val p = java.nio.file.Paths.get(dir, "part-0.json")
+    java.nio.file.Files.writeString(p,
+      """{"mls":"X1","price":123,"source":"URE","sqft":0,"ppsqft":0.0,
+         |"acres":0.0,"foundDate":0,"page_views":0,"favorited":0,
+         |"days_online":0,"days_left":0,"price_change_percentage":0.0,
+         |"property_details":{},"SOME_FUTURE_FIELD":"ignored","another":42}"""
+        .stripMargin.replace("\n", ""))
+    val back = CsvSinks.readState(spark, dir)
+    val rows = back.collect()
+    assert(rows.length == 1)
+    assert(rows.head.mls == "X1" && rows.head.price == 123L)
+  }
+
   test("multimodal: per-partition batched decode, deterministic features") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val assets = MediaPipeline.assetsFromDocuments(docs)
