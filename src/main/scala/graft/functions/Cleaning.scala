@@ -47,6 +47,20 @@ object Cleaning {
     array_join(slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), " ")
   }
 
+  /** E6 — bug-for-bug positional sqft slice (ure_scraping.py:192):
+    * int(stats[-12:-8]) with every failure path → 0. Python negative
+    * slicing clamps both bounds at 0 (a short string yields a shorter
+    * or empty slice, never an error); int() tolerates surrounding
+    * whitespace, so the slice is trimmed before the guarded cast. */
+  def sqftSlice(stats: Column): Column = {
+    val len = length(stats)
+    val start = greatest(len - 12, lit(0))
+    val end = greatest(len - 8, lit(0))
+    val sliced = when(end > start,
+      stats.substr(start + 1, end - start)).otherwise(lit(""))
+    coalesce(trim(sliced).try_cast("long"), lit(0L))
+  }
+
   /** E7 — guarded division (ure_scraping.py:197): price/sqft, 0 when
     * the denominator is 0 (Python float division semantics → double). */
   def guardedDiv(num: Column, den: Column): Column =

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Count-Min Sketch as a typed `Aggregator[IN, BUF, OUT]` — the
@@ -50,10 +51,12 @@ class CountMinSketch(depth: Int, width: Int)
 
   override def finish(buf: Array[Long]): Array[Long] = buf
 
+  // Native array<bigint> encoding: the partial buffers cross the
+  // shuffle as primitive long arrays, not Java-serialized blobs.
   override def bufferEncoder: Encoder[Array[Long]] =
-    Encoders.javaSerialization[Array[Long]]
+    ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Array[Long]] =
-    Encoders.javaSerialization[Array[Long]]
+    ExpressionEncoder[Array[Long]]()
 
   /** Point estimate from a finished sketch. */
   def estimate(sketch: Array[Long], value: String): Long = {

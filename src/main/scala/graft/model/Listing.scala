@@ -32,6 +32,7 @@ final case class Listing(
     co_agent_phone: Option[String],
     broker_name: Option[String],
     broker_phone: Option[String],
+    expiration_date: Option[String], // listing.py:28 ('' sentinel at sinks)
     page_views: Long,
     favorited: Long,
     days_online: Long,
@@ -66,6 +67,7 @@ object Listing {
     agent_phone = agentPhone,
     co_agent_name = None, co_agent_phone = None,
     broker_name = None, broker_phone = None,
+    expiration_date = None,
     page_views = 0L, favorited = 0L, days_online = 0L, days_left = 0L,
     description = None, property_details = Map.empty, email = None,
     price_change_date = None, price_change_percentage = 0.0,

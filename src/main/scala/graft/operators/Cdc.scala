@@ -26,10 +26,15 @@ object Cdc {
   /** Event derivation shared by both forms, matching
     * check_price_change_percentage (main.py:39-52). */
   private def priceChange(newL: Listing, old: Listing): ListingEvent = {
-    val pct = (newL.price - old.price).toDouble / old.price * 100
+    // E7 discipline: a state row whose price failed to parse carries the
+    // 0 sentinel — guard the divide instead of emitting Infinity/NaN.
+    val pct =
+      if (old.price == 0L) None
+      else Some((newL.price - old.price).toDouble / old.price * 100)
+    val pctTxt = pct.map(p => f" ($p%.2f%%)").getOrElse("")
     ListingEvent(newL.mls, "price_change",
-      Some(f"Price changed from ${old.price} to ${newL.price} (${pct}%.2f%%)"),
-      newL.price, Some(old.price), Some(pct), None, newL.source)
+      Some(s"Price changed from ${old.price} to ${newL.price}$pctTxt"),
+      newL.price, Some(old.price), pct, None, newL.source)
   }
 
   def batchEvents(prev: Dataset[Listing], cur: Dataset[Listing],
@@ -94,14 +99,16 @@ object Cdc {
   /** Convenience: replay a deterministic sequence of micro-batches
     * through the batch CDC, threading state like the reference's
     * poll loop (main.py:109-138). Returns (events per cycle, final
-    * state). Driver-side loop over CYCLES (a handful), not rows. */
+    * state) as LAZY Datasets — callers choose when/whether to
+    * materialize, so an unbounded event cycle never lands on the
+    * driver. Driver-side loop over CYCLES (a handful), not rows. */
   def replay(spark: SparkSession, cycles: Seq[Seq[Listing]], nowEpoch: Long)
-      : (Seq[Seq[ListingEvent]], Dataset[Listing]) = {
+      : (Seq[Dataset[ListingEvent]], Dataset[Listing]) = {
     import spark.implicits._
     var state = spark.emptyDataset[Listing]
     val out = cycles.map { batch =>
       val cur = batch.toDS()
-      val events = batchEvents(state, cur, nowEpoch).collect().toSeq
+      val events = batchEvents(state, cur, nowEpoch)
       // state transition: survivors replaced, newcomers added,
       // missing keys dropped (off_market removes state, hunter.py:352)
       state = cur

@@ -48,11 +48,16 @@ object ScrapePipeline {
 
     val unioned =
       if (truliaBypassesState) ureRows else ureRows.union(truliaRows)
-    // A4: last-write-wins dedup by key before the state probe
+    // A4: dedup by key before the state probe. TRULIA wins a
+    // cross-source conflict (it is scraped after URE in the reference
+    // loop, main.py:117-127, so its row is the last write); the
+    // remaining columns make the pick deterministic across retries
+    // when a source emits the same mls twice.
     val batch = unioned
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy($"mls").orderBy($"source")))
+          .partitionBy($"mls")
+          .orderBy($"source", $"price", $"foundDate", $"url")))
       .filter($"rn" === 1).drop("rn")
       .as[Listing]
 
@@ -66,8 +71,13 @@ object ScrapePipeline {
       else events
 
     writer.foreach { w =>
-      // sink the full current batch as the graph (MERGE = idempotent)
-      GraphSink.writeGraph(batch, w)
+      // K1: evented rows only, node props carry the event —
+      // main.py:24-35 → database_ops.py:29-30 (MERGE = idempotent).
+      // In bypass mode trulia rows skip state but still hit the sink
+      // (trulia_scraper.py:140 sends them unconditionally).
+      val sinkRows =
+        if (truliaBypassesState) batch.union(truliaRows) else batch
+      GraphSink.writeGraph(sinkRows, allEvents, nowEpoch, w)
     }
 
     CycleResult(allEvents, batch)

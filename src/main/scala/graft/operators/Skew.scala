@@ -23,8 +23,11 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[Column], buckets: Int,
       partialAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame = {
+    // salt = seeded hash of the whole row: deterministic across task
+    // retries (monotonically_increasing_id is not), still spreads a
+    // hot key because non-key columns vary within it
     val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(buckets)))
+      pmod(hash(df.columns.map(col) :+ lit(42): _*), lit(buckets)))
     salted
       .groupBy(keys :+ col("__salt"): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -40,8 +43,9 @@ object Skew {
     */
   def saltedJoin(skewedLeft: DataFrame, right: DataFrame,
       key: String, buckets: Int): DataFrame = {
+    // retry-stable salt (see saltedAgg)
     val saltedLeft = skewedLeft.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(buckets)))
+      pmod(hash(skewedLeft.columns.map(col) :+ lit(42): _*), lit(buckets)))
     val replicatedRight = right
       .withColumn("__salt", explode(sequence(lit(0L), lit(buckets - 1L))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")

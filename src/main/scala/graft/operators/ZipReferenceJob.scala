@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object ZipReferenceJob {
 
-  /** rows(county, city, zip) → single nested JSON object string. */
+  /** rows(county, city, zip) → single nested JSON object string.
+    * The whole object is built by to_json over a county→cities map so
+    * every key is JSON-escaped by Spark — no hand-quoting (a county
+    * with a quote or backslash must round-trip through S9). */
   def nestedJson(rows: DataFrame): String = {
     val perCity = rows
       .filter(col("zip").rlike("^[0-9]{5}$")) // F6
@@ -24,12 +27,15 @@ object ZipReferenceJob {
       .agg(map_from_entries(array_sort(
         collect_list(struct(col("city"), col("zips"))))).as("cities"))
     // one tiny row per county at this point — a driver-side fold over
-    // counties is O(#counties), not O(#rows)
-    val countyJson = perCounty
-      .select(col("county"), to_json(col("cities")).as("j"))
+    // counties is O(#counties), not O(#rows). Each county becomes a
+    // single-entry JSON object so key AND value are Spark-escaped;
+    // the fold just strips the braces and joins the entries.
+    val entries = perCounty
+      .select(col("county"),
+        to_json(map(col("county"), col("cities"))).as("entry"))
       .orderBy(col("county"))
       .collect()
-    countyJson.map(r => "\"" + r.getString(0) + "\": " + r.getString(1))
+    entries.map(_.getString(1).stripPrefix("{").stripSuffix("}"))
       .mkString("{", ", ", "}")
   }
 

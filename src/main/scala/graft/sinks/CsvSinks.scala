@@ -40,14 +40,23 @@ object CsvSinks {
     state.write.mode("overwrite").json(path)
 
   /** S11: state restore — missing/corrupt file → empty state
-    * (main.py:64-76). */
+    * (main.py:64-76). The reference json.load()s the WHOLE file and
+    * any decode error empties the state, so a lazy PERMISSIVE read
+    * (which would surface half-corrupt files as null rows at action
+    * time) is not faithful: read FAILFAST and validate eagerly with a
+    * distributed full pass (state is one row per active listing —
+    * bounded, and scanned once per restart, never collected). */
   def readState(spark: org.apache.spark.sql.SparkSession, path: String)
       : Dataset[Listing] = {
     import spark.implicits._
     try {
-      val df = spark.read.schema(implicitly[org.apache.spark.sql.Encoder[Listing]].schema)
+      val ds = spark.read
+        .schema(implicitly[org.apache.spark.sql.Encoder[Listing]].schema)
+        .option("mode", "FAILFAST")
         .json(path)
-      df.as[Listing]
+        .as[Listing]
+      ds.foreach(_ => ()) // force parse+decode errors inside the catch
+      ds
     } catch {
       case _: Throwable => spark.emptyDataset[Listing]
     }

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import graft.model.Listing
+import graft.model.{Listing, ListingEvent}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,38 @@ object GraphSink {
       .dropDuplicates("mls")
       .withColumn("property_details_json", to_json(col("property_details")))
       .drop("property_details")
+
+  /** Event-enriched node frame — the reference's actual write path:
+    * process_listing (main.py:24-35) sends ONLY evented listings
+    * (new_listing / price_change), and send_to_neo4j SETs the event's
+    * `status` + `additionalText` on the node (database_ops.py:29-30)
+    * along with `price_change_date`/`price_change_percentage`, which
+    * check_price_change_percentage (main.py:39-52) stamps on the
+    * listing at event time. Off-market events have no row in the
+    * current batch, so the inner join drops them — exactly the
+    * reference, whose off-market hunter is disabled (main.py:9).
+    *
+    * Scale: one broadcast-or-shuffle join keyed by mls; events per
+    * cycle ≪ batch, so Catalyst broadcasts the event side. */
+  def eventedListingNodes(listings: Dataset[Listing],
+      events: Dataset[ListingEvent], nowEpoch: Long): DataFrame = {
+    val ev = events.toDF().select(
+      col("mls"), col("status"), col("additionalText"),
+      col("priceChangePct"))
+    listings.toDF().dropDuplicates("mls")
+      .join(ev, Seq("mls"))
+      .withColumn("price_change_date",
+        when(col("status") === "price_change",
+          from_unixtime(lit(nowEpoch), "yyyy-MM-dd HH:mm:ss"))
+          .otherwise(col("price_change_date")))
+      .withColumn("price_change_percentage",
+        when(col("status") === "price_change",
+          coalesce(col("priceChangePct"), lit(0.0)))
+          .otherwise(col("price_change_percentage")))
+      .drop("priceChangePct")
+      .withColumn("property_details_json", to_json(col("property_details")))
+      .drop("property_details")
+  }
 
   /** :Agent nodes keyed by (name, phone) (database_ops.py:61-64). */
   def agentNodes(listings: Dataset[Listing]): DataFrame =
@@ -76,14 +108,65 @@ object GraphSink {
       writer.writeEdges(worksForEdges(cached), "WORKS_FOR")
     } finally cached.unpersist()
   }
+
+  /** Reference-faithful cycle write (K1): only evented listings reach
+    * the sink, and listing nodes carry the event props — the dataflow
+    * of main.py:24-35 → database_ops.py:14-58. Agent/Broker nodes and
+    * all edges likewise derive from the evented subset only, since the
+    * reference MERGEs them inside the same send_to_neo4j call. */
+  def writeGraph(listings: Dataset[Listing], events: Dataset[ListingEvent],
+      nowEpoch: Long, writer: GraphWriter): Unit = {
+    val spark = listings.sparkSession
+    import spark.implicits._
+    val evented = listings
+      .join(events.toDF().select("mls").dropDuplicates("mls"),
+        Seq("mls"), "left_semi")
+      .as[Listing]
+      .cache()
+    try {
+      writer.write(eventedListingNodes(evented, events, nowEpoch),
+        Map("labels" -> ":Listing", "node.keys" -> "mls"))
+      writer.write(agentNodes(evented),
+        Map("labels" -> ":Agent", "node.keys" -> "name,phone"))
+      writer.write(brokerNodes(evented),
+        Map("labels" -> ":Broker", "node.keys" -> "name,phone"))
+      writer.write(agentOfEdges(evented), Map("relationship" -> "AGENT_OF"))
+      writer.write(brokeredByEdges(evented), Map("relationship" -> "BROKERED_BY"))
+      writer.write(worksForEdges(evented), Map("relationship" -> "WORKS_FOR"))
+    } finally evented.unpersist()
+  }
 }
 
 /** Pluggable graph writer. The production impl would batch MERGE
-  * statements per partition over a pooled Bolt connection (connector
-  * option surface); tests use [[InMemoryGraphWriter]]. */
+  * statements per partition over a pooled Bolt connection; tests use
+  * [[InMemoryGraphWriter]].
+  *
+  * [[write]] is the connector-shaped surface (SURVEY §7.2 M3): an
+  * options map mirroring the public Neo4j Spark connector's
+  * `labels` / `node.keys` / `relationship` option names, so swapping
+  * the in-memory writer for a real connector is a config change, not
+  * a code change. */
 trait GraphWriter extends Serializable {
   def writeNodes(nodes: DataFrame, label: String, keys: Seq[String]): Unit
   def writeEdges(edges: DataFrame, relType: String): Unit
+
+  /** Connector option surface: either `labels` (":Label") +
+    * `node.keys` ("k1,k2") for a node write, or `relationship`
+    * ("REL_TYPE") for an edge write. */
+  def write(df: DataFrame, options: Map[String, String]): Unit =
+    options.get("relationship") match {
+      case Some(rel) => writeEdges(df, rel)
+      case None =>
+        val label = options.getOrElse("labels",
+          throw new IllegalArgumentException(
+            "GraphWriter.write needs 'labels' or 'relationship'"))
+          .stripPrefix(":")
+        val keys = options.getOrElse("node.keys",
+          throw new IllegalArgumentException(
+            "node write needs 'node.keys'"))
+          .split(",").map(_.trim).toSeq
+        writeNodes(df, label, keys)
+    }
 }
 
 /** Test/local writer: collects per-partition batches into a static

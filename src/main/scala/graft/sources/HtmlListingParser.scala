@@ -30,7 +30,20 @@ object HtmlListingParser {
     s.flatMap(v => scala.util.Try(v.replaceAll("[$,]", "").toLong).toOption)
       .getOrElse(0L)
 
-  /** S2 — URE quickview table blocks → Listing rows. */
+  /** E6 — bug-for-bug positional sqft slice (ure_scraping.py:192):
+    * int(stats[-12:-8]); Python negative slicing clamps at 0 and any
+    * parse failure → 0 sentinel. Column twin: Cleaning.sqftSlice. */
+  def sqftFromStats(stats: String): Long = {
+    val len = stats.length
+    val start = math.max(len - 12, 0)
+    val end = math.max(len - 8, 0)
+    val sub = if (end > start) stats.substring(start, end) else ""
+    scala.util.Try(sub.trim.toLong).getOrElse(0L)
+  }
+
+  /** S2 — URE quickview table blocks → Listing rows. sqft prefers the
+    * structured span; a fixture carrying only the raw stats line falls
+    * back to the reference's positional slice (E6). */
   def parseUre(html: String): Seq[Listing] =
     ureBlock.findAllIn(html).toSeq.flatMap { block =>
       extract(block, "mls").map { mls =>
@@ -39,7 +52,11 @@ object HtmlListingParser {
         val address = extract(block, "address")
         val parts = address.map(_.split(", ").toSeq).getOrElse(Seq.empty)
         val agentName = extract(block, "agent-name")
-        val sqft = parseLong(extract(block, "sqft"))
+        val stats = extract(block, "stats")
+        val sqft = extract(block, "sqft") match {
+          case Some(s) => parseLong(Some(s))
+          case None    => stats.map(sqftFromStats).getOrElse(0L)
+        }
         Listing.minimal(mls, price, source = "URE",
           city = parts.lift(1),
           agentName = agentName,
@@ -51,11 +68,37 @@ object HtmlListingParser {
             zip = address.filter(_.length >= 5).map(a => a.substring(a.length - 5)),
             sqft = sqft,
             ppsqft = if (sqft != 0) price.toDouble / sqft else 0.0,
+            stats = stats,
             broker_name = extract(block, "broker-name"),
             broker_phone = extract(block, "broker-phone"),
             url = extract(block, "url"))
       }
     }
+
+  /** S3 — URE detail-page facts (ure_scraping.py:211-253): the three
+    * enrichment fields grafted from the per-listing detail fetch.
+    * days_on_ure keeps only the last whitespace token (E16); Type and
+    * Style strip their header label. Absent facts stay None (the
+    * reference's ''/None sentinels are applied at sinks, §1.3). */
+  final case class UreFacts(
+      daysOnUre: Option[String],
+      listingType: Option[String],
+      style: Option[String])
+
+  private val factsItem: Regex =
+    """(?s)<div class="facts___item">\s*<span class="facts-header">(.*?)</span>\s*<div>(.*?)</div>""".r
+
+  def parseUreFacts(html: String): UreFacts = {
+    val items = factsItem.findAllMatchIn(html)
+      .map(m => m.group(1).trim -> m.group(2).trim).toMap
+    UreFacts(
+      daysOnUre = items.get("Days on URE")
+        .map(v => v.split("\\s+").last), // E16: number only
+      listingType = items.get("Type")
+        .map(_.replace("Type", "").trim).filter(_.nonEmpty),
+      style = items.get("Style")
+        .map(_.replace("Style", "").trim).filter(_.nonEmpty))
+  }
 
   /** S5 — Trulia index page → absolute listing URLs. */
   private val truliaLink: Regex =
@@ -65,7 +108,9 @@ object HtmlListingParser {
 
   /** S6 — Trulia detail page → one Listing (None = row dropped,
     * trulia_scraper.py:114-119). Beds/baths/sqft come from a
-    * '•'-separated feature string classified by substring (E15). */
+    * '•'-separated feature string classified by substring (E15).
+    * Co-agent: a 'Co-Agent: Name, Phone' line split on ',' with the
+    * label stripped (trulia_scraper.py:95-99). */
   def parseTruliaDetail(html: String): Option[Listing] =
     extract(html, "mls").map { mls =>
       val priceStr = extract(html, "price")
@@ -74,6 +119,9 @@ object HtmlListingParser {
       def featNum(tag: String): Option[Long] = features
         .find(_.contains(tag))
         .flatMap(f => "[0-9]+".r.findFirstIn(f)).map(_.toLong)
+      val coParts = extract(html, "co-agent")
+        .filter(_.contains("Co-Agent")) // sibling-div guard, :96
+        .map(_.split(",").toSeq)
       Listing.minimal(mls, parseLong(priceStr), source = "TRULIA",
         city = extract(html, "city"),
         agentName = extract(html, "agent-name"),
@@ -83,6 +131,8 @@ object HtmlListingParser {
           beds = featNum("bed"),
           baths = featNum("bath").map(_.toDouble),
           sqft = featNum("sqft").getOrElse(0L),
+          co_agent_name = coParts.map(_.head.replace("Co-Agent:", "").trim),
+          co_agent_phone = coParts.flatMap(_.lift(1)).map(_.trim),
           broker_name = extract(html, "broker-name"))
     }
 }

@@ -19,15 +19,39 @@ trait ListingSource {
   * This is the exact operator shape the HTTP source would feed —
   * `pages` stands in for the responses of the paginated GET loop
   * (/root/reference/ure_scraping.py:19-49).
+  *
+  * S3/J4 — detail-page enrichment: when `detailPages` is supplied
+  * (url, html), each parsed listing is left-joined to its detail page
+  * by url and the facts fields (days_on_ure / type / style,
+  * ure_scraping.py:211-253) are grafted on. ONE batched join keyed by
+  * url replaces the reference's per-row GET — the N+1 fix (SURVEY §4);
+  * rows without a detail page keep their None facts (the reference's
+  * RequestException path, :250-253).
   */
-class FixtureSource(pages: DataFrame /* zip: string, html: string */)
+class FixtureSource(
+    pages: DataFrame /* zip: string, html: string */,
+    detailPages: Option[DataFrame] = None /* url: string, html: string */)
     extends ListingSource {
   def scan(spark: SparkSession, zipCodes: Seq[String]): Dataset[Listing] = {
     import spark.implicits._
-    pages
+    val base = pages
       .filter(col("zip").isInCollection(zipCodes))
       .select(col("html")).as[String]
       .flatMap(HtmlListingParser.parseUre _)
+    detailPages match {
+      case None => base
+      case Some(d) =>
+        val det = d.select(col("url").as("_durl"), col("html").as("_dhtml"))
+        base.joinWith(det, base("url") === det("_durl"), "left_outer")
+          .map { case (l, row) =>
+            if (row == null) l
+            else {
+              val facts = HtmlListingParser.parseUreFacts(row.getString(1))
+              l.copy(days_on_ure = facts.daysOnUre,
+                `type` = facts.listingType, style = facts.style)
+            }
+          }
+    }
   }
 }
 

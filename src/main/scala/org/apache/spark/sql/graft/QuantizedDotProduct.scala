@@ -27,6 +27,11 @@ case class QuantizedDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "quantized_dot"
 
+  /** A null ELEMENT nulls the whole product, exactly like the
+    * aggregate(zip_with(a, b, _*_), 0L, _+_) twin this expression
+    * replaces (null product → null accumulator). */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -34,6 +39,7 @@ case class QuantizedDotProduct(left: Expression, right: Expression)
     var s = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -49,6 +55,7 @@ case class QuantizedDotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $s;

@@ -20,7 +20,8 @@ class CdcSpec extends SparkSpec {
       Seq(a1, b1),                       // both new
       Seq(a1.copy(price = 90000), b1),   // A price drop, B unchanged
       Seq(b1))                           // A gone
-    val (events, state) = Cdc.replay(spark, cycles, now)
+    val (lazyEvents, state) = Cdc.replay(spark, cycles, now)
+    val events = lazyEvents.map(_.collect().toSeq) // caller materializes
 
     assert(events(0).map(e => (e.mls, e.status)).sorted ==
       Seq(("A", "new_listing"), ("B", "new_listing")))
@@ -40,8 +41,17 @@ class CdcSpec extends SparkSpec {
   test("batch CDC idempotence: identical batch re-emits zero events (T5)") {
     val batch = Seq(Listing.minimal("X", 1), Listing.minimal("Y", 2))
     val (events, _) = Cdc.replay(spark, Seq(batch, batch), now)
-    assert(events(0).size == 2)
+    assert(events(0).count() == 2)
     assert(events(1).isEmpty)
+  }
+
+  test("price change from a 0-sentinel old price emits no pct (E7 guard)") {
+    val prev = Seq(Listing.minimal("Z", 0)).toDS()
+    val cur = Seq(Listing.minimal("Z", 500)).toDS()
+    val ev = Cdc.batchEvents(prev, cur, now).collect()
+    assert(ev.length == 1 && ev.head.status == "price_change")
+    assert(ev.head.priceChangePct.isEmpty)
+    assert(ev.head.additionalText.contains("Price changed from 0 to 500"))
   }
 
   test("batch CDC invariant: event count ≤ prev ∪ cur key count") {

@@ -50,6 +50,29 @@ class CleaningSpec extends SparkSpec {
     assert(one("Cher", lastName) == "")
   }
 
+  test("E6 positional sqft slice: bug-for-bug int(stats[-12:-8])") {
+    // "1850 sqft/ac" are the last 12 chars → slice = "1850"
+    val hit = Seq("3bd 2ba 1850 sqft/ac").toDF("v")
+      .select(sqftSlice(col("v"))).as[Long].head()
+    assert(hit == 1850L)
+    // non-numeric slice and short strings → 0 (the except path)
+    for (bad <- Seq("some random description", "short", "", "exactly12chr")) {
+      assert(Seq(bad).toDF("v").select(sqftSlice(col("v"))).as[Long].head() == 0L)
+    }
+    // surrounding spaces tolerated like Python int(' 850')
+    val padded = Seq("xx 850 sqft/ac").toDF("v") // slice = " 850"
+      .select(sqftSlice(col("v"))).as[Long].head()
+    assert(padded == 850L)
+  }
+
+  test("E6 column twin agrees with the parser's Scala slice") {
+    import graft.sources.HtmlListingParser.sqftFromStats
+    val cases = Seq("3bd 2ba 1850 sqft/ac", "short", "", "abc defg hijk lmn",
+      "xx 850 sqft/ac", "ends 2100 sqft abc") // varied lengths
+    val cols = cases.toDF("v").select(sqftSlice(col("v"))).as[Long].collect()
+    assert(cols.toSeq == cases.map(sqftFromStats))
+  }
+
   test("E7 guarded division") {
     val r = Seq((10L, 0L), (10L, 4L)).toDF("p", "s")
       .select(guardedDiv(col("p"), col("s"))).as[Double].collect()

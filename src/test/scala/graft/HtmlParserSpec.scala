@@ -73,6 +73,53 @@ class HtmlParserSpec extends SparkSpec {
     assert(HtmlListingParser.parseTruliaDetail("<html>broken</html>").isEmpty)
   }
 
+  test("S6: co-agent name/phone split on ',' (trulia_scraper.py:95-99)") {
+    val html = """<span class="mls">T2</span><span class="price">$200,000</span>
+      <span class="co-agent">Co-Agent: Jane Roe, (205) 555-0009</span>"""
+    val l = HtmlListingParser.parseTruliaDetail(html).get
+    assert(l.co_agent_name.contains("Jane Roe"))
+    assert(l.co_agent_phone.contains("(205) 555-0009"))
+    // phone absent → parts[1] missing → None (reference: '' sentinel)
+    val noPhone = """<span class="mls">T3</span>
+      <span class="co-agent">Co-Agent: Solo Agent</span>"""
+    val l2 = HtmlListingParser.parseTruliaDetail(noPhone).get
+    assert(l2.co_agent_name.contains("Solo Agent"))
+    assert(l2.co_agent_phone.isEmpty)
+    // sibling without the Co-Agent marker is ignored (:96 guard)
+    val marker = """<span class="mls">T4</span>
+      <span class="co-agent">Unrelated sibling text</span>"""
+    assert(HtmlListingParser.parseTruliaDetail(marker).get.co_agent_name.isEmpty)
+  }
+
+  test("S3: parseUreFacts extracts days_on_ure/type/style (ure_scraping.py:211-253)") {
+    val html =
+      """<div class="facts___item"><span class="facts-header">Days on URE</span><div>Days on URE 17</div></div>
+        |<div class="facts___item"><span class="facts-header">Type</span><div>Type Condo</div></div>
+        |<div class="facts___item"><span class="facts-header">Style</span><div>Style Two Story</div></div>
+        |<div class="facts___item"><span class="facts-header">Other</span><div>ignored</div></div>"""
+        .stripMargin
+    val f = HtmlListingParser.parseUreFacts(html)
+    assert(f.daysOnUre.contains("17")) // E16: last token only
+    assert(f.listingType.contains("Condo"))
+    assert(f.style.contains("Two Story"))
+    assert(HtmlListingParser.parseUreFacts("<html/>") ==
+      HtmlListingParser.UreFacts(None, None, None))
+  }
+
+  test("E6: sqft falls back to the positional stats slice when no sqft span") {
+    val html = """<table class="public-detail-quickview">
+      <span class="mls">S1</span><span class="price">$370,000</span>
+      <span class="stats">3bd 2ba 1850 sqft/ac</span></table>"""
+    val rows = HtmlListingParser.parseUre(html)
+    assert(rows.head.sqft == 1850L) // [-12:-8] = "1850"
+    assert(rows.head.stats.contains("3bd 2ba 1850 sqft/ac"))
+    assert(rows.head.ppsqft == 370000.0 / 1850)
+    // slice failure → 0 sentinel, division guarded (E7)
+    val bad = HtmlListingParser.parseUre(
+      html.replace("3bd 2ba 1850 sqft/ac", "no numbers here at all"))
+    assert(bad.head.sqft == 0L && bad.head.ppsqft == 0.0)
+  }
+
   test("UDTF shape: parser runs distributed via flatMap") {
     val pages = Seq(
       ureBlock("A1", "$100,000", "1 A St, Provo, UT 84601"),

@@ -73,6 +73,46 @@ class SourcesSinksSpec extends SparkSpec {
     assert(CsvSinks.readState(spark, "/nonexistent/state").isEmpty)
   }
 
+  test("S11: half-corrupt state file restores EMPTY (main.py:64-76)") {
+    // the reference json.load()s the whole file: one bad byte → {}.
+    // A lazy permissive read would instead surface null-mls rows at
+    // action time; FAILFAST + eager validation reproduces the all-or-
+    // nothing semantics.
+    val dir = tmp("state_corrupt")
+    writeFile(dir, "part-0.json",
+      """{"mls":"OK","price":1,"source":"URE","sqft":0,"ppsqft":0.0,
+        |"acres":0.0,"foundDate":0,"page_views":0,"favorited":0,
+        |"days_online":0,"days_left":0,"price_change_percentage":0.0,
+        |"property_details":{}}""".stripMargin.replace("\n", "") +
+        "\n{\"mls\": TRUNCATED GARBAGE")
+    assert(CsvSinks.readState(spark, dir).isEmpty)
+  }
+
+  test("S3: detail-page enrichment join grafts days_on_ure/type/style") {
+    val page = """<table class="public-detail-quickview">
+      <span class="mls">E1</span><span class="price">$100,000</span>
+      <span class="url">http://x/detail/E1</span></table>
+      <table class="public-detail-quickview">
+      <span class="mls">E2</span><span class="price">$200,000</span>
+      <span class="url">http://x/detail/E2</span></table>"""
+    val pages = Seq(("84601", page)).toDF("zip", "html")
+    val detail = // E2 has no detail page → facts stay None (S3 error path)
+      Seq(("http://x/detail/E1",
+        """<div class="facts___item"><span class="facts-header">Days on URE</span><div>Days on URE 17</div></div>
+          |<div class="facts___item"><span class="facts-header">Type</span><div>Type Single Family</div></div>
+          |<div class="facts___item"><span class="facts-header">Style</span><div>Style Rambler/Ranch</div></div>"""
+          .stripMargin)).toDF("url", "html")
+    val got = new FixtureSource(pages, Some(detail))
+      .scan(spark, Seq("84601")).collect().sortBy(_.mls)
+    assert(got.length == 2)
+    val e1 = got(0)
+    assert(e1.days_on_ure.contains("17")) // E16 last token
+    assert(e1.`type`.contains("Single Family"))
+    assert(e1.style.contains("Rambler/Ranch"))
+    val e2 = got(1)
+    assert(e2.days_on_ure.isEmpty && e2.`type`.isEmpty && e2.style.isEmpty)
+  }
+
   test("S11 state tolerance: unknown fields in state JSON are ignored (from_dict permissiveness)") {
     // the reference's Listing.from_dict accepts any keys
     // (listing.py:48-52); the schema'd JSON read reproduces that:
@@ -89,6 +129,13 @@ class SourcesSinksSpec extends SparkSpec {
     val rows = back.collect()
     assert(rows.length == 1)
     assert(rows.head.mls == "X1" && rows.head.price == 123L)
+    // SURVEY §7.4.4 state schema evolution: this file predates
+    // `expiration_date` (it has no such key) yet restores fine, the
+    // new field surfacing as None — exactly from_dict's permissiveness
+    // (listing.py:48-52). The streaming checkpoint is version-pinned
+    // by Spark's state-store schema check; cross-version durability
+    // rides this JSON snapshot (K2), the reference's own format.
+    assert(rows.head.expiration_date.isEmpty)
   }
 
   test("multimodal: per-partition batched decode, deterministic features") {
