@@ -78,5 +78,64 @@ object Cdc {
       WHERE NOT EXISTS (SELECT 1 FROM lineitem
                         WHERE l_linenumber = 2 AND l_orderkey = o_orderkey)"""))
 
-  val all: Seq[GraftQuery] = Seq(qCdcEvents, qCdcOffMarket)
+  /** K1 node-frame semantics (database_ops.py:14-58 fed by
+    * main.py:24-35): only EVENTED rows reach the graph, and each node
+    * carries its event — status, additionalText ('Price changed from
+    * X to Y'), price_change_date (the fixed event clock, E10) and
+    * price_change_percentage; new listings keep the ''/0 sentinels.
+    * Snapshots simulated as in qCdcEvents; the tracked price is
+    * l_partkey (bigint) so the event text is integer-exact on both
+    * engines. Scale: one shuffle-or-broadcast join keyed by mls.
+    */
+  val qGraphNodeProps = GraftQuery(
+    "q_graph_node_props",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val prev = li.filter($"l_linenumber" === 1)
+        .select($"l_orderkey".as("mls"), $"l_partkey".as("old_price"))
+      val cur = li.filter($"l_linenumber" === 2)
+        .select($"l_orderkey".as("mls"), $"l_partkey".as("price"),
+          $"l_suppkey".as("agent_key"))
+      cur.join(prev, Seq("mls"), "left_outer")
+        .withColumn("status",
+          when($"old_price".isNull, "new_listing")
+            .when($"price" =!= $"old_price", "price_change")
+            .otherwise("unchanged"))
+        .filter($"status" =!= "unchanged") // unchanged → no node write
+        .select($"mls", $"agent_key", $"price", $"status",
+          when($"status" === "price_change",
+            concat(lit("Price changed from "), $"old_price".cast("string"),
+              lit(" to "), $"price".cast("string"))).as("additional_text"),
+          when($"status" === "price_change", lit("2023-11-14 22:13:20"))
+            .as("price_change_date"),
+          when($"status" === "price_change" && $"old_price" =!= 0,
+            round(($"price" - $"old_price").cast("double") / $"old_price" * 100, 6))
+            .otherwise(0.0).as("price_change_percentage"))
+    },
+    Some("""
+      WITH prev AS (
+        SELECT l_orderkey AS mls, l_partkey AS old_price
+        FROM lineitem WHERE l_linenumber = 1),
+      cur AS (
+        SELECT l_orderkey AS mls, l_partkey AS price, l_suppkey AS agent_key
+        FROM lineitem WHERE l_linenumber = 2),
+      ev AS (
+        SELECT cur.mls, cur.agent_key, cur.price, prev.old_price,
+          CASE WHEN prev.mls IS NULL THEN 'new_listing'
+               WHEN cur.price <> prev.old_price THEN 'price_change'
+               ELSE 'unchanged' END AS status
+        FROM cur LEFT JOIN prev ON cur.mls = prev.mls)
+      SELECT mls, agent_key, price, status,
+        CASE WHEN status = 'price_change'
+             THEN 'Price changed from ' || CAST(old_price AS VARCHAR)
+                  || ' to ' || CAST(price AS VARCHAR) END AS additional_text,
+        CASE WHEN status = 'price_change'
+             THEN '2023-11-14 22:13:20' END AS price_change_date,
+        CASE WHEN status = 'price_change' AND old_price <> 0
+             THEN round(CAST(price - old_price AS DOUBLE) / old_price * 100, 6)
+             ELSE 0.0 END AS price_change_percentage
+      FROM ev WHERE status <> 'unchanged'"""))
+
+  val all: Seq[GraftQuery] = Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps)
 }

@@ -182,65 +182,138 @@ object Dedup {
           length(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
       FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"""))
 
-  /** Embedding-cosine near-dup: best same-bucket neighbor per vector
-    * (random-hyperplane buckets bound the pair space — the 100 TB
-    * path), flagged near_dup above a cosine threshold. Quantized
-    * integer math keeps cosine bit-identical cross-engine; ranking is
-    * tie-broken by neighbor id. */
+  /** Sign of Σ_i s(p,i)·v_i for pseudo-random ±1 hyperplane `p`
+    * (LCG-parity signs — pure arithmetic, identical in the oracle). */
+  private def planeSign(p: Int)(qv: Column): Column =
+    when(aggregate(zip_with(qv, sequence(lit(0), lit(63)),
+      (x, i) => {
+        val lcg = (i + lit(64L * p)) * 1103515245L + 12345L
+        when(shiftright(lcg, 16).bitwiseAND(1) === 1, x).otherwise(-x)
+      }), lit(0L), (acc, z) => acc + z) >= 0, 1L).otherwise(0L)
+
+  /** (vec_id, tbl, bucket) rows: `tables` independent hash tables of
+    * `bits` sign planes each (table t uses planes t·bits … t·bits+b-1).
+    * One map-side pass — the bucket array is built per row and
+    * posexploded, no shuffle. */
+  def annBuckets(sig: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val bucketCols = (0 until tables).map { t =>
+      (0 until bits).map(j => planeSign(t * bits + j)(col("q")) * (1L << j))
+        .reduce(_ + _)
+    }
+    sig.select(col("vec_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+  }
+
+  /** Candidate pairs from multi-table LSH with a deterministic
+    * per-bucket population cap: within each (tbl, bucket) only the
+    * `cap` lowest vec_ids participate in pairing, so a degenerate hot
+    * bucket contributes ≤ cap² pairs instead of pop² — the skew
+    * guard at 100 TB. [[annDroppedCount]] reports what the cap cut.
+    * Pairs seen in several tables collapse via one distinct. */
+  def annCandidatePairs(sig: DataFrame, tables: Int, bits: Int,
+      cap: Int): DataFrame = {
+    val capped = annBuckets(sig, tables, bits)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= cap).drop("rn")
+    val l = capped.select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
+    val r = capped.select(col("vec_id").as("b_id"), col("tbl"), col("bucket"))
+    l.join(r, Seq("tbl", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** Bucket memberships dropped by the cap — the no-silent-caps
+    * counter a production run would log/monitor per batch. */
+  def annDroppedCount(sig: DataFrame, tables: Int, bits: Int,
+      cap: Int): Long =
+    annBuckets(sig, tables, bits)
+      .groupBy(col("tbl"), col("bucket")).count()
+      .select(sum(greatest(col("count") - cap,
+        lit(0L))).cast("long")).collect()(0).getLong(0)
+
+  /** Parameterized embedding near-dup: best candidate neighbor per
+    * vector, flagged near_dup above `threshold`. Bits/tables/cap are
+    * free parameters — grow `bits` with N to hold per-bucket
+    * population flat, add `tables` to buy recall back (collision
+    * P(same bucket) = (1-θ/π)^bits per table; AnnRecallSpec gates
+    * recall ≥ 0.5 against brute force).
+    *
+    * Scale shape: signatures materialized once; candidate generation
+    * shuffles on (tbl, bucket); quantized vectors re-join by id (two
+    * hash joins keyed on a_id/b_id — candidates ≪ N², and no vector
+    * array ever rides the pair shuffle). Best-per-vector is a
+    * max(struct) hash-aggregate with map-side partials, NOT a window:
+    * parallelism follows the vec_id key space. */
+  def embeddingNearDup(embeddings: DataFrame, tables: Int, bits: Int,
+      cap: Int, threshold: Double): DataFrame = {
+    import graft.functions.VectorExpressions.{quantize, quantizedDot}
+    val sig = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .localCheckpoint(true) // sig feeds buckets AND both cosine sides
+    val pairs = annCandidatePairs(sig, tables, bits, cap)
+    val qa = sig.select(col("vec_id").as("a_id"), col("q").as("aq"))
+    val qb = sig.select(col("vec_id").as("b_id"), col("q").as("bq"))
+    val cos = round(
+      quantizedDot(col("aq"), col("bq")).cast("double") /
+        (sqrt(quantizedDot(col("aq"), col("aq")).cast("double")) *
+         sqrt(quantizedDot(col("bq"), col("bq")).cast("double"))), 6)
+    pairs.join(qa, "a_id").join(qb, "b_id")
+      .select(col("a_id"), col("b_id"), cos.as("cosine"))
+      .groupBy(col("a_id"))
+      .agg(max(struct(col("cosine"), (-col("b_id")).as("nb"))).as("m"))
+      .select(col("a_id"), (-col("m.nb")).as("nearest_in_bucket"),
+        col("m.cosine").as("cosine"),
+        (col("m.cosine") >= threshold).as("near_dup"))
+  }
+
+  /** Registry instantiation: 2 tables × 8 bits, cap 128, θ=0.42.
+    * The oracle mirrors the exact construction (same planes, same
+    * deterministic cap, same tie-breaks). */
   val qEmbeddingNearDup = GraftQuery(
     "dd_embedding_neardup",
-    (s, d) => {
-      import s.implicits._
-      import graft.functions.VectorExpressions.{quantize, quantizedDot}
-      def planeSign(j: Int)(qv: Column): Column =
-        when(aggregate(zip_with(qv, sequence(lit(0), lit(63)),
-          (x, i) => {
-            val lcg = (i + lit(64L * j)) * 1103515245L + 12345L
-            when(shiftright(lcg, 16).bitwiseAND(1) === 1, x).otherwise(-x)
-          }), lit(0L), (acc, z) => acc + z) >= 0, 1L).otherwise(0L)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      val bucket = (0 until 8).map(j => planeSign(j)(col("q")) * (1L << j))
-        .reduce(_ + _)
-      val b = e.select(col("vec_id"), col("q"), bucket.as("bucket"))
-        .localCheckpoint(true) // materialize: q + bucket feed a self-join
-      val l = b.select(col("vec_id").as("a_id"), col("q").as("aq"), col("bucket"))
-      val r = b.select(col("vec_id").as("b_id"), col("q").as("bq"), col("bucket"))
-      val cos = round(
-        quantizedDot(col("aq"), col("bq")).cast("double") /
-          (sqrt(quantizedDot(col("aq"), col("aq")).cast("double")) *
-           sqrt(quantizedDot(col("bq"), col("bq")).cast("double"))), 6)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id").asc)
-      l.join(r, l("bucket") === r("bucket") && col("a_id") =!= col("b_id"))
-        .select(col("a_id"), col("b_id"), cos.as("cosine"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("a_id"), col("b_id").as("nearest_in_bucket"),
-          col("cosine"), (col("cosine") >= 0.42).as("near_dup"))
-    },
+    (s, d) => embeddingNearDup(Tables.embeddings(s, d),
+      tables = 2, bits = 8, cap = 128, threshold = 0.42),
     Some {
-      def planeSql(j: Int): String =
+      def planeSql(p: Int): String =
         s"""(CASE WHEN list_sum(list_transform(range(1, 65), i ->
-           CASE WHEN (((i - 1 + ${64L * j}) * 1103515245 + 12345) >> 16) & 1 = 1
-           THEN q[i] ELSE -q[i] END)) >= 0 THEN ${1L << j} ELSE 0 END)"""
+           CASE WHEN (((i - 1 + ${64L * p}) * 1103515245 + 12345) >> 16) & 1 = 1
+           THEN q[i] ELSE -q[i] END)) >= 0 THEN ${1L << (p % 8)} ELSE 0 END)"""
+      def tableSql(t: Int): String =
+        s"""SELECT vec_id, $t AS tbl,
+            ${(t * 8 until t * 8 + 8).map(planeSql).mkString(" + ")} AS bucket
+            FROM q"""
       s"""
       WITH q AS (
         SELECT vec_id,
           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
         FROM embeddings),
-      b AS (SELECT vec_id, q, ${(0 until 8).map(planeSql).mkString(" + ")} AS bucket FROM q),
+      bands AS (${(0 until 2).map(tableSql).mkString(" UNION ALL ")}),
+      capped AS (
+        SELECT vec_id, tbl, bucket FROM (
+          SELECT vec_id, tbl, bucket,
+            ROW_NUMBER() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn
+          FROM bands)
+        WHERE rn <= 128),
       pairs AS (
-        SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+        SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+        FROM capped l JOIN capped r
+          ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+      scored AS (
+        SELECT p.a_id, p.b_id,
           round(
-            CAST(list_sum(list_transform(range(1, 65), i -> l.q[i] * r.q[i])) AS DOUBLE) /
-            (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> l.q[i] * l.q[i])) AS DOUBLE)) *
-             sqrt(CAST(list_sum(list_transform(range(1, 65), i -> r.q[i] * r.q[i])) AS DOUBLE))), 6)
+            CAST(list_sum(list_transform(range(1, 65), i -> qa.q[i] * qb.q[i])) AS DOUBLE) /
+            (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> qa.q[i] * qa.q[i])) AS DOUBLE)) *
+             sqrt(CAST(list_sum(list_transform(range(1, 65), i -> qb.q[i] * qb.q[i])) AS DOUBLE))), 6)
             AS cosine
-        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+        FROM pairs p
+        JOIN q qa ON qa.vec_id = p.a_id
+        JOIN q qb ON qb.vec_id = p.b_id),
       ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
                                      ORDER BY cosine DESC, b_id ASC) AS rk
-        FROM pairs)
+        FROM scored)
       SELECT a_id, b_id AS nearest_in_bucket, cosine, cosine >= 0.42 AS near_dup
       FROM ranked WHERE rk = 1"""
     })

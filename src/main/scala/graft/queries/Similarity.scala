@@ -1,9 +1,9 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.functions.VectorExpressions
+import graft.functions.{BoundedTopK, Scored, VectorExpressions}
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (array<float>, 64-d).
@@ -35,7 +35,15 @@ object Similarity {
     "list_transform(%s, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
 
   /** Brute-force cosine top-k: 5 nearest neighbors for each probe
-    * (vec_id < 20), ranked by rounded cosine with id tie-break. */
+    * (vec_id < 20), ranked by rounded cosine with id tie-break.
+    *
+    * Ranking is a [[BoundedTopK]] hash-aggregate, NOT a window: with
+    * only 20 probes, `row_number().over(partitionBy(probe_id))` would
+    * sort all 20·N cosine rows in ≤20 tasks — a straggler wall at
+    * scale. The aggregate reduces each input partition to ≤5 entries
+    * per probe map-side, so the one shuffle moves O(partitions·k)
+    * rows and parallelism follows the CORPUS partitioning, not the
+    * probe count. */
   val qCosineTopK = GraftQuery(
     "sim_cosine_topk",
     (s, d) => {
@@ -47,11 +55,14 @@ object Similarity {
         idot($"pq", $"q").cast("double") /
           (sqrt(idot($"pq", $"pq").cast("double")) *
            sqrt(idot($"q", $"q").cast("double"))), 6)
-      val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"vec_id".asc)
+      val topk = udaf(new BoundedTopK(5), ExpressionEncoder[Scored]())
       e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
         .select($"probe_id", $"vec_id", cos.as("cosine"))
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 5)
+        .groupBy($"probe_id")
+        .agg(topk($"vec_id", $"cosine").as("tk"))
+        .select($"probe_id", posexplode($"tk").as(Seq("pos", "e")))
+        .select($"probe_id", $"e.id".as("vec_id"), $"e.score".as("cosine"),
+          ($"pos" + 1).cast("int").as("rk"))
     },
     Some(s"""
       WITH q AS (

@@ -1,79 +1,63 @@
 package graft
 
 import graft.functions.VectorExpressions
+import graft.queries.Dedup
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** ANN quality gate for the LSH scale path: multi-table
-  * random-hyperplane bucketing (8 tables × 4 planes) must recover the
-  * brute-force nearest neighbor for most probes while touching fewer
-  * pairs than brute force. This fixture is near-random (median NN
-  * cosine ≈ 0.36 — no cluster structure), which is the WORST case for
-  * LSH; expected single-NN recall at 8×4 is ~0.7 by the
-  * (1-θ/π)^bits collision model. On clustered real-world embeddings
-  * the same construction shrinks the pair space by orders of
-  * magnitude. */
+/** ANN quality gate for the LSH scale path, exercised through the SAME
+  * parameterized construction the registry query uses
+  * (Dedup.annBuckets / annCandidatePairs / embeddingNearDup): 8 tables
+  * × 4 planes must recover the brute-force nearest neighbor for most
+  * probes while touching well under half the brute-force pairs. This
+  * fixture is near-random (median NN cosine ≈ 0.36 — no cluster
+  * structure), the WORST case for LSH; expected single-NN recall at
+  * 8×4 is ~0.7 by the (1-θ/π)^bits collision model. On clustered
+  * real-world embeddings the same construction shrinks the pair space
+  * by orders of magnitude, and `bits` grows with N to keep per-bucket
+  * population flat. */
 class AnnRecallSpec extends SparkSpec {
   import spark.implicits._
 
   private val nTables = 8
   private val bitsPerTable = 4
 
-  private lazy val vecs = Tables.embeddings(spark, sf("sf0.001"))
+  private lazy val sig = Tables.embeddings(spark, sf("sf0.001"))
     .select($"vec_id", VectorExpressions.quantize($"embedding").as("q"))
     .cache()
 
-  private def planeSign(j: Int)(qv: org.apache.spark.sql.Column) =
-    when(aggregate(zip_with(qv, sequence(lit(0), lit(63)),
-      (x, i) => {
-        val lcg = (i + lit(64L * j)) * 1103515245L + 12345L
-        when(shiftright(lcg, 16).bitwiseAND(1) === 1, x).otherwise(-x)
-      }), lit(0L), (acc, z) => acc + z) >= 0, 1L).otherwise(0L)
-
-  /** vec_id, q, b0..b7 — one bucket id per hash table. */
-  private lazy val bucketed = {
-    val cols = $"vec_id" +: $"q" +: (0 until nTables).map { t =>
-      (0 until bitsPerTable)
-        .map(j => planeSign(t * bitsPerTable + j)($"q") * (1L << j))
-        .reduce(_ + _).as(s"b$t")
-    }
-    vecs.select(cols: _*).cache()
-  }
-
-  test("multi-table LSH touches fewer pairs than brute force") {
-    val n = vecs.count()
-    val brute = n * (n - 1) / 2
-    val work = (0 until nTables).map { t =>
-      bucketed.groupBy(col(s"b$t")).count()
-        .select(sum(($"count" * ($"count" - 1) / 2).cast("long"))).as[Long].head()
-    }.sum
-    assert(work < brute,
-      s"multi-table pair work $work must undercut brute force $brute")
+  test("multi-table LSH touches < half the brute-force pairs") {
+    val n = sig.count()
+    val brute = n * (n - 1) // directed pairs
+    val work = Dedup.annCandidatePairs(sig, nTables, bitsPerTable,
+      cap = Int.MaxValue).count()
+    assert(work < brute / 2,
+      s"multi-table distinct pair work $work must undercut half of brute force $brute")
   }
 
   test("multi-table LSH top-1 recall ≥ 50% vs brute force") {
-    val probes = bucketed.filter($"vec_id" < 30)
-    val probeColList = Seq($"vec_id".as("pid"), $"q".as("pq")) ++
-      (0 until nTables).map(t => col(s"b$t").as(s"pb$t"))
-    val probeCols = probes.select(probeColList: _*)
+    val probeIds = $"vec_id" < 30
+    val probes = sig.filter(probeIds)
+      .select($"vec_id".as("pid"), $"q".as("pq"))
 
     val cos = VectorExpressions.quantizedDot($"pq", $"q").cast("double") /
       (sqrt(VectorExpressions.quantizedDot($"pq", $"pq").cast("double")) *
        sqrt(VectorExpressions.quantizedDot($"q", $"q").cast("double")))
     val w = Window.partitionBy($"pid").orderBy(desc("c"), $"vec_id".asc)
 
-    val bf = vecs.crossJoin(broadcast(probes.select($"vec_id".as("pid"), $"q".as("pq"))))
+    val bf = sig.crossJoin(broadcast(probes))
       .filter($"vec_id" =!= $"pid")
       .select($"pid", $"vec_id", cos.as("c"))
       .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
       .select($"pid", $"vec_id".as("bf_nn"))
 
-    // candidates: same bucket in ANY table (union of per-table joins)
-    val cands = (0 until nTables).map { t =>
-      bucketed.join(broadcast(probeCols),
-          col(s"b$t") === col(s"pb$t") && $"vec_id" =!= $"pid")
-        .select($"pid", $"vec_id", $"pq", $"q")
-    }.reduce(_ union _).distinct()
+    // candidate neighbors via the registry query's own generator
+    val cands = Dedup.annCandidatePairs(sig, nTables, bitsPerTable,
+        cap = Int.MaxValue)
+      .join(sig.select($"vec_id".as("a_id"), $"q".as("pq")), "a_id")
+      .join(sig.select($"vec_id".as("b_id"), $"q".as("q")), "b_id")
+      .filter($"a_id" < 30)
+      .select($"a_id".as("pid"), $"b_id".as("vec_id"), $"pq", $"q")
 
     val lsh = cands.select($"pid", $"vec_id", cos.as("c"))
       .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
@@ -83,5 +67,21 @@ class AnnRecallSpec extends SparkSpec {
     val recall = joined.filter($"bf_nn" === $"lsh_nn").count().toDouble /
       joined.count()
     assert(recall >= 0.5, f"8×4 multi-table recall $recall%.2f below 0.5")
+  }
+
+  test("per-bucket cap bounds pair work and reports what it dropped") {
+    val pops = Dedup.annBuckets(sig, 1, 2) // 4 buckets → forced overflow
+      .groupBy($"tbl", $"bucket").count()
+      .select($"count").as[Long].collect()
+    val cap = 8
+    val expectDropped = pops.map(p => math.max(p - cap, 0L)).sum
+    assert(expectDropped > 0, "fixture must overflow the cap for this test")
+    assert(Dedup.annDroppedCount(sig, 1, 2, cap) == expectDropped)
+    // capped pair space is bounded by buckets · cap·(cap-1)
+    val capped = Dedup.annCandidatePairs(sig, 1, 2, cap).count()
+    assert(capped <= pops.length * cap * (cap - 1))
+    // and strictly smaller than the uncapped pair space
+    val uncapped = Dedup.annCandidatePairs(sig, 1, 2, Int.MaxValue).count()
+    assert(capped < uncapped)
   }
 }

@@ -97,6 +97,32 @@ class ScaleLayoutSpec extends SparkSpec {
       s"scan touched non-en partitions: ${scannedParts.mkString(",")}")
   }
 
+  test("sim_cosine_topk ranks via hash-aggregate, not a probe-count window") {
+    // VERDICT r1: row_number().over(partitionBy(probe_id)) funnels all
+    // k·N rows through ≤20 tasks. The BoundedTopK aggregate shape must
+    // keep Window out of the plan entirely; parallelism then follows
+    // the corpus partitioning.
+    val df = Registry.byName("sim_cosine_topk").run(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"top-k must not rank through a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected partial top-k aggregation:\n$plan")
+  }
+
+  test("dd_embedding_neardup best-neighbor is a hash-aggregate, not a window") {
+    val df = Registry.byName("dd_embedding_neardup").run(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the only window left is the deterministic per-bucket cap, keyed
+    // by (tbl, bucket) — a key space that grows with `bits`; the
+    // best-neighbor rank over a_id is a max(struct) hash-aggregate
+    val windows = plan.split("\n").filter(_.contains("Window"))
+    assert(windows.forall(w => w.contains("bucket")),
+      s"only the bucket-cap window may remain:\n$plan")
+  }
+
   test("CMS sketch: one-pass approximate frequencies with upper-bound guarantee") {
     val cms = new CountMinSketch(depth = 4, width = 256)
     val docs = Tables.documents(spark, sf("sf0.001"))
