@@ -32,18 +32,26 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Order-independent double sum: route through exact decimal addition
-    * (associative, so shuffle/partition order can't change the result),
-    * then a single rounding back to double. The DuckDB oracle does the
-    * same cast dance, so both sides agree bit-for-bit.
+  /** Order-independent double sum: per-row decimal(…,6) rounding, then
+    * EXACT integer accumulation (associative, so shuffle/partition
+    * order can't change the result) and a single conversion back to
+    * double. The DuckDB oracle does the same cast dance, so both sides
+    * agree bit-for-bit. Implementation is the codegen'd two-long i128
+    * aggregate [[org.apache.spark.sql.graft.I128Sum]] — numerically
+    * identical to sum(cast(x as decimal(28,6))).cast(double) (the
+    * equivalence is spec-gated in VectorExprSpec) at ~half its cost on
+    * the q1 hot path.
     * Oracle shape: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
     */
-  def dsum(c: Column): Column =
+  def dsum(c: Column): Column = org.apache.spark.sql.graft.I128Sum.dsum(c)
+
+  /** The decimal-routed original, kept as the reference implementation
+    * the i128 path is tested against. */
+  def dsumDecimal(c: Column): Column =
     sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
 
-  /** Order-independent average with the same decimal trick.
+  /** Order-independent average with the same exact-sum trick.
     * Oracle shape: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x)
     */
-  def davg(c: Column): Column =
-    sum(c.cast(DecimalType(28, 6))).cast(DoubleType) / count(c)
+  def davg(c: Column): Column = dsum(c) / count(c)
 }
