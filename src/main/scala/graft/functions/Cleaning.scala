@@ -74,6 +74,16 @@ object Cleaning {
   def daysBetween(later: Column, earlier: Column): Column =
     datediff(to_date(later), to_date(earlier))
 
+  /** E14 — URL templating (ure_scraping.py:211): the detail-page URL
+    * derived from the listing key, mls substituted twice. The search
+    * pagination template (ure_scraping.py:26) lives in
+    * PaginatedHttpSource where the page counter exists. */
+  def detailUrl(mls: Column): Column =
+    format_string(Cleaning.DetailUrlTemplate, mls, mls)
+
+  val DetailUrlTemplate: String =
+    "http://www.utahrealestate.com/report/public.single.report/report/detailed/listno/%s/scroll_to/%s"
+
   /** E16 — facts-item extraction (ure_scraping.py:226-231): the value
     * is the last whitespace-separated token of the raw facts line
     * ("Days on URE 17" → "17"). */

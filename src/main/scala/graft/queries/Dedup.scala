@@ -80,6 +80,16 @@ object Dedup {
          ${(0 until 8).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
        FROM s)"""
 
+  private val bandsCte =
+    """bands AS (
+        SELECT doc_id, b.band,
+          CAST(CASE b.band WHEN 0 THEN mh0 WHEN 1 THEN mh2 WHEN 2 THEN mh4 ELSE mh6 END AS VARCHAR)
+            || '_' ||
+          CAST(CASE b.band WHEN 0 THEN mh1 WHEN 1 THEN mh3 WHEN 2 THEN mh5 ELSE mh7 END AS VARCHAR)
+            AS bucket,
+          mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+        FROM sig, (SELECT unnest(range(0, 4)) AS band) b)"""
+
   /** Exact dedup: canonical doc per md5(normalized text). */
   val qDedupExact = GraftQuery(
     "dd_exact",
@@ -108,52 +118,116 @@ object Dedup {
     },
     Some(s"""$sigCte SELECT doc_id, ${(0 until 8).map(i => s"mh$i").mkString(", ")} FROM sig"""))
 
+  /** Candidate near-dup pairs via LSH banding (4 bands × 2 rows):
+    * docs sharing any band bucket, estimated Jaccard = signature
+    * agreement. Shared by dd_lsh_candidate_pairs and the
+    * connected-components clustering (dd_dup_clusters). */
+  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    // Materialize signatures before banding: every mh/bucket column
+    // re-derives shingles+md5 lazily, and the self-join would
+    // otherwise evaluate that ~10× per row per side (measured 120s
+    // vs 2s at sf0.1). Production does the same — the signature
+    // table is a persisted artifact; banding reads it.
+    val sig = withSignature(docs)
+      .select(col("doc_id") +: (0 until 8).map(i => col(s"mh$i")): _*)
+      .localCheckpoint(true)
+    val bands = (0 until 4).map { b =>
+      val cols = Seq(col("doc_id"), lit(b).as("band"),
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bucket")) ++
+        (0 until 8).map(i => col(s"mh$i"))
+      sig.select(cols: _*)
+    }.reduce(_ union _)
+    val l = bands.as("l")
+    val r = bands.as("r")
+    val agree = (0 until 8).map(i =>
+      when(col(s"l.mh$i") === col(s"r.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    l.join(r,
+        col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        (agree.cast("double") / 8).as("est_jaccard"))
+      .distinct()
+  }
+
   /** LSH banding: 4 bands × 2 rows; docs sharing any band bucket are
     * candidate near-dup pairs; estimated Jaccard = signature agreement. */
   val qLshPairs = GraftQuery(
     "dd_lsh_candidate_pairs",
-    (s, d) => {
-      import s.implicits._
-      // Materialize signatures before banding: every mh/bucket column
-      // re-derives shingles+md5 lazily, and the self-join would
-      // otherwise evaluate that ~10× per row per side (measured 120s
-      // vs 2s at sf0.1). Production does the same — the signature
-      // table is a persisted artifact; banding reads it.
-      val sig = withSignature(Tables.documents(s, d))
-        .select($"doc_id" +: (0 until 8).map(i => col(s"mh$i")): _*)
-        .localCheckpoint(true)
-      val bands = (0 until 4).map { b =>
-        val cols = Seq($"doc_id", lit(b).as("band"),
-          concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bucket")) ++
-          (0 until 8).map(i => col(s"mh$i"))
-        sig.select(cols: _*)
-      }.reduce(_ union _)
-      val l = bands.as("l")
-      val r = bands.as("r")
-      val agree = (0 until 8).map(i =>
-        when(col(s"l.mh$i") === col(s"r.mh$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      l.join(r,
-          col("l.band") === col("r.band") &&
-          col("l.bucket") === col("r.bucket") &&
-          col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-          (agree.cast("double") / 8).as("est_jaccard"))
-        .distinct()
-    },
-    Some(s"""$sigCte,
-      bands AS (
-        SELECT doc_id, b.band,
-          CAST(CASE b.band WHEN 0 THEN mh0 WHEN 1 THEN mh2 WHEN 2 THEN mh4 ELSE mh6 END AS VARCHAR)
-            || '_' ||
-          CAST(CASE b.band WHEN 0 THEN mh1 WHEN 1 THEN mh3 WHEN 2 THEN mh5 ELSE mh7 END AS VARCHAR)
-            AS bucket,
-          mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
-        FROM sig, (SELECT unnest(range(0, 4)) AS band) b)
+    (s, d) => lshCandidatePairs(Tables.documents(s, d)),
+    Some(s"""$sigCte, $bandsCte
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
         CAST(${(0 until 8).map(i => s"(CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE) / 8 AS est_jaccard
       FROM bands l JOIN bands r
         ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id"""))
+
+  /** Connected components over a pair frame by iterative min-label
+    * propagation: every node starts labeled with its own id; each
+    * round every node takes the min of its own and its neighbors'
+    * labels; fixpoint = each node labeled with its component's min id.
+    *
+    * Scale: the driver loop runs O(component diameter) ROUNDS (dup
+    * clusters are shallow — a handful), each round one join + one
+    * hash-aggregate, both keyed on node id — the standard large-graph
+    * CC shape (GraphX Pregel does the same dataflow). Convergence is
+    * detected by the monotonically decreasing label sum — one scalar
+    * per round on the driver, never the label table. Each round's
+    * result is localCheckpoint'd: the lineage would otherwise double
+    * per iteration. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(labels("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("label"))).collect()(0).getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Duplicate clusters: connected components over the LSH candidate
+    * graph — the step that turns pairwise near-dup hits into "keep one
+    * per cluster" decisions. cluster_id = min doc_id of the component
+    * (deterministic; only docs appearing in ≥1 candidate pair emit a
+    * row). Oracle replays the same graph via a recursive-CTE
+    * transitive closure. */
+  val qDupClusters = GraftQuery(
+    "dd_dup_clusters",
+    (s, d) => connectedComponents(
+      lshCandidatePairs(Tables.documents(s, d)).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id")),
+    Some(s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $bandsCte,
+      cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION SELECT doc_b, doc_a FROM cand),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src"""))
 
   /** True n-gram Jaccard on a linear pair set (consecutive doc_ids) —
     * the verification-side of near-dup detection. At scale this runs
@@ -319,5 +393,6 @@ object Dedup {
     })
 
   val all: Seq[GraftQuery] =
-    Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard, qEmbeddingNearDup)
+    Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
+      qEmbeddingNearDup, qDupClusters)
 }

@@ -151,5 +151,103 @@ object Similarity {
       FROM q, (SELECT unnest(range(1, 65)) AS i) idx
       GROUP BY label, pos"""))
 
-  val all: Seq[GraftQuery] = Seq(qCosineTopK, qLshBuckets, qLabelCentroids)
+  /** IVF-style ANN (the coarse-quantizer scale path): vectors are
+    * assigned to the nearest of 10 centroid cells, probes then search
+    * ONLY their own cell — a 10× candidate cut here, and the shape
+    * that generalizes to √N cells at 100 TB (train centroids → assign
+    * = one broadcast join → search within cell).
+    *
+    * Exactness trick: cos(v, S/n) = cos(v, S) — the cell count divides
+    * out — so the centroid DIRECTION is the element-wise integer sum
+    * vector and every comparison stays in exact int64 arithmetic on
+    * both engines; no float centroid ever exists. Assignment tie-break
+    * by lowest label; within-cell ranking by (cosine, vec_id) like
+    * sim_cosine_topk, via the same BoundedTopK aggregate (no
+    * probe-count window). */
+  val qIvfTopK = GraftQuery(
+    "sim_ivf_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"label", quant($"embedding").as("q"))
+        .localCheckpoint(true) // feeds centroids, assignment, search
+      // centroid direction per label = element-wise sum vector
+      val cent = e.select($"label".as("clabel"), posexplode($"q").as(Seq("pos", "v")))
+        .groupBy($"clabel", $"pos").agg(sum($"v").as("sv"))
+        .groupBy($"clabel")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"sv"))),
+          x => x("sv")).as("cv"))
+      val ccos = round(
+        idot($"q", $"cv").cast("double") /
+          (sqrt(idot($"q", $"q").cast("double")) *
+           sqrt(idot($"cv", $"cv").cast("double"))), 6)
+      // nearest centroid per vector: max(struct) — no window
+      val assign = e.crossJoin(broadcast(cent))
+        .select($"vec_id", ccos.as("ccos"), $"clabel")
+        .groupBy($"vec_id")
+        .agg(max(struct($"ccos", (-$"clabel").as("nl"))).as("m"))
+        .select($"vec_id", (-$"m.nl").as("cell"))
+      val cells = e.join(assign, "vec_id")
+        .select($"vec_id", $"q", $"cell")
+      val probes = cells.filter($"vec_id" < 20)
+        .select($"vec_id".as("probe_id"), $"q".as("pq"), $"cell".as("pcell"))
+      val cos = round(
+        idot($"pq", $"q").cast("double") /
+          (sqrt(idot($"pq", $"pq").cast("double")) *
+           sqrt(idot($"q", $"q").cast("double"))), 6)
+      val topk = udaf(new BoundedTopK(5), ExpressionEncoder[Scored]())
+      cells.join(broadcast(probes),
+          $"cell" === $"pcell" && $"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id", cos.as("cosine"))
+        .groupBy($"probe_id")
+        .agg(topk($"vec_id", $"cosine").as("tk"))
+        .select($"probe_id", posexplode($"tk").as(Seq("pos", "e")))
+        .select($"probe_id", $"e.id".as("vec_id"), $"e.score".as("cosine"),
+          ($"pos" + 1).cast("int").as("rk"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id, label, ${quantSql.format("embedding")} AS q
+        FROM embeddings),
+      cent AS (
+        SELECT label AS clabel, list(sv ORDER BY i) AS cv FROM (
+          SELECT label, i, CAST(SUM(q[i]) AS BIGINT) AS sv
+          FROM q, (SELECT unnest(range(1, 65)) AS i) idx
+          GROUP BY label, i)
+        GROUP BY clabel),
+      scored_cent AS (
+        SELECT q.vec_id, c.clabel,
+          round(
+            CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * c.cv[i])) AS DOUBLE) /
+            (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * q.q[i])) AS DOUBLE)) *
+             sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])) AS DOUBLE))), 6)
+            AS ccos
+        FROM q CROSS JOIN cent c),
+      assign AS (
+        SELECT vec_id, clabel AS cell FROM (
+          SELECT vec_id, clabel,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, clabel ASC) AS crk
+          FROM scored_cent)
+        WHERE crk = 1),
+      cells AS (
+        SELECT q.vec_id, q.q, a.cell FROM q JOIN assign a ON a.vec_id = q.vec_id),
+      probes AS (
+        SELECT vec_id AS probe_id, q AS pq, cell FROM cells WHERE vec_id < 20),
+      sims AS (
+        SELECT p.probe_id, c.vec_id,
+          round(
+            CAST(list_sum(list_transform(range(1, 65), i -> p.pq[i] * c.q[i])) AS DOUBLE) /
+            (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> p.pq[i] * p.pq[i])) AS DOUBLE)) *
+             sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * c.q[i])) AS DOUBLE))), 6)
+            AS cosine
+        FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.probe_id),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rk
+        FROM sims)
+      SELECT probe_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK)
 }

@@ -71,7 +71,11 @@ object HtmlListingParser {
             stats = stats,
             broker_name = extract(block, "broker-name"),
             broker_phone = extract(block, "broker-phone"),
-            url = extract(block, "url"))
+            // E14: the reference derives the url from the mls template
+            // (ure_scraping.py:211); fixtures may pin an explicit url
+            url = extract(block, "url")
+              .orElse(Some(graft.functions.Cleaning.DetailUrlTemplate
+                .replace("%s", mls))))
       }
     }
 

@@ -77,33 +77,56 @@ class TruliaFixtureSource(
   }
 }
 
-/** Structure-only skeleton of the paginated HTTP source (S1). Layout
-  * for a real deployment:
+/** The paginated HTTP source (S1) with the transport injected. Layout:
   *  - one input partition per zip code (353 partitions at reference
   *    scale — matches all_zip_codes.json);
-  *  - inside each partition, the pagination loop `page=1,2,…` runs
-  *    until an empty page (F7 early termination), with ONE pooled
-  *    HTTP client per partition (connection reuse, §4) — never one
+  *  - inside each partition, the pagination loop `page=1,2,…`
+  *    (ure_scraping.py:23-47) runs lazily until a fetch error or a
+  *    page that parses to zero listings (F7 early termination), with
+  *    ONE client per partition (connection reuse, §4) — never one
   *    request per row from the driver;
   *  - server-side predicates (maxPrice/minSqFt/minLotSize, F1) are
-  *    encoded in the URL template — the source-pushdown analog of
-  *    SupportsPushDownFilters;
+  *    encoded in the URL template (E14, ure_scraping.py:26) — the
+  *    source-pushdown analog of SupportsPushDownFilters;
   *  - detail-page enrichment (S3/J4) happens in the same partition
   *    pass, batched, replacing the reference's N+1 per-row GETs.
-  * Zero-egress CI means this class is never exercised; FixtureSource
-  * covers the dataflow contract.
+  *
+  * `fetchPage(url)` is the transport seam: None = fetch error (the
+  * RequestException break, :31-34). The default throws — zero-egress
+  * CI runs the loop through a fixture-backed fetcher (see
+  * PaginationSpec); production would pass an HTTP client call.
   */
 class PaginatedHttpSource(urlTemplate: String, maxPrice: Long,
-    minSqFt: Long, minLotSize: Double) extends ListingSource {
+    minSqFt: Long, minLotSize: Double,
+    fetchPage: String => Option[String] = PaginatedHttpSource.noNetwork)
+    extends ListingSource with Serializable {
+
+  /** ure_scraping.py:26 — {0}=zip {1}=maxPrice {2}=minSqFt
+    * {3}=minLotSize {4}=page. */
+  def pageUrl(zip: String, page: Int): String =
+    urlTemplate.format(zip, maxPrice, minSqFt, minLotSize, page)
+
+  /** F7: lazy page stream per zip — stops at the first fetch error or
+    * empty parse; pages after the stop are never fetched. */
+  def zipListings(zip: String): Iterator[Listing] =
+    Iterator.from(1)
+      .map(page => fetchPage(pageUrl(zip, page))
+        .map(HtmlListingParser.parseUre).getOrElse(Seq.empty))
+      .takeWhile(_.nonEmpty)
+      .flatten
+
   def scan(spark: SparkSession, zipCodes: Seq[String]): Dataset[Listing] = {
     import spark.implicits._
-    val pageFetch: String => Seq[String] = _ =>
-      throw new UnsupportedOperationException(
-        "network source disabled in this environment — use FixtureSource")
     spark.createDataset(zipCodes)
       .repartition(zipCodes.size) // one partition per zip
-      .flatMap(zip => pageFetch(zip).flatMap(HtmlListingParser.parseUre))
+      .flatMap(zip => zipListings(zip))
   }
+}
+
+object PaginatedHttpSource {
+  val noNetwork: String => Option[String] = _ =>
+    throw new UnsupportedOperationException(
+      "network source disabled in this environment — use FixtureSource")
 }
 
 /** S7/S8/S9 — the reference's file scans as Spark reads. */

@@ -69,6 +69,18 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.5, f"8×4 multi-table recall $recall%.2f below 0.5")
   }
 
+  test("connected components: min-label propagation over known graphs") {
+    // chain 1-2-3-4-5 (diameter forces multiple rounds), triangle
+    // 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("per-bucket cap bounds pair work and reports what it dropped") {
     val pops = Dedup.annBuckets(sig, 1, 2) // 4 buckets → forced overflow
       .groupBy($"tbl", $"bucket").count()
