@@ -60,40 +60,54 @@ object Cdc {
 
   /** Streaming CDC. Emits new_listing/price_change on updates and
     * off_market when a key times out (no sighting within
-    * `offMarketTimeoutMs` of processing time). */
+    * `offMarketTimeoutMs` of processing time).
+    *
+    * `initialState` is the restart path (S11/T3): the reference
+    * bootstraps its dict from SavedListings.json before polling
+    * (main.py:98) so a price change across a restart is a
+    * price_change, not a new_listing. Pass `CsvSinks.readState(...)`
+    * here to reproduce that continuity — the snapshot seeds the state
+    * store on the FIRST batch, then the checkpoint owns it. */
   def streamingEvents(stream: Dataset[Listing], offMarketTimeoutMs: Long,
-      nowEpoch: () => Long = () => System.currentTimeMillis() / 1000)
+      nowEpoch: () => Long = () => System.currentTimeMillis() / 1000,
+      initialState: Option[Dataset[Listing]] = None)
       : Dataset[ListingEvent] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.groupByKey(_.mls)
-      .flatMapGroupsWithState[Listing, ListingEvent](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (mls: String, rows: Iterator[Listing], state: GroupState[Listing]) =>
-          if (state.hasTimedOut) {
-            val old = state.get
-            state.remove()
-            val days = ((nowEpoch() - old.foundDate) / 86400).toInt
-            Iterator.single(ListingEvent(old.mls, "off_market", None,
-              old.price, None, None, Some(days), old.source))
-          } else {
-            // last-write-wins within a batch, keyed ordering not
-            // guaranteed — reference semantics are last-seen (T5)
-            val events = rows.flatMap { n =>
-              val out = state.getOption match {
-                case None =>
-                  Some(ListingEvent(n.mls, "new_listing", None, n.price,
-                    None, None, None, n.source))
-                case Some(o) if n.price != o.price => Some(priceChange(n, o))
-                case _ => None
-              }
-              state.update(n)
-              out
-            }.toVector
-            state.setTimeoutDuration(offMarketTimeoutMs)
-            events.iterator
+    val fn = (mls: String, rows: Iterator[Listing], state: GroupState[Listing]) =>
+      if (state.hasTimedOut) {
+        val old = state.get
+        state.remove()
+        val days = ((nowEpoch() - old.foundDate) / 86400).toInt
+        Iterator.single(ListingEvent(old.mls, "off_market", None,
+          old.price, None, None, Some(days), old.source))
+      } else {
+        // last-write-wins within a batch, keyed ordering not
+        // guaranteed — reference semantics are last-seen (T5)
+        val events = rows.flatMap { n =>
+          val out = state.getOption match {
+            case None =>
+              Some(ListingEvent(n.mls, "new_listing", None, n.price,
+                None, None, None, n.source))
+            case Some(o) if n.price != o.price => Some(priceChange(n, o))
+            case _ => None
           }
+          state.update(n)
+          out
+        }.toVector
+        state.setTimeoutDuration(offMarketTimeoutMs)
+        events.iterator
       }
+    val grouped = stream.groupByKey(_.mls)
+    initialState match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState[Listing, ListingEvent](
+          OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout,
+          init.groupByKey(_.mls))(fn)
+      case None =>
+        grouped.flatMapGroupsWithState[Listing, ListingEvent](
+          OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(fn)
+    }
   }
 
   /** Convenience: replay a deterministic sequence of micro-batches

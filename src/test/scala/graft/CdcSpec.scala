@@ -97,6 +97,33 @@ class CdcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S11/T3: stream bootstrapped from the K2 JSON snapshot keeps continuity") {
+    // the reference loads SavedListings.json BEFORE polling (main.py:98):
+    // a price change across a restart must be a price_change, never a
+    // new_listing. initialState seeds the state store from the snapshot.
+    implicit val sqlCtx = spark.sqlContext
+    val fixedNow = now
+    val dir = java.nio.file.Files.createTempDirectory("cdc_boot").toString + "/st"
+    graft.sinks.CsvSinks.writeState(
+      Seq(Listing.minimal("A", 100, foundDate = now - day)).toDS(), dir)
+    val init = graft.sinks.CsvSinks.readState(spark, dir)
+    val input = MemoryStream[Listing]
+    val events = Cdc.streamingEvents(input.toDS(), offMarketTimeoutMs = 600000,
+      nowEpoch = () => fixedNow, initialState = Some(init))
+    val q = events.writeStream
+      .format("memory").queryName("cdc_boot").outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(Listing.minimal("A", 80), Listing.minimal("B", 50))
+      val got = awaitRows("cdc_boot", _.size >= 2)
+        .map(e => (e.mls, e.status)).sorted
+      assert(got == Seq(("A", "price_change"), ("B", "new_listing")))
+      val a = spark.table("cdc_boot").as[ListingEvent]
+        .filter(_.mls == "A").head()
+      assert(a.oldPrice.contains(100L)) // old price came from the snapshot
+    } finally q.stop()
+  }
+
   test("streaming CDC: processing-time timeout emits off_market") {
     implicit val sqlCtx = spark.sqlContext
     val fixedNow = now // local copy — the closure must not capture the spec

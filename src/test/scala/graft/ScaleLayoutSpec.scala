@@ -123,6 +123,38 @@ class ScaleLayoutSpec extends SparkSpec {
       s"only the bucket-cap window may remain:\n$plan")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // one hot key carries ~95% of the left side — the lang='en' shape.
+    // With broadcast off, a plain SMJ puts the hot key in one task;
+    // AQE's OptimizeSkewedJoin must split it (skew=true in the final
+    // plan). This is the runtime complement to the explicit salting in
+    // operators/Skew.
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = spark.range(300000)
+        .select(when($"id" % 20 =!= 0, lit(7L)).otherwise($"id" % 100).as("k"),
+          $"id".as("v"))
+      val right = spark.range(100).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = left.join(right, "k").select(sum($"v"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the skewed join:\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("CMS sketch: one-pass approximate frequencies with upper-bound guarantee") {
     val cms = new CountMinSketch(depth = 4, width = 256)
     val docs = Tables.documents(spark, sf("sf0.001"))
