@@ -226,7 +226,78 @@ object TextAnalysis {
     },
     None)
 
+  /** Deterministic train/val split: assignment = md5(doc_id) bucket,
+    * NOT random — reproducible across runs, engines and reshuffles,
+    * and stable under incremental ingest (a doc's split never changes
+    * when other docs arrive). 48-bit md5 prefix mod 100 < 90 → train.
+    * Output: per (lang, split) doc and token counts — the sanity
+    * report a pipeline emits after splitting. Scale: one
+    * hash-aggregate, split assignment is map-side. */
+  val qTrainValSplit = GraftQuery(
+    "t_train_val_split",
+    (s, d) => {
+      import s.implicits._
+      val bucket = pmod(
+        conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+          .cast("long"), lit(100L))
+      Tables.documents(s, d)
+        .select($"lang", $"text",
+          when(bucket < 90, "train").otherwise("val").as("split"))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens($"text")).cast("long")).as("n_tokens"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT lang, text,
+          CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 90
+               THEN 'train' ELSE 'val' END AS split
+        FROM documents)
+      SELECT lang, split, COUNT(*) AS n_docs,
+        CAST(SUM(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      FROM b GROUP BY lang, split"""))
+
+  /** Sequence packing: assign documents to fixed token-budget bins
+    * (2048) — the batch-construction step before training. Packing is
+    * contiguous by doc_id within a SHARD (doc_id div 500): the
+    * running-token cumulative sum keyed per shard makes the window
+    * parallel (one partition per shard, not one global sort — the
+    * difference between a scalable pack and a single-task straggler
+    * at 100 TB). bin = (cumsum - n_tokens) / 2048, i.e. binned by
+    * starting offset; a doc longer than the budget occupies its bins
+    * alone. */
+  val qSequencePack = GraftQuery(
+    "t_sequence_pack",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shard").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .select($"doc_id", expr("doc_id div 500").as("shard"),
+          size(tokens($"text")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .select($"shard", expr("(cum - n_tokens) div 2048").as("bin"),
+          $"n_tokens")
+        .groupBy($"shard", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("tokens_in_bin"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, doc_id // 500 AS shard,
+          CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT shard, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+        COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens_in_bin
+      FROM c GROUP BY shard, bin"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
-      qApproxDistinct)
+      qApproxDistinct, qTrainValSplit, qSequencePack)
 }
