@@ -138,6 +138,33 @@ class SourcesSinksSpec extends SparkSpec {
     assert(rows.head.expiration_date.isEmpty)
   }
 
+  test("multimodal: resize bounds payload by target dims; frame-sample explodes videos") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val assets = MediaPipeline.assetsFromDocuments(docs).cache()
+
+    val resized = MediaPipeline.resize(assets, 64, 64).cache()
+    assert(resized.count() == assets.count())
+    // output payload bounded by target resolution, not source size
+    assert(resized.collect().forall(r =>
+      r.payload.length <= 64 * 64 / 64 && r.width == 64 && r.height == 64))
+    // deterministic: re-run byte-identical
+    val again = MediaPipeline.resize(assets, 64, 64).collect()
+      .map(r => r.asset_id -> r.payload.toSeq).toMap
+    assert(resized.collect().forall(r => again(r.asset_id) == r.payload.toSeq))
+
+    val frames = MediaPipeline.sampleFrames(assets, every = 3).cache()
+    val byType = assets.collect().map(a => a.asset_id -> a).toMap
+    val counts = frames.groupByKey(_.asset_id).count().collect().toMap
+    counts.foreach { case (id, n) =>
+      val a = byType(id)
+      if (a.media_type == "video") {
+        val total = MediaPipeline.decodeStub(a.payload, a.media_type)._3
+        assert(n == (total + 2) / 3, s"asset $id: $n of $total frames")
+      } else assert(n == 1)
+    }
+    resized.unpersist(); frames.unpersist(); assets.unpersist()
+  }
+
   test("multimodal: per-partition batched decode, deterministic features") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val assets = MediaPipeline.assetsFromDocuments(docs)
