@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct}
+
+/** SQL exposure for the engine's native Catalyst expressions, so
+  * spark.sql() users get them without touching the Scala API:
+  *
+  *  - production: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (the standard SparkSessionExtensions injection point);
+  *  - live session / tests: `GraftExtensions.register(spark)` — the
+  *    same registrations applied to an existing session's function
+  *    registry.
+  *
+  * Functions:
+  *  - `quantized_dot(array<bigint>, array<bigint>) -> bigint` — the
+  *    codegen'd exact dot product (similarity hot loop);
+  *  - `i128_sum(double) -> double` — the exact order-independent sum
+  *    (two-long i128 accumulator, decimal(…,6) per-row rounding).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDotProduct].getName, "quantized_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "quantized_dot(a, b) takes 2 arguments")
+        QuantizedDotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("i128_sum"),
+      new ExpressionInfo(classOf[I128Sum].getName, "i128_sum"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "i128_sum(x) takes 1 argument")
+        // bare aggregate function — the analyzer wraps it, same as sum()
+        I128Sum(args.head)
+      }))
+
+  /** Apply the same registrations to a live session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}
