@@ -94,8 +94,11 @@ object Relational {
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d)
+      // nation/region are BOUNDED dims (25/5 rows at any SF) — pinned
+      // broadcast. customer SCALES with the data; no hint, AQE
+      // broadcasts it while it fits and shuffles at 100 TB.
       li.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
@@ -191,8 +194,9 @@ object Relational {
       val li = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
+      // customer scales with SF — unhinted, AQE picks the strategy
       li.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .groupBy($"c_custkey", $"c_name")
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
         .orderBy($"revenue".desc, $"c_custkey".asc)
@@ -215,8 +219,9 @@ object Relational {
     "q7_supplier_nation_year",
     (s, d) => {
       import s.implicits._
+      // supplier scales with SF — unhinted (AQE); nation is bounded
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
         .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
         .groupBy($"n_name", year($"l_shipdate").as("ship_year"))
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))

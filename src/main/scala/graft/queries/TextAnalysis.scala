@@ -297,7 +297,30 @@ object TextAnalysis {
         COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens_in_bin
       FROM c GROUP BY shard, bin"""))
 
+  /** Skew-salted aggregation, oracle-verified: the two-phase
+    * (key, salt) → key rollup from operators/Skew must produce results
+    * identical to a plain GROUP BY — here checked against DuckDB's
+    * independent plain aggregate. lang is the canonical hot key of a
+    * documents corpus (one language dominates at 100 TB); the salt
+    * spreads it over 16 partial groups. */
+  val qSkewSaltedAgg = GraftQuery(
+    "t_skew_salted_agg",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Skew.saltedAgg(
+        Tables.documents(s, d).select($"lang", $"n_chars"),
+        Seq($"lang"), buckets = 16,
+        partialAggs = Seq(count(lit(1)).as("pn"),
+          sum($"n_chars").as("pc")),
+        mergeAggs = Seq(sum($"pn").as("n_docs"),
+          sum($"pc").as("total_chars")))
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
-      qApproxDistinct, qTrainValSplit, qSequencePack)
+      qApproxDistinct, qTrainValSplit, qSequencePack, qSkewSaltedAgg)
 }

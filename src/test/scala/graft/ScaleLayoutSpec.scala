@@ -123,6 +123,29 @@ class ScaleLayoutSpec extends SparkSpec {
       s"only the bucket-cap window may remain:\n$plan")
   }
 
+  test("q3 broadcasts bounded dims; threshold off degrades to SMJ, same rows") {
+    // broadcast-threshold sensitivity: the dimension joins in q3 must
+    // be BroadcastHashJoin under the default threshold (no fact-side
+    // shuffle before aggregation) and still produce identical results
+    // when broadcasting is impossible (the 100 TB dim-too-big case).
+    val q = Registry.byName("q3_revenue_by_nation")
+    val bcast = q.run(spark, sf("sf0.001"))
+    bcast.collect()
+    val bPlan = bcast.queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smj = q.run(spark, sf("sf0.001"))
+      val rows = smj.collect()
+      val sPlan = smj.queryExecution.executedPlan.toString
+      assert(sPlan.contains("SortMergeJoin"), sPlan)
+      assert(rows.map(_.toString).sorted.toSeq ==
+        bcast.collect().map(_.toString).sorted.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     // one hot key carries ~95% of the left side — the lang='en' shape.
     // With broadcast off, a plain SMJ puts the hot key in one task;
