@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct}
+import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct, ShingleMinHash}
 
 /** SQL exposure for the engine's native Catalyst expressions, so
   * spark.sql() users get them without touching the Scala API:
@@ -18,7 +18,9 @@ import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct}
   *  - `quantized_dot(array<bigint>, array<bigint>) -> bigint` — the
   *    codegen'd exact dot product (similarity hot loop);
   *  - `i128_sum(double) -> double` — the exact order-independent sum
-  *    (two-long i128 accumulator, decimal(…,6) per-row rounding).
+  *    (two-long i128 accumulator, decimal(…,6) per-row rounding);
+  *  - `shingle_minhash(string) -> array<bigint>` — 8-permutation
+  *    MinHash signature over 3-word shingles in one codegen'd pass.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -42,6 +44,12 @@ object GraftExtensions {
         require(args.length == 1, "i128_sum(x) takes 1 argument")
         // bare aggregate function — the analyzer wraps it, same as sum()
         I128Sum(args.head)
+      }),
+    (FunctionIdentifier("shingle_minhash"),
+      new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "shingle_minhash(text) takes 1 argument")
+        ShingleMinHash(args.head)
       }))
 
   /** Apply the same registrations to a live session. */

@@ -30,33 +30,22 @@ object Dedup {
       .otherwise(array(array_join(toks, " "))))
   }
 
-  /** Shingle string → stable 48-bit integer via md5 prefix (same
-    * construction in the DuckDB oracle: CAST('0x'||substr(md5,1,12))). */
-  private def shingleHash(sh: Column): Column =
-    conv(substring(md5(sh), 1, 12), 16, 10).cast("long")
+  import org.apache.spark.sql.graft.ShingleMinHash
+  private val P = ShingleMinHash.P
 
-  /** (a,b) pairs for the 8 minhash permutations h_i(v) = (a*v+b) % p. */
-  private val perms: Seq[(Long, Long)] = Seq(
-    (7L, 3L), (11L, 5L), (13L, 7L), (17L, 11L),
-    (19L, 13L), (23L, 17L), (29L, 19L), (31L, 23L))
-  private val P = 2147483647L // 2^31-1; a*v < 31*2^48 << 2^63 — no overflow
-
-  /** Signature via ONE shingle-hash pass: explode hashes, then all 8
-    * permutation minima as a grouped aggregation. The naive
-    * formulation — 8 array_min(transform(shingles...)) columns —
-    * re-derives the shingle array and its md5s once per column per
-    * consumer (measured 67s to materialize at sf0.1 vs ~3s for this
-    * shape). Map-side partial min keeps the shuffle at one row per
-    * doc per partition — the 100 TB-clean layout.
-    */
+  /** Signature in ONE native per-row expression
+    * ([[org.apache.spark.sql.graft.ShingleMinHash]]): tokens →
+    * shingle rolling hashes → all 8 permutation minima in a single
+    * codegen'd loop. Pure scan+map — no explode, no groupBy shuffle,
+    * no per-shingle string or md5. (History: the explode+groupBy
+    * formulation this replaces ran 7.2s at sf0.1; the naive
+    * 8×array_min(transform(...)) one before it, 67s.) The 8 getItem
+    * projections collapse to one evaluation via codegen
+    * subexpression elimination. */
   private def withSignature(df: DataFrame): DataFrame = {
-    val hashed = df
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), shingleHash(col("sh")).as("h"))
-    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % P).as(s"mh$i")
-    }
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sig = ShingleMinHash.of(col("text"))
+    df.select(col("doc_id") +:
+      (0 until 8).map(i => sig.getItem(i).as(s"mh$i")): _*)
   }
 
   private val shinglesSql =
@@ -65,10 +54,17 @@ object Dedup {
               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
          ELSE [array_to_string(toks, ' ')] END"""
 
+  /** Oracle twin of [[org.apache.spark.sql.graft.ShingleMinHash]]'s
+    * rolling hash: fold unicode codepoints through
+    * (acc·M + cp) mod P from seed 7, in pure integer SQL. */
+  private val polyHashSql =
+    s"""list_reduce(list_concat([CAST(${ShingleMinHash.Seed} AS BIGINT)],
+       list_transform(range(1, length(v) + 1), i -> CAST(unicode(v[i]) AS BIGINT))),
+       (acc, c) -> (acc * ${ShingleMinHash.M} + c) % $P)"""
+
   private def minhashSql(i: Int): String = {
-    val (a, b) = perms(i)
-    s"""list_min(list_transform(sh, v ->
-       (CAST('0x' || substr(md5(v),1,12) AS BIGINT) * $a + $b) % $P))"""
+    val (a, b) = (ShingleMinHash.A(i), ShingleMinHash.B(i))
+    s"""list_min(list_transform(sh, v -> ($polyHashSql * $a + $b) % $P))"""
   }
 
   private val sigCte =
@@ -114,12 +110,11 @@ object Dedup {
     (s, d) => cachedSignatures(s, d),
     Some(s"""$sigCte SELECT doc_id, ${(0 until 8).map(i => s"mh$i").mkString(", ")} FROM sig"""))
 
-  /** Materialized signature table (doc_id, mh0..mh7). Signatures are
-    * checkpointed before any consumer: every mh/bucket column
-    * re-derives shingles+md5 lazily, and a self-join would otherwise
-    * evaluate that ~10× per row per side (measured 120s vs 2s at
-    * sf0.1). Production does the same — the signature table is a
-    * PERSISTED artifact; banding reads it. */
+  /** Materialized signature table (doc_id, mh0..mh7), checkpointed
+    * before any consumer: a lazy plan would re-derive the shingle
+    * hashes once per referencing column per self-join side.
+    * Production does the same — the signature table is a PERSISTED
+    * artifact; banding reads it. */
   def signatureTable(docs: DataFrame): DataFrame =
     withSignature(docs)
       .select(col("doc_id") +: (0 until 8).map(i => col(s"mh$i")): _*)
@@ -127,9 +122,9 @@ object Dedup {
 
   /** Session-scoped signature cache: three registry queries
     * (dd_minhash_signature, dd_lsh_candidate_pairs, dd_dup_clusters)
-    * read the same artifact; computing the md5-bound signatures once
-    * per (session, dataset) is exactly the persisted-artifact shape —
-    * a sweep pays the 8s once instead of three times. */
+    * read the same artifact; computing the signatures once per
+    * (session, dataset) is exactly the persisted-artifact shape —
+    * a sweep pays the signature pass once instead of three times. */
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private def cachedSignatures(s: org.apache.spark.sql.SparkSession,
