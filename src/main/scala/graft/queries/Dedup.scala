@@ -265,27 +265,16 @@ object Dedup {
           length(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
       FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"""))
 
-  /** Sign of Σ_i s(p,i)·v_i for pseudo-random ±1 hyperplane `p`
-    * (LCG-parity signs — pure arithmetic, identical in the oracle). */
-  private def planeSign(p: Int)(qv: Column): Column =
-    when(aggregate(zip_with(qv, sequence(lit(0), lit(63)),
-      (x, i) => {
-        val lcg = (i + lit(64L * p)) * 1103515245L + 12345L
-        when(shiftright(lcg, 16).bitwiseAND(1) === 1, x).otherwise(-x)
-      }), lit(0L), (acc, z) => acc + z) >= 0, 1L).otherwise(0L)
-
   /** (vec_id, tbl, bucket) rows: `tables` independent hash tables of
-    * `bits` sign planes each (table t uses planes t·bits … t·bits+b-1).
+    * `bits` sign planes each (table t uses planes t·bits … t·bits+b-1),
+    * computed by the native codegen'd
+    * [[org.apache.spark.sql.graft.HyperplaneBuckets]] expression.
     * One map-side pass — the bucket array is built per row and
     * posexploded, no shuffle. */
-  def annBuckets(sig: DataFrame, tables: Int, bits: Int): DataFrame = {
-    val bucketCols = (0 until tables).map { t =>
-      (0 until bits).map(j => planeSign(t * bits + j)(col("q")) * (1L << j))
-        .reduce(_ + _)
-    }
+  def annBuckets(sig: DataFrame, tables: Int, bits: Int): DataFrame =
     sig.select(col("vec_id"),
-      posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
-  }
+      posexplode(org.apache.spark.sql.graft.HyperplaneBuckets
+        .of(col("q"), tables, bits)).as(Seq("tbl", "bucket")))
 
   /** Candidate pairs from multi-table LSH with a deterministic
     * per-bucket population cap: within each (tbl, bucket) only the

@@ -93,16 +93,11 @@ object Similarity {
     "sim_lsh_buckets",
     (s, d) => {
       import s.implicits._
-      def planeSign(j: Int): Column => Column = qv =>
-        // sign of Σ_i s(j,i)·v_i with s = ±1 from LCG parity
-        when(aggregate(zip_with(qv,
-          sequence(lit(0), lit(63)),
-          (x, i) => {
-            val lcg = (i + lit(64L * j)) * 1103515245L + 12345L
-            when(shiftright(lcg, 16).bitwiseAND(1) === 1, x).otherwise(-x)
-          }), lit(0L), (acc, z) => acc + z) >= 0, 1L).otherwise(0L)
       val e = Tables.embeddings(s, d).select($"vec_id", quant($"embedding").as("q"))
-      val bucket = (0 until 8).map(j => planeSign(j)($"q") * (1L << j)).reduce(_ + _)
+      // single table of 8 sign planes — same native expression as the
+      // multi-table ANN path (planes 0..7 == this query's planes)
+      val bucket = org.apache.spark.sql.graft.HyperplaneBuckets
+        .of($"q", 1, 8).getItem(0)
       val withB = e.select($"vec_id", bucket.as("bucket"))
       withB.groupBy($"bucket")
         .agg(count(lit(1)).as("n_vectors"),
