@@ -58,7 +58,12 @@ object Cleaning {
     val end = greatest(len - 8, lit(0))
     val sliced = when(end > start,
       stats.substr(start + 1, end - start)).otherwise(lit(""))
-    coalesce(trim(sliced).try_cast("long"), lit(0L))
+    // Python int() rejects fractional strings ("12.5" raises), so a
+    // decimal slice must fall through to the 0 sentinel — guard with
+    // an integer-shape rlike before the cast (try_cast alone would
+    // truncate "12.5" to 12 and break E6 parity).
+    val t = trim(sliced)
+    coalesce(when(t.rlike("^[+-]?\\d+$"), t.try_cast("long")), lit(0L))
   }
 
   /** E7 — guarded division (ure_scraping.py:197): price/sqft, 0 when

@@ -124,13 +124,33 @@ object Dedup {
     * (dd_minhash_signature, dd_lsh_candidate_pairs, dd_dup_clusters)
     * read the same artifact; computing the signatures once per
     * (session, dataset) is exactly the persisted-artifact shape —
-    * a sweep pays the signature pass once instead of three times. */
+    * a sweep pays the signature pass once instead of three times.
+    *
+    * Keyed on the session OBJECT via a WeakHashMap so a GC'd session
+    * releases its checkpointed frames and can never collide with a
+    * later one (identityHashCode reuse). The cache assumes the files
+    * under `d` are immutable for the session's lifetime — call
+    * [[clearSignatureCache]] after refreshing a dataset in place. */
   private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]
   private def cachedSignatures(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame =
-    sigCache.getOrElseUpdate((System.identityHashCode(s), d),
-      signatureTable(Tables.documents(s, d)))
+      d: String): DataFrame = {
+    val perSession = sigCache.synchronized {
+      var m = sigCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        sigCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(d, signatureTable(Tables.documents(s, d)))
+  }
+
+  /** Drop all cached signature tables (e.g. after rewriting a dataset
+    * path in place); the next consumer recomputes. */
+  def clearSignatureCache(): Unit =
+    sigCache.synchronized(sigCache.clear())
 
   /** Candidate near-dup pairs via LSH banding (4 bands × 2 rows):
     * docs sharing any band bucket, estimated Jaccard = signature
@@ -183,7 +203,11 @@ object Dedup {
     * detected by the monotonically decreasing label sum — one scalar
     * per round on the driver, never the label table. Each round's
     * result is localCheckpoint'd: the lineage would otherwise double
-    * per iteration. */
+    * per iteration.
+    *
+    * An empty pair frame returns an empty label frame (no NPE on the
+    * null sum); a component with diameter > maxRounds throws rather
+    * than silently returning unconverged labels. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -192,7 +216,9 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -203,12 +229,17 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("label"))).collect()(0).getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxRounds rounds " +
+          "(component diameter exceeds maxRounds); raise maxRounds — " +
+          "refusing to return truncated cluster labels")
     labels
   }
 
