@@ -21,10 +21,17 @@ import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct, ShingleMinHash}
   *    (two-long i128 accumulator, decimal(…,6) per-row rounding);
   *  - `shingle_minhash(string) -> array<bigint>` — 8-permutation
   *    MinHash signature over 3-word shingles in one codegen'd pass.
+  *
+  * Optimizer rules:
+  *  - [[graft.plans.I128SumRewrite]] — `sum(CAST(x AS DECIMAL(p,6)))`
+  *    over doubles → the i128 exact aggregate (schema-preserving;
+  *    disable with `spark.graft.i128SumRewrite.enabled=false`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.I128SumRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -53,9 +60,15 @@ object GraftExtensions {
       }))
 
   /** Apply the same registrations to a live session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.I128SumRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.I128SumRewrite
+    }
+  }
 }

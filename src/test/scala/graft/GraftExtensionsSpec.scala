@@ -33,6 +33,61 @@ class GraftExtensionsSpec extends SparkSpec {
     })
   }
 
+  test("optimizer rule rewrites sum(CAST(x AS DECIMAL(28,6))) to i128") {
+    val rnd = new scala.util.Random(23)
+    Seq.fill(3000)((rnd.nextInt(5), (rnd.nextDouble() - 0.5) * 1e9))
+      .toDF("g", "v").createOrReplaceTempView("rw_vals")
+    val sql = """SELECT g, sum(CAST(v AS DECIMAL(28,6))) AS s
+                 FROM rw_vals GROUP BY g ORDER BY g"""
+    // the shared session may carry a pinned conf from another suite —
+    // force both states explicitly and restore afterwards
+    val prior = spark.conf.getOption(graft.plans.I128SumRewrite.ConfKey)
+    try {
+      spark.conf.set(graft.plans.I128SumRewrite.ConfKey, "true")
+      val rewritten = spark.sql(sql)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("i128_decimal_sum"), plan)
+      // schema preserved: Sum's decimal widening (38, 6)
+      assert(rewritten.schema("s").dataType ==
+        org.apache.spark.sql.types.DecimalType(38, 6))
+      val got = rewritten.collect()
+      // same query with the rule disabled = the stock decimal aggregate
+      spark.conf.set(graft.plans.I128SumRewrite.ConfKey, "false")
+      val df = spark.sql(sql)
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("i128_decimal_sum"))
+      val want = df.collect()
+      assert(got.toSeq == want.toSeq)
+    } finally prior match {
+      case Some(v) => spark.conf.set(graft.plans.I128SumRewrite.ConfKey, v)
+      case None => spark.conf.unset(graft.plans.I128SumRewrite.ConfKey)
+    }
+  }
+
+  test("optimizer rule leaves non-matching aggregates alone") {
+    Seq((1, 2.5), (1, 3.5)).toDF("g", "v").createOrReplaceTempView("rw_nm")
+    // wrong scale, non-double child, DISTINCT, try_cast: all untouched
+    val untouched = Seq(
+      "SELECT sum(CAST(v AS DECIMAL(28,2))) AS s FROM rw_nm",
+      "SELECT sum(CAST(g AS DECIMAL(28,6))) AS s FROM rw_nm",
+      "SELECT sum(DISTINCT CAST(v AS DECIMAL(28,6))) AS s FROM rw_nm",
+      "SELECT sum(TRY_CAST(v AS DECIMAL(28,6))) AS s FROM rw_nm")
+    val prior = spark.conf.getOption(graft.plans.I128SumRewrite.ConfKey)
+    try {
+      spark.conf.set(graft.plans.I128SumRewrite.ConfKey, "true")
+      // the positive control: the rule IS active for the matching shape
+      assert(spark.sql("SELECT sum(CAST(v AS DECIMAL(28,6))) AS s FROM rw_nm")
+        .queryExecution.executedPlan.toString.contains("i128_decimal_sum"))
+      untouched.foreach { q =>
+        val plan = spark.sql(q).queryExecution.executedPlan.toString
+        assert(!plan.contains("i128_decimal_sum"), s"$q rewrote:\n$plan")
+      }
+    } finally prior match {
+      case Some(v) => spark.conf.set(graft.plans.I128SumRewrite.ConfKey, v)
+      case None => spark.conf.unset(graft.plans.I128SumRewrite.ConfKey)
+    }
+  }
+
   test("extensions class injects the same functions at session build") {
     // the injection list is shared — the class is just the conf-driven
     // wrapper around it

@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
 class I128SumSpec extends SparkSpec {
   import spark.implicits._
 
+  // The session is JVM-shared: if GraftExtensionsSpec registered the
+  // i128 optimizer rule first, the decimal reference below would be
+  // silently rewritten to the very aggregate under test. Pin the
+  // rewrite off so dsumDecimal stays an independent oracle here.
+  spark.conf.set(graft.plans.I128SumRewrite.ConfKey, "false")
+
   private def bitEqual(a: Seq[Double], b: Seq[Double]): Boolean =
     a.length == b.length && a.zip(b).forall { case (x, y) =>
       java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
@@ -47,6 +53,50 @@ class I128SumSpec extends SparkSpec {
     assert(r.head.isNullAt(1))
     val empty = spark.emptyDataset[Double].toDF("v")
     assert(empty.agg(Tables.dsum($"v")).collect().head.isNullAt(0))
+  }
+
+  test("slow path: |x| >= 1e12 is summed exactly, not skipped") {
+    // beyond Decimal(18,6)'s domain the fast cast nulls out; the
+    // BigDecimal fallback must contribute the exact value (r2 ADVICE:
+    // these rows used to vanish silently). Decimal(28,6) holds up to
+    // 1e22, so the decimal route remains a valid oracle here.
+    val vals = Seq(5.0e12, -3.7e13, 1.23456789e13, 9.3e12, // single-row
+      0.125, -2.5e11, 7.77e15, 1.0e20, -1.0e20)            // unscaled > 2^63
+    val df = vals.toDF("v")
+    val got = df.agg(Tables.dsum($"v")).as[Double].head()
+    val want = df.agg(Tables.dsumDecimal($"v")).as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(got) ==
+      java.lang.Double.doubleToLongBits(want), s"$got != $want")
+    // mixed groups: some rows fast-path, some slow-path
+    val rnd = new scala.util.Random(13)
+    val mixed = Seq.fill(500)(
+      (rnd.nextInt(4), if (rnd.nextInt(10) == 0) rnd.nextDouble() * 1e14
+       else (rnd.nextDouble() - 0.5) * 1e9)).toDF("g", "v")
+    val g = mixed.groupBy($"g").agg(Tables.dsum($"v").as("s"))
+      .orderBy($"g").select($"s").as[Double].collect().toSeq
+    val w = mixed.groupBy($"g").agg(Tables.dsumDecimal($"v").as("s"))
+      .orderBy($"g").select($"s").as[Double].collect().toSeq
+    assert(bitEqual(g, w), s"$g != $w")
+  }
+
+  test("NaN and infinities are skipped like the decimal-cast route") {
+    val df = Seq(1.5, Double.NaN, 2.5, Double.PositiveInfinity,
+      Double.NegativeInfinity).toDF("v")
+    val got = df.agg(Tables.dsum($"v")).as[Double].head()
+    assert(got == 4.0)
+    // all-non-finite group behaves like all-null: result is null
+    val nf = Seq(Double.NaN, Double.PositiveInfinity).toDF("v")
+    assert(nf.agg(Tables.dsum($"v")).collect().head.isNullAt(0))
+  }
+
+  test("a row beyond the i128 range raises instead of wrapping") {
+    val e = intercept[Exception] {
+      Seq(1.0e33).toDF("v").agg(Tables.dsum($"v")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[ArithmeticException] &&
+      c.getMessage.contains("i128")), e.toString)
   }
 
   test("i128 sum aggregates inside whole-stage HashAggregate codegen") {
