@@ -42,3 +42,35 @@ class BoundedTopK(k: Int)
   override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
 }
+
+/** One term candidate for per-group distinctive-term ranking. */
+final case class TermScore(term: String, tf: Long, df: Long)
+
+/** [[BoundedTopK]]'s string-keyed sibling for corpus term ranking:
+  * k-capped buffer ordered by tf DESC (most frequent in the group),
+  * df ASC (rarest across groups first — the "distinctive" tie-break),
+  * term ASC (deterministic). Same scale shape: map-side partials keep
+  * the shuffle at ≤ k entries per partition per group even when the
+  * group count is tiny (a handful of sources ranking a whole corpus
+  * vocabulary). */
+class TermTopK(k: Int)
+    extends Aggregator[TermScore, Seq[TermScore], Seq[TermScore]]
+    with Serializable {
+
+  private val ord: Ordering[TermScore] =
+    Ordering.by((e: TermScore) => (-e.tf, e.df, e.term))
+
+  override def zero: Seq[TermScore] = Seq.empty
+
+  override def reduce(buf: Seq[TermScore], v: TermScore): Seq[TermScore] =
+    if (buf.length >= k && ord.lteq(buf.last, v)) buf
+    else (buf :+ v).sorted(ord).take(k)
+
+  override def merge(a: Seq[TermScore], b: Seq[TermScore]): Seq[TermScore] =
+    (a ++ b).sorted(ord).take(k)
+
+  override def finish(buf: Seq[TermScore]): Seq[TermScore] = buf
+
+  override def bufferEncoder: Encoder[Seq[TermScore]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[TermScore]] = ExpressionEncoder()
+}

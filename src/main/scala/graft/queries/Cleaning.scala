@@ -147,6 +147,36 @@ object Cleaning {
         round((l_extendedprice - o_totalprice) / o_totalprice * 100, 6) AS price_delta_pct
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""))
 
+  /** PII scrubbing + quasi-identifier generalization — the privacy
+    * pass a training-data pipeline runs before release: digit runs
+    * (ids, account numbers) redacted to a `<NUM>` sentinel with an
+    * audit count per row, and the numeric quasi-identifier (account
+    * balance) generalized to a 1000-wide band (k-anonymity style).
+    * Pure row expressions — map-only at any scale; the audit counts
+    * roll up into release-gate metrics downstream. */
+  val qPiiScrub = GraftQuery(
+    "q_pii_scrub",
+    (s, d) => {
+      import s.implicits._
+      val name = $"c_name"
+      Tables.customer(s, d).select(
+        $"c_custkey",
+        regexp_replace(name, "\\d{3,}", "<NUM>").as("masked_name"),
+        size(regexp_extract_all(name, lit("\\d{3,}"), lit(0))).as("n_digit_runs"),
+        (length(name) - length(regexp_replace(name, "\\d", "")))
+          .as("n_digits_redacted"),
+        (floor($"c_acctbal" / 1000) * 1000).cast("long").as("acctbal_band"))
+    },
+    Some("""
+      SELECT c_custkey,
+        regexp_replace(c_name, '\d{3,}', '<NUM>', 'g') AS masked_name,
+        CAST(length(regexp_extract_all(c_name, '\d{3,}')) AS INT) AS n_digit_runs,
+        CAST(length(c_name) - length(regexp_replace(c_name, '\d', '', 'g')) AS INT)
+          AS n_digits_redacted,
+        CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band
+      FROM customer"""))
+
   val all: Seq[GraftQuery] = Seq(
-    qCleanPhone, qCleanStrings, qCleanAddress, qCleanNumeric, qCleanDates)
+    qCleanPhone, qCleanStrings, qCleanAddress, qCleanNumeric, qCleanDates,
+    qPiiScrub)
 }

@@ -320,7 +320,117 @@ object TextAnalysis {
         CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY lang"""))
 
+  /** Intra-document repetition metrics (Gopher-style quality rules):
+    * the highest single-token count (via a sorted-run scan — one
+    * O(n log n) per-row pass, NOT the O(n·distinct) nested-filter
+    * shape) and the duplicate-bigram fraction. Pure column
+    * expressions, zero shuffle — repetition filtering at 100 TB is a
+    * map-only pass. */
+  val qRepetition = GraftQuery(
+    "t_repetition",
+    (s, d) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      val sorted = array_sort(toks)
+      // max run length over the sorted tokens = max token count
+      val maxCount = aggregate(
+        sorted,
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val newRun = when(x === acc.getField("prev"),
+            acc.getField("run") + 1).otherwise(lit(1))
+          struct(x.as("prev"), newRun.as("run"),
+            greatest(acc.getField("best"), newRun).as("best"))
+        },
+        acc => acc.getField("best"))
+      val bg = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val dupBigram = when(size(bg) > 0,
+        round(lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg), 6))
+        .otherwise(lit(0.0))
+      Tables.documents(s, d).select(
+        $"doc_id",
+        size(toks).as("n_tokens"),
+        maxCount.as("top_token_count"),
+        round(maxCount.cast("double") / size(toks), 6).as("top_token_ratio"),
+        dupBigram.as("dup_bigram_frac"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      r AS (
+        SELECT doc_id, toks, list_sort(toks) AS sorted,
+          CASE WHEN length(toks) >= 2
+            THEN list_transform(range(1, length(toks)), i -> toks[i] || ' ' || toks[i+1])
+            ELSE [] END AS bg
+        FROM t),
+      m AS (
+        SELECT doc_id, length(toks) AS n_tokens,
+          list_reduce(
+            list_transform(sorted, x -> {'prev': x, 'run': 1, 'best': 1}),
+            (acc, x) -> CASE WHEN x.prev = acc.prev
+              THEN {'prev': x.prev, 'run': acc.run + 1,
+                    'best': greatest(acc.best, acc.run + 1)}
+              ELSE {'prev': x.prev, 'run': 1, 'best': acc.best} END).best
+            AS top_token_count,
+          CASE WHEN length(bg) > 0
+            THEN round(1.0 - CAST(length(list_distinct(bg)) AS DOUBLE) / length(bg), 6)
+            ELSE 0.0 END AS dup_bigram_frac
+        FROM r)
+      SELECT doc_id, n_tokens, top_token_count,
+        round(CAST(top_token_count AS DOUBLE) / n_tokens, 6) AS top_token_ratio,
+        dup_bigram_frac
+      FROM m"""))
+
+  /** Distinctive terms per source: corpus term frequency (tf, per
+    * source) joined with cross-source document frequency (df), top 5
+    * per source by tf DESC / df ASC / term ASC — the corpus-stats
+    * report a data pipeline emits per snapshot. Integer ranking only
+    * (no float idf) so the oracle can't drift.
+    *
+    * Scale: explode shuffles once on (source, term) with map-side
+    * count partials, df is a second key-space-wide agg, and the final
+    * ranking is a [[graft.functions.TermTopK]] hash-aggregate — NOT a
+    * window — so parallelism follows the vocabulary partitioning,
+    * never the handful of sources. */
+  val qTopTerms = GraftQuery(
+    "t_top_terms_source",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      val tf = Tables.documents(s, d)
+        .select($"source", explode(tokens($"text")).as("term"))
+        .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val topk = udaf(new graft.functions.TermTopK(5),
+        ExpressionEncoder[graft.functions.TermScore]())
+      tf.join(df, "term")
+        .groupBy($"source")
+        .agg(topk($"term", $"tf", $"df").as("tk"))
+        .select($"source", posexplode($"tk").as(Seq("pos", "e")))
+        .select($"source", $"e.term".as("term"), $"e.tf".as("tf"),
+          $"e.df".as("df"), ($"pos" + 1).cast("int").as("rk"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents),
+      tfc AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+      r AS (
+        SELECT tfc.source, tfc.term,
+          CAST(tfc.tf AS BIGINT) AS tf, CAST(dfc.df AS BIGINT) AS df,
+          ROW_NUMBER() OVER (PARTITION BY tfc.source
+                             ORDER BY tfc.tf DESC, dfc.df ASC, tfc.term ASC) AS rk
+        FROM tfc JOIN dfc USING (term))
+      SELECT source, term, tf, df, CAST(rk AS INT) AS rk
+      FROM r WHERE rk <= 5"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
-      qApproxDistinct, qTrainValSplit, qSequencePack, qSkewSaltedAgg)
+      qApproxDistinct, qTrainValSplit, qSequencePack, qSkewSaltedAgg,
+      qRepetition, qTopTerms)
 }

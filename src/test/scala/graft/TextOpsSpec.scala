@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Edge-case gates for the round-3 text operators: the repetition
+  * scan, the per-source term ranking, and the PII scrub. Bulk
+  * correctness is oracle-gated (CORRECTNESS r3); these pin the
+  * boundary behaviors an aggregate hash-compare can miss. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def repetitionOn(texts: Seq[(Long, String)]) = {
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.TextAnalysis.qRepetition.run(spark, dir)
+      .orderBy($"doc_id").collect()
+  }
+
+  test("repetition metrics: runs, single token, all-identical") {
+    val rows = repetitionOn(Seq(
+      (0L, "a b a b a"),      // top token 'a'×3, bigrams all repeat after 2 distinct
+      (1L, "solo"),           // 1 token: no bigrams, ratio 1
+      (2L, "x x x x")))       // degenerate full repetition
+    // doc 0: 5 tokens, top count 3 (a), 4 bigrams {ab,ba,ab,ba} → 2 distinct
+    assert(rows(0).getInt(1) == 5 && rows(0).getInt(2) == 3)
+    assert(math.abs(rows(0).getDouble(4) - 0.5) < 1e-9)
+    // doc 1: single token → top ratio 1.0, dup fraction 0.0
+    assert(rows(1).getInt(1) == 1 && rows(1).getInt(2) == 1 &&
+      rows(1).getDouble(4) == 0.0)
+    // doc 2: 4 identical tokens → count 4, 3 bigrams 1 distinct → 2/3
+    assert(rows(2).getInt(2) == 4)
+    assert(math.abs(rows(2).getDouble(4) - 0.666667) < 1e-6)
+  }
+
+  test("term top-k ranks tf desc, df asc, term asc and caps at k") {
+    val tk = new functions.TermTopK(2)
+    val in = Seq(
+      functions.TermScore("zeta", 5, 1),
+      functions.TermScore("alpha", 5, 1),  // tie with zeta → alpha first
+      functions.TermScore("mid", 5, 3),    // same tf, commoner → ranks after
+      functions.TermScore("rare", 9, 1))
+    val out = in.foldLeft(tk.zero)(tk.reduce)
+    assert(out.map(_.term) == Seq("rare", "alpha"))
+    // merge path respects the same ordering and cap
+    val merged = tk.merge(out, Seq(functions.TermScore("aaa", 9, 1)))
+    assert(merged.map(_.term) == Seq("aaa", "rare"))
+  }
+
+  test("top terms per source: parallelism is not bounded by source count") {
+    val plan = queries.TextAnalysis.qTopTerms.run(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    // ranking must be the ObjectHashAggregate/SortAggregate udaf path,
+    // never a window sort partitioned by the handful of sources
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("pii scrub masks digit runs and keeps an audit count") {
+    val r = queries.Cleaning.qPiiScrub.run(spark, sf("sf0.001"))
+      .filter($"c_custkey" === 1).collect().head
+    assert(r.getAs[String]("masked_name").contains("<NUM>"))
+    assert(!r.getAs[String]("masked_name").exists(_.isDigit))
+    assert(r.getAs[Int]("n_digit_runs") >= 1)
+    assert(r.getAs[Int]("n_digits_redacted") >= 3)
+  }
+}
