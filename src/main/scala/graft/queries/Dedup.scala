@@ -296,6 +296,54 @@ object Dedup {
           length(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
       FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"""))
 
+  /** Benchmark-contamination screening — the eval-integrity pass a
+    * training pipeline runs before release: for every corpus document,
+    * the fraction of its 3-word shingles that appear anywhere in the
+    * benchmark set (here pinned deterministically as doc_id < 50;
+    * production passes a held-out eval corpus). Docs at ≥ 20% overlap
+    * are flagged.
+    *
+    * Scale shape: the benchmark shingle set is tiny relative to the
+    * corpus (eval suites are MBs, corpora are TBs) — it is broadcast,
+    * so the corpus side is one map-side probe + one hash-aggregate on
+    * doc_id. No corpus-sized shuffle, no pairwise anything. */
+  val qContamination = GraftQuery(
+    "dd_contamination",
+    (s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", explode(shingles($"text")).as("s"))
+      val bench = sh.filter($"doc_id" < 50).select($"s").distinct()
+      val corpus = sh.filter($"doc_id" >= 50)
+      corpus
+        .join(broadcast(bench.withColumn("hit", lit(1))), Seq("s"), "left")
+        .groupBy($"doc_id")
+        .agg(count($"hit").as("n_overlap"), count(lit(1)).as("n_shingles"))
+        .select($"doc_id", $"n_overlap", $"n_shingles",
+          round($"n_overlap".cast("double") / $"n_shingles", 6)
+            .as("contamination"),
+          ($"n_overlap".cast("double") / $"n_shingles" >= 0.2)
+            .as("contaminated"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM s),
+      bench AS (SELECT DISTINCT s FROM ex WHERE doc_id < 50),
+      corpus AS (SELECT * FROM ex WHERE doc_id >= 50),
+      o AS (
+        SELECT c.doc_id, COUNT(b.s) AS n_overlap, COUNT(*) AS n_shingles
+        FROM corpus c LEFT JOIN bench b ON c.s = b.s
+        GROUP BY 1)
+      SELECT doc_id,
+        CAST(n_overlap AS BIGINT) AS n_overlap,
+        CAST(n_shingles AS BIGINT) AS n_shingles,
+        round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS contamination,
+        CAST(n_overlap AS DOUBLE) / n_shingles >= 0.2 AS contaminated
+      FROM o"""))
+
   /** (vec_id, tbl, bucket) rows: `tables` independent hash tables of
     * `bits` sign planes each (table t uses planes t·bits … t·bits+b-1),
     * computed by the native codegen'd
@@ -423,5 +471,5 @@ object Dedup {
 
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
-      qEmbeddingNearDup, qDupClusters)
+      qEmbeddingNearDup, qDupClusters, qContamination)
 }

@@ -216,7 +216,60 @@ object EventWindows {
        AND v.sec <= p.sec AND v.sec >= p.sec - 3600
       WHERE p.event_type = 'purchase' AND v.event_type = 'view'"""))
 
+  /** Ordered funnel analysis: per user, how deep into
+    * view → click-after-view → purchase-after-click the event stream
+    * got (0 = no view). Each stage is a min-timestamp aggregate on
+    * user_id conditioned on the prior stage's timestamp — three
+    * hash-aggregates and three joins, ALL keyed on the large user_id
+    * space, so parallelism scales with users (no window over a global
+    * sort, no per-user collect). Timestamps never appear in the
+    * output (micros-vs-nanos trap); only the reached stage does. */
+  val qFunnel = GraftQuery(
+    "w_funnel_stage",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, "user_id").filter($"ts" >= $"v_ts")
+        .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, "user_id").filter($"ts" >= $"c_ts")
+        .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+      ev.select($"user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select($"user_id",
+          when($"p_ts".isNotNull, 3)
+            .when($"c_ts".isNotNull, 2)
+            .when($"v_ts".isNotNull, 1)
+            .otherwise(0).as("funnel_stage"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      v AS (SELECT user_id, min(ts) AS v_ts FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM e
+            JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+            WHERE e.event_type = 'click' GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM e
+            JOIN c ON e.user_id = c.user_id AND e.ts >= c.c_ts
+            WHERE e.event_type = 'purchase' GROUP BY 1),
+      u AS (SELECT DISTINCT user_id FROM e)
+      SELECT u.user_id,
+        CASE WHEN p.p_ts IS NOT NULL THEN 3
+             WHEN c.c_ts IS NOT NULL THEN 2
+             WHEN v.v_ts IS NOT NULL THEN 1
+             ELSE 0 END AS funnel_stage
+      FROM u
+      LEFT JOIN v ON u.user_id = v.user_id
+      LEFT JOIN c ON u.user_id = c.user_id
+      LEFT JOIN p ON u.user_id = p.user_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
-      qAsOfPriorView, qIntervalJoin)
+      qAsOfPriorView, qIntervalJoin, qFunnel)
 }

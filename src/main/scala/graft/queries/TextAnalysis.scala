@@ -429,8 +429,49 @@ object TextAnalysis {
       SELECT source, term, tf, df, CAST(rk AS INT) AS rk
       FROM r WHERE rk <= 5"""))
 
+  /** Data-mixing downsampler: per-language target rates (basis
+    * points of 10000) applied via the same deterministic md5 bucket
+    * as t_train_val_split — reproducible across engines, runs, and
+    * incremental ingest, and auditable (the report shows realized vs
+    * target retention). The keep decision is map-side; one
+    * hash-aggregate on lang produces the mixture report a pipeline
+    * logs per snapshot. */
+  val qMixSample = GraftQuery(
+    "t_mix_sample",
+    (s, d) => {
+      import s.implicits._
+      val bucket = pmod(
+        conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+          .cast("long"), lit(10000L))
+      val rate = when($"lang" === "en", 5000L)
+        .when($"lang" === "de", 7500L)
+        .when($"lang" === "fr", 2500L)
+        .otherwise(10000L)
+      val keep = bucket < rate
+      Tables.documents(s, d)
+        .select($"lang", $"text", keep.as("keep"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"keep", size(tokens($"text")).cast("long"))
+            .otherwise(0L)).as("n_tokens_kept"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT lang, text,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 10000
+            < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 7500
+                         WHEN 'fr' THEN 2500 ELSE 10000 END) AS keep
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN keep
+          THEN length(regexp_split_to_array(trim(text), '\s+')) ELSE 0 END) AS BIGINT)
+          AS n_tokens_kept
+      FROM b GROUP BY lang"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
       qApproxDistinct, qTrainValSplit, qSequencePack, qSkewSaltedAgg,
-      qRepetition, qTopTerms)
+      qRepetition, qTopTerms, qMixSample)
 }

@@ -57,6 +57,42 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("contamination screen broadcasts the benchmark shingle set") {
+    val df = queries.Dedup.qContamination.run(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // every corpus doc reports, contamination within [0,1]
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("contamination"); c >= 0.0 && c <= 1.0
+    })
+  }
+
+  test("funnel stages are monotone: view ⊇ click-after ⊇ purchase-after") {
+    val stages = queries.EventWindows.qFunnel.run(spark, sf("sf0.001"))
+      .groupBy("funnel_stage").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def atLeast(k: Int) = stages.filter(_._1 >= k).values.sum
+    assert(atLeast(1) >= atLeast(2) && atLeast(2) >= atLeast(3))
+    assert(atLeast(3) > 0) // sf0.001 has purchases after clicks
+  }
+
+  test("mix sample keeps within-rate counts per language") {
+    val rows = queries.TextAnalysis.qMixSample.run(spark, sf("sf0.001"))
+      .collect()
+    rows.foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(kept <= n)
+      // non-default langs are downsampled BELOW cap only statistically;
+      // the hard invariant is determinism: re-running yields identical counts
+    }
+    val again = queries.TextAnalysis.qMixSample.run(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.sortBy(_.getAs[String]("lang")).toSeq ==
+      again.sortBy(_.getAs[String]("lang")).toSeq)
+  }
+
   test("pii scrub masks digit runs and keeps an audit count") {
     val r = queries.Cleaning.qPiiScrub.run(spark, sf("sf0.001"))
       .filter($"c_custkey" === 1).collect().head
