@@ -400,16 +400,21 @@ object Dedup {
   def embeddingNearDup(embeddings: DataFrame, tables: Int, bits: Int,
       cap: Int, threshold: Double): DataFrame = {
     import graft.functions.VectorExpressions.{quantize, quantizedDot}
+    // per-vector norm materialized with the signature (not re-derived
+    // per candidate pair — same doubles, same op order, 2 fewer dots
+    // per pair)
     val sig = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("qn", sqrt(quantizedDot(col("q"), col("q")).cast("double")))
       .localCheckpoint(true) // sig feeds buckets AND both cosine sides
     val pairs = annCandidatePairs(sig, tables, bits, cap)
-    val qa = sig.select(col("vec_id").as("a_id"), col("q").as("aq"))
-    val qb = sig.select(col("vec_id").as("b_id"), col("q").as("bq"))
+    val qa = sig.select(col("vec_id").as("a_id"), col("q").as("aq"),
+      col("qn").as("an"))
+    val qb = sig.select(col("vec_id").as("b_id"), col("q").as("bq"),
+      col("qn").as("bn"))
     val cos = round(
       quantizedDot(col("aq"), col("bq")).cast("double") /
-        (sqrt(quantizedDot(col("aq"), col("aq")).cast("double")) *
-         sqrt(quantizedDot(col("bq"), col("bq")).cast("double"))), 6)
+        (col("an") * col("bn")), 6)
     pairs.join(qa, "a_id").join(qb, "b_id")
       .select(col("a_id"), col("b_id"), cos.as("cosine"))
       .groupBy(col("a_id"))

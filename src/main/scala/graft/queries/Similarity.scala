@@ -48,13 +48,17 @@ object Similarity {
     "sim_cosine_topk",
     (s, d) => {
       import s.implicits._
-      val e = Tables.embeddings(s, d).select($"vec_id", quant($"embedding").as("q"))
+      // norms are per-VECTOR, not per-pair: compute sqrt(q·q) once per
+      // row on each side (vs once per joined row — 2/3 of the dot
+      // products in the 20×N nested loop were redundant self-dots).
+      // Same doubles, same operation order → bit-identical cosine.
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", quant($"embedding").as("q"))
+        .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
       val probes = e.filter($"vec_id" < 20)
-        .select($"vec_id".as("probe_id"), $"q".as("pq"))
+        .select($"vec_id".as("probe_id"), $"q".as("pq"), $"qn".as("pn"))
       val cos = round(
-        idot($"pq", $"q").cast("double") /
-          (sqrt(idot($"pq", $"pq").cast("double")) *
-           sqrt(idot($"q", $"q").cast("double"))), 6)
+        idot($"pq", $"q").cast("double") / ($"pn" * $"qn"), 6)
       val topk = udaf(new BoundedTopK(5), ExpressionEncoder[Scored]())
       e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
         .select($"probe_id", $"vec_id", cos.as("cosine"))
@@ -163,8 +167,12 @@ object Similarity {
     "sim_ivf_topk",
     (s, d) => {
       import s.implicits._
+      // per-vector norm computed ONCE before the checkpoint — every
+      // downstream pairing (centroid assignment and within-cell
+      // search) reuses it instead of re-deriving a self-dot per pair.
       val e = Tables.embeddings(s, d)
         .select($"vec_id", $"label", quant($"embedding").as("q"))
+        .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
         .localCheckpoint(true) // feeds centroids, assignment, search
       // centroid direction per label = element-wise sum vector
       val cent = e.select($"label".as("clabel"), posexplode($"q").as(Seq("pos", "v")))
@@ -172,10 +180,9 @@ object Similarity {
         .groupBy($"clabel")
         .agg(transform(array_sort(collect_list(struct($"pos", $"sv"))),
           x => x("sv")).as("cv"))
+        .withColumn("cn", sqrt(idot($"cv", $"cv").cast("double")))
       val ccos = round(
-        idot($"q", $"cv").cast("double") /
-          (sqrt(idot($"q", $"q").cast("double")) *
-           sqrt(idot($"cv", $"cv").cast("double"))), 6)
+        idot($"q", $"cv").cast("double") / ($"qn" * $"cn"), 6)
       // nearest centroid per vector: max(struct) — no window
       val assign = e.crossJoin(broadcast(cent))
         .select($"vec_id", ccos.as("ccos"), $"clabel")
@@ -183,13 +190,12 @@ object Similarity {
         .agg(max(struct($"ccos", (-$"clabel").as("nl"))).as("m"))
         .select($"vec_id", (-$"m.nl").as("cell"))
       val cells = e.join(assign, "vec_id")
-        .select($"vec_id", $"q", $"cell")
+        .select($"vec_id", $"q", $"qn", $"cell")
       val probes = cells.filter($"vec_id" < 20)
-        .select($"vec_id".as("probe_id"), $"q".as("pq"), $"cell".as("pcell"))
+        .select($"vec_id".as("probe_id"), $"q".as("pq"),
+          $"qn".as("pn"), $"cell".as("pcell"))
       val cos = round(
-        idot($"pq", $"q").cast("double") /
-          (sqrt(idot($"pq", $"pq").cast("double")) *
-           sqrt(idot($"q", $"q").cast("double"))), 6)
+        idot($"pq", $"q").cast("double") / ($"pn" * $"qn"), 6)
       val topk = udaf(new BoundedTopK(5), ExpressionEncoder[Scored]())
       cells.join(broadcast(probes),
           $"cell" === $"pcell" && $"vec_id" =!= $"probe_id")
