@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct, ShingleMinHash}
+import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct, ShingleHashes, ShingleMinHash}
 
 /** SQL exposure for the engine's native Catalyst expressions, so
   * spark.sql() users get them without touching the Scala API:
@@ -20,7 +20,9 @@ import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct, ShingleMinHash}
   *  - `i128_sum(double) -> double` — the exact order-independent sum
   *    (two-long i128 accumulator, decimal(…,6) per-row rounding);
   *  - `shingle_minhash(string) -> array<bigint>` — 8-permutation
-  *    MinHash signature over 3-word shingles in one codegen'd pass.
+  *    MinHash signature over 3-word shingles in one codegen'd pass;
+  *  - `shingle_hashes(string) -> array<bigint>` — the sorted-distinct
+  *    shingle hash set (membership-style dedup/contamination ops).
   *
   * Optimizer rules:
   *  - [[graft.plans.I128SumRewrite]] — `sum(CAST(x AS DECIMAL(p,6)))`
@@ -57,6 +59,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "shingle_minhash(text) takes 1 argument")
         ShingleMinHash(args.head)
+      }),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "shingle_hashes(text) takes 1 argument")
+        ShingleHashes(args.head)
       }))
 
   /** Apply the same registrations to a live session. */

@@ -307,16 +307,30 @@ object Dedup {
     * corpus (eval suites are MBs, corpora are TBs) — it is broadcast,
     * so the corpus side is one map-side probe + one hash-aggregate on
     * doc_id. No corpus-sized shuffle, no pairwise anything. */
+  /** Shared shingle-hash CTE for the contamination oracles: the
+    * DuckDB twin of [[org.apache.spark.sql.graft.ShingleHashes]]
+    * (distinct rolling hashes of the 3-word shingles; sort order is
+    * irrelevant post-unnest). */
+  private val hashExCte =
+    s"""t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         FROM documents),
+       sgl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       ex AS (SELECT doc_id,
+         unnest(list_distinct(list_transform(sh, v -> $polyHashSql))) AS h
+       FROM sgl)"""
+
   val qContamination = GraftQuery(
     "dd_contamination",
     (s, d) => {
       import s.implicits._
       val sh = Tables.documents(s, d)
-        .select($"doc_id", explode(shingles($"text")).as("s"))
-      val bench = sh.filter($"doc_id" < 50).select($"s").distinct()
+        .select($"doc_id",
+          explode(org.apache.spark.sql.graft.ShingleHashes.of($"text")).as("h"))
+      val bench = sh.filter($"doc_id" < 50).select($"h").distinct()
       val corpus = sh.filter($"doc_id" >= 50)
       corpus
-        .join(broadcast(bench.withColumn("hit", lit(1))), Seq("s"), "left")
+        .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left")
         .groupBy($"doc_id")
         .agg(count($"hit").as("n_overlap"), count(lit(1)).as("n_shingles"))
         .select($"doc_id", $"n_overlap", $"n_shingles",
@@ -326,16 +340,12 @@ object Dedup {
             .as("contaminated"))
     },
     Some(s"""
-      WITH t AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-        FROM documents),
-      s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-      ex AS (SELECT doc_id, unnest(sh) AS s FROM s),
-      bench AS (SELECT DISTINCT s FROM ex WHERE doc_id < 50),
+      WITH $hashExCte,
+      bench AS (SELECT DISTINCT h FROM ex WHERE doc_id < 50),
       corpus AS (SELECT * FROM ex WHERE doc_id >= 50),
       o AS (
-        SELECT c.doc_id, COUNT(b.s) AS n_overlap, COUNT(*) AS n_shingles
-        FROM corpus c LEFT JOIN bench b ON c.s = b.s
+        SELECT c.doc_id, COUNT(b.h) AS n_overlap, COUNT(*) AS n_shingles
+        FROM corpus c LEFT JOIN bench b ON c.h = b.h
         GROUP BY 1)
       SELECT doc_id,
         CAST(n_overlap AS BIGINT) AS n_overlap,
@@ -474,7 +484,124 @@ object Dedup {
       FROM ranked WHERE rk = 1"""
     })
 
+  /** Chunk-level exact dedup (the C4 "line dedup" shape): documents
+    * are cut into deterministic 10-token chunks, each chunk is kept
+    * only at its first occurrence corpus-wide (lowest (doc_id, pos)),
+    * and the per-document report shows how much text global span
+    * dedup removes. The fixture text has no newlines, so fixed-width
+    * token chunks stand in for lines — the dataflow is identical.
+    *
+    * Scale shape: explode to (fp=md5(chunk), doc_id, pos) — the md5
+    * key keeps the shuffle narrow (16 bytes, not the chunk text);
+    * winner-per-fp is a min(struct) hash-aggregate with map-side
+    * partials; the winner table joins back on fp (same key as the
+    * aggregate, so the exchange is reused, and fp is
+    * content-uniform — no skew); the final rollup shuffles on doc_id.
+    * No window over the corpus, no driver-side state. */
+  val qChunkDedup = GraftQuery(
+    "dd_chunk_dedup",
+    (s, d) => {
+      import s.implicits._
+      val toks = split(trim($"text"), "\\s+")
+      val nCh = ceil(size(toks) / lit(10.0)).cast("int")
+      val chunkArr = transform(sequence(lit(0), nCh - 1),
+        i => md5(array_join(slice(toks, i * 10 + 1, lit(10)), " ")))
+      val chunks = Tables.documents(s, d)
+        .select($"doc_id", size(toks).as("n_toks"),
+          posexplode(chunkArr).as(Seq("pos", "fp")))
+        .select($"doc_id", $"pos", $"fp",
+          least(lit(10), $"n_toks" - $"pos" * 10).cast("long").as("n_tok"))
+      val winners = chunks.groupBy($"fp")
+        .agg(min(struct($"doc_id", $"pos")).as("w"))
+        .select($"fp", $"w.doc_id".as("w_doc"), $"w.pos".as("w_pos"))
+      chunks.join(winners, "fp")
+        .withColumn("kept", $"doc_id" === $"w_doc" && $"pos" === $"w_pos")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_kept_chunks"),
+          sum($"n_tok").as("n_tokens"),
+          sum(when($"kept", $"n_tok").otherwise(0L)).as("n_tokens_kept"))
+        .select($"doc_id", $"n_chunks", $"n_kept_chunks", $"n_tokens",
+          $"n_tokens_kept",
+          round(lit(1.0) - $"n_tokens_kept".cast("double") / $"n_tokens", 6)
+            .as("frac_tokens_removed"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      c0 AS (
+        SELECT doc_id,
+          unnest(list_transform(range(0, CAST(ceil(length(toks) / 10.0) AS BIGINT)),
+            i -> {'pos': i,
+                  'fp': md5(array_to_string(list_slice(toks, i*10 + 1, i*10 + 10), ' ')),
+                  'n_tok': least(10, length(toks) - i*10)})) AS ch
+        FROM t),
+      c AS (
+        SELECT doc_id, ch['pos'] AS pos, ch['fp'] AS fp,
+          CAST(ch['n_tok'] AS BIGINT) AS n_tok
+        FROM c0),
+      r AS (
+        SELECT doc_id, n_tok,
+          ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+        FROM c),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_chunks,
+          SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept_chunks,
+          SUM(n_tok) AS n_tokens,
+          SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS n_tokens_kept
+        FROM r GROUP BY 1)
+      SELECT doc_id,
+        CAST(n_chunks AS BIGINT) AS n_chunks,
+        CAST(n_kept_chunks AS BIGINT) AS n_kept_chunks,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_tokens_kept AS BIGINT) AS n_tokens_kept,
+        round(1.0 - CAST(n_tokens_kept AS DOUBLE) / n_tokens, 6)
+          AS frac_tokens_removed
+      FROM agg"""))
+
+  /** Bloom-prefiltered contamination screen — the companion to
+    * [[qContamination]] for when the benchmark shingle set is too big
+    * to broadcast as a hash table but fits as a Bloom filter (bits
+    * per item, not strings). The sketch is built distributed and
+    * merged on the driver ([[org.apache.spark.sql.DataFrameStatFunctions.bloomFilter]]),
+    * broadcast to every executor, and probed map-side — only the
+    * ~hit-rate+fpp fraction of corpus shingles reaches the exact
+    * confirm join, so the corpus-sized shuffle disappears. False
+    * positives are removed by the exact join; false negatives are
+    * impossible — the result is bit-identical to the plain join the
+    * oracle runs. The probe is a broadcast UDF by necessity (the
+    * public BloomFilter API); it gates a prefilter, not a result.
+    * Output: contaminated corpus docs only, with their benchmark-hit
+    * shingle count. */
+  val qBloomContamination = GraftQuery(
+    "dd_bloom_contamination",
+    (s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id",
+          explode(org.apache.spark.sql.graft.ShingleHashes.of($"text")).as("h"))
+      val bench = sh.filter($"doc_id" < 50).select($"h").distinct()
+      val nBench = bench.count()
+      val bf = bench.stat.bloomFilter("h", math.max(nBench, 1L), 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((x: Long) => bfB.value.mightContainLong(x))
+      sh.filter($"doc_id" >= 50)
+        .filter(mightContain($"h"))
+        .join(bench, Seq("h"), "left_semi")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hit_shingles"))
+    },
+    Some(s"""
+      WITH $hashExCte,
+      bench AS (SELECT DISTINCT h FROM ex WHERE doc_id < 50)
+      SELECT c.doc_id, COUNT(*) AS n_hit_shingles
+      FROM ex c JOIN bench b USING (h)
+      WHERE c.doc_id >= 50
+      GROUP BY 1"""))
+
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
-      qEmbeddingNearDup, qDupClusters, qContamination)
+      qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
+      qBloomContamination)
 }

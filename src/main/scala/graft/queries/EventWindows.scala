@@ -269,7 +269,59 @@ object EventWindows {
       LEFT JOIN c ON u.user_id = c.user_id
       LEFT JOIN p ON u.user_id = p.user_id"""))
 
+  /** Weekly cohort retention — the engagement report every
+    * product/training-data pipeline runs: users are grouped into
+    * cohorts by the week of their first event; each later active week
+    * counts toward that cohort's retention at its week offset.
+    *
+    * Scale shape: one distinct on (user_id, week) — the only
+    * corpus-sized shuffle; the per-user first-week aggregate and the
+    * cohort join are both keyed on user_id, so the exchange is
+    * reused; the cohort×offset matrix is tiny (weeks², not users),
+    * and the offset-0 base joins back broadcast. */
+  val qRetentionCohorts = GraftQuery(
+    "w_retention_cohorts",
+    (s, d) => {
+      import s.implicits._
+      // cohort_week stays TimestampType end-to-end (parquet DATE vs
+      // DuckDB DATE decode differently in the driver's compare)
+      val weeks = Tables.events(s, d)
+        .select($"user_id", date_trunc("week", $"ts").as("w"))
+        .distinct()
+      val cohorts = weeks.groupBy($"user_id").agg(min($"w").as("cohort_week"))
+      val counts = weeks.join(cohorts, "user_id")
+        .select($"cohort_week",
+          (datediff($"w".cast("date"), $"cohort_week".cast("date")) / 7)
+            .cast("int").as("week_offset"))
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(count(lit(1)).as("n_users"))
+      val base = counts.filter($"week_offset" === 0)
+        .select($"cohort_week", $"n_users".as("cohort_size"))
+      counts.join(broadcast(base), "cohort_week")
+        .select($"cohort_week", $"week_offset", $"n_users",
+          round($"n_users".cast("double") / $"cohort_size", 6).as("retention"))
+    },
+    Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+          date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+        FROM events),
+      c AS (SELECT user_id, min(w) AS cohort_week FROM uw GROUP BY 1),
+      j AS (
+        SELECT c.cohort_week,
+          CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+                         CAST(uw.w AS DATE)) / 7 AS INT) AS week_offset
+        FROM uw JOIN c USING (user_id)),
+      n AS (SELECT cohort_week, week_offset, COUNT(*) AS n_users
+            FROM j GROUP BY 1, 2),
+      b AS (SELECT cohort_week, n_users AS cohort_size FROM n
+            WHERE week_offset = 0)
+      SELECT n.cohort_week, n.week_offset,
+        CAST(n.n_users AS BIGINT) AS n_users,
+        round(CAST(n.n_users AS DOUBLE) / b.cohort_size, 6) AS retention
+      FROM n JOIN b USING (cohort_week)"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
-      qAsOfPriorView, qIntervalJoin, qFunnel)
+      qAsOfPriorView, qIntervalJoin, qFunnel, qRetentionCohorts)
 }

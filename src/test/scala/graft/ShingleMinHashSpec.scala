@@ -60,6 +60,36 @@ class ShingleMinHashSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [shingle_minhash"), s"plan was:\n$plan")
   }
 
+  test("shingle_hashes: sorted-distinct set, consistent with the signature") {
+    import ShingleMinHash.{A, B, P}
+    import org.apache.spark.sql.graft.ShingleHashes
+    val rows = Tables.documents(spark, sf("sf0.001"))
+      .select($"text", ShingleHashes.of($"text").as("hs"),
+        ShingleMinHash.of($"text").as("sig"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hs = r.getSeq[Long](1)
+      // canonical form: strictly increasing (sorted + distinct)
+      assert(hs.zip(hs.drop(1)).forall { case (a, b) => a < b })
+      // the MinHash signature is derivable from the hash set: dupes
+      // never move a minimum, so min over permuted set == signature
+      val sig = r.getSeq[Long](2)
+      (0 until 8).foreach { i =>
+        assert(hs.map(v => (v * A(i) + B(i)) % P).min == sig(i))
+      }
+    }
+    // codegen + SQL surface
+    val plan = Tables.documents(spark, sf("sf0.001"))
+      .select(ShingleHashes.of($"text").as("hs"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("shingle_hashes"), plan)
+    GraftExtensions.register(spark)
+    // "x y z x y z" has 4 shingles, of which "x y z" repeats → 3 distinct
+    assert(spark.sql("SELECT shingle_hashes('x y z x y z') AS h")
+      .collect().head.getSeq[Long](0).size == 3)
+  }
+
   test("SQL registration via extensions") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT shingle_minhash('x y z') AS sig")

@@ -93,6 +93,75 @@ class TextOpsSpec extends SparkSpec {
       again.sortBy(_.getAs[String]("lang")).toSeq)
   }
 
+  private def docsDir(texts: Seq[(Long, String)]): String = {
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("chunk dedup keeps first occurrence only and conserves tokens") {
+    // doc 0: two chunks (25 tokens); doc 1 repeats doc 0's first chunk
+    // exactly, then diverges; doc 2 is doc 1 verbatim (all dup).
+    val chunk1 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val rest0 = (11 to 25).map(i => s"w$i").mkString(" ")
+    val rest1 = (1 to 10).map(i => s"x$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, s"$chunk1 $rest0"),
+      (1L, s"$chunk1 $rest1"),
+      (2L, s"$chunk1 $rest1")))
+    val rows = queries.Dedup.qChunkDedup.run(spark, dir)
+      .orderBy($"doc_id").collect()
+    // doc 0 keeps everything (first occurrence of all its chunks)
+    assert(rows(0).getAs[Long]("n_chunks") == 3 &&
+      rows(0).getAs[Long]("n_kept_chunks") == 3 &&
+      rows(0).getAs[Long]("n_tokens") == 25 &&
+      rows(0).getAs[Double]("frac_tokens_removed") == 0.0)
+    // doc 1 loses its first chunk (seen in doc 0), keeps its second
+    assert(rows(1).getAs[Long]("n_chunks") == 2 &&
+      rows(1).getAs[Long]("n_kept_chunks") == 1 &&
+      rows(1).getAs[Long]("n_tokens_kept") == 10)
+    // doc 2 is fully removed
+    assert(rows(2).getAs[Long]("n_kept_chunks") == 0 &&
+      rows(2).getAs[Double]("frac_tokens_removed") == 1.0)
+    // winner selection is an aggregate+join, never a corpus window
+    val plan = queries.Dedup.qChunkDedup.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("bloom contamination equals the exact join and only flags hits") {
+    // bench doc 0 (<50); corpus doc 60 shares its full text (every
+    // shingle hits), doc 61 shares nothing.
+    val bench = "alpha beta gamma delta epsilon zeta"
+    val dir = docsDir(Seq(
+      (0L, bench),
+      (60L, bench),
+      (61L, "one two three four five six seven")))
+    val rows = queries.Dedup.qBloomContamination.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 6 tokens → 4 distinct 3-shingles, all contaminated
+    assert(rows == Map(60L -> 4L))
+  }
+
+  test("retention cohorts: offset 0 is full retention, later ≤ cohort") {
+    val rows = queries.EventWindows.qRetentionCohorts
+      .run(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Timestamp]("cohort_week"))
+    byCohort.values.foreach { rs =>
+      val base = rs.find(_.getAs[Int]("week_offset") == 0).get
+      assert(base.getAs[Double]("retention") == 1.0)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_users") <= base.getAs[Long]("n_users"))
+        val ret = r.getAs[Double]("retention")
+        assert(ret > 0.0 && ret <= 1.0)
+      }
+    }
+  }
+
   test("pii scrub masks digit runs and keeps an audit count") {
     val r = queries.Cleaning.qPiiScrub.run(spark, sf("sf0.001"))
       .filter($"c_custkey" === 1).collect().head
