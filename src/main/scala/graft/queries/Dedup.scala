@@ -600,8 +600,56 @@ object Dedup {
       WHERE c.doc_id >= 50
       GROUP BY 1"""))
 
+  /** The verify side of LSH dedup run on its REAL input: exact
+    * shingle-set Jaccard over the LSH candidate pairs (not the
+    * pinned linear pair set of [[qNgramJaccard]], which exists to
+    * pin the Jaccard arithmetic itself). This is the end-to-end
+    * production pipeline: signatures → banding → candidates → exact
+    * verify → is_dup decision at θ=0.8.
+    *
+    * Scale shape: candidates ≪ N² by construction; the shingle-hash
+    * sets (sorted-distinct int64 arrays from the native
+    * [[org.apache.spark.sql.graft.ShingleHashes]]) join candidates by
+    * doc id — two hash joins keyed on doc_a/doc_b — and the per-pair
+    * intersect/union is linear in document length. No text rides the
+    * shuffle, only hash arrays. */
+  val qVerifiedPairs = GraftQuery(
+    "dd_verified_pairs",
+    (s, d) => {
+      import s.implicits._
+      val cand = pairsFromSignatures(cachedSignatures(s, d))
+        .select($"doc_a", $"doc_b")
+      val hs = Tables.documents(s, d).select($"doc_id",
+        org.apache.spark.sql.graft.ShingleHashes.of($"text").as("hsh"))
+      val a = hs.select($"doc_id".as("doc_a"), $"hsh".as("hs_a"))
+      val b = hs.select($"doc_id".as("doc_b"), $"hsh".as("hs_b"))
+      val jac = round(
+        size(array_intersect($"hs_a", $"hs_b")).cast("double") /
+          size(array_union($"hs_a", $"hs_b")), 6)
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .select($"doc_a", $"doc_b", jac.as("jaccard"),
+          (jac >= 0.8).as("is_dup"))
+    },
+    Some(s"""$sigCte, $bandsCte,
+      cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+      hs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(sh, v -> $polyHashSql)) AS hsh
+        FROM s)
+      SELECT c.doc_a, c.doc_b,
+        round(CAST(length(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+          length(list_distinct(list_concat(a.hsh, b.hsh))), 6) AS jaccard,
+        round(CAST(length(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+          length(list_distinct(list_concat(a.hsh, b.hsh))), 6) >= 0.8 AS is_dup
+      FROM cand c
+      JOIN hs a ON a.doc_id = c.doc_a
+      JOIN hs b ON b.doc_id = c.doc_b"""))
+
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
       qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
-      qBloomContamination)
+      qBloomContamination, qVerifiedPairs)
 }

@@ -146,6 +146,25 @@ class TextOpsSpec extends SparkSpec {
     assert(rows == Map(60L -> 4L))
   }
 
+  test("verified pairs: exact jaccard on LSH candidates, dup flagged at θ") {
+    // identical docs MUST collide in every band → candidate + jaccard 1;
+    // the third doc shares no shingle with them
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    val dir = docsDir(Seq((0L, text), (1L, text), (2L, other)))
+    val rows = queries.Dedup.qVerifiedPairs.run(spark, dir).collect()
+    val dup = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(dup.isDefined)
+    assert(dup.get.getAs[Double]("jaccard") == 1.0 &&
+      dup.get.getAs[Boolean]("is_dup"))
+    // every verified pair is an LSH candidate (verify never widens)
+    val cand = queries.Dedup.lshCandidatePairs(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).forall(cand.contains))
+  }
+
   test("retention cohorts: offset 0 is full retention, later ≤ cohort") {
     val rows = queries.EventWindows.qRetentionCohorts
       .run(spark, sf("sf0.001")).collect()
