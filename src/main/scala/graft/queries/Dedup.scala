@@ -159,18 +159,28 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame): DataFrame =
     pairsFromSignatures(signatureTable(docs))
 
-  private def pairsFromSignatures(sig: DataFrame): DataFrame = {
-    val bands = (0 until 4).map { b =>
+  /** (doc_id, band, bucket, mh0..mh7) rows — 4 bands × 2 signature
+    * rows per doc; the probe table both the self-join pair generator
+    * and the incremental batch-vs-corpus probe read. */
+  private def bandFrame(sig: DataFrame): DataFrame =
+    (0 until 4).map { b =>
       val cols = Seq(col("doc_id"), lit(b).as("band"),
         concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bucket")) ++
         (0 until 8).map(i => col(s"mh$i"))
       sig.select(cols: _*)
     }.reduce(_ union _)
-    val l = bands.as("l")
-    val r = bands.as("r")
-    val agree = (0 until 8).map(i =>
+
+  /** Signature agreement count between the l./r. sides of a band join. */
+  private def sigAgreement: Column =
+    (0 until 8).map(i =>
       when(col(s"l.mh$i") === col(s"r.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
+
+  private def pairsFromSignatures(sig: DataFrame): DataFrame = {
+    val bands = bandFrame(sig)
+    val l = bands.as("l")
+    val r = bands.as("r")
+    val agree = sigAgreement
     l.join(r,
         col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket") &&
@@ -648,8 +658,84 @@ object Dedup {
       JOIN hs a ON a.doc_id = c.doc_a
       JOIN hs b ON b.doc_id = c.doc_b"""))
 
+  /** Incremental-ingestion dedup triage — the shape a production
+    * corpus actually runs: a NEW batch (doc_id ≥ 400; the pinned
+    * stand-in for "this cycle's ingest") is checked against the
+    * EXISTING corpus (doc_id < 400), never against itself, and each
+    * batch doc is classified:
+    *
+    *  - `exact_dup`  — same normalized-text md5 as a corpus doc
+    *    (dup_of = lowest matching corpus id);
+    *  - `near_dup`   — ≥4 of 8 MinHash agreements with some corpus
+    *    doc via LSH band probe (dup_of = best candidate: most
+    *    agreements, ties to lowest id);
+    *  - `novel`      — neither.
+    *
+    * Exact wins over near. Scale shape: the batch probes the
+    * corpus's PERSISTED signature artifact (cachedSignatures — no
+    * corpus re-scan); both the fingerprint join and the band probe
+    * shuffle batch-sized, not corpus-sized, data on hash keys; the
+    * best-candidate pick is a max(struct) hash-aggregate keyed on
+    * batch doc_id, not a window. */
+  val qIncremental = GraftQuery(
+    "dd_incremental",
+    (s, d) => {
+      import s.implicits._
+      val norm = md5(array_join(split(trim($"text"), "\\s+"), " "))
+      val fps = Tables.documents(s, d).select($"doc_id", norm.as("fp"))
+      val corpusFp = fps.filter($"doc_id" < 400)
+        .groupBy($"fp").agg(min($"doc_id").as("exact_of"))
+      val exact = fps.filter($"doc_id" >= 400)
+        .join(corpusFp, Seq("fp"), "left")
+        .select($"doc_id", $"exact_of")
+      val bands = bandFrame(cachedSignatures(s, d))
+      val near = bands.filter(col("doc_id") < 400).as("l")
+        .join(bands.filter(col("doc_id") >= 400).as("r"),
+          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+        .select(col("r.doc_id").as("doc_id"),
+          col("l.doc_id").as("cand"), sigAgreement.as("agree"))
+        .filter($"agree" >= 4)
+        .groupBy($"doc_id")
+        .agg(max(struct($"agree", (-$"cand").as("nc"))).as("m"))
+        .select($"doc_id", (-$"m.nc").as("near_of"))
+      exact.join(near, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"exact_of".isNotNull, "exact_dup")
+            .when($"near_of".isNotNull, "near_dup")
+            .otherwise("novel").as("status"),
+          coalesce($"exact_of", $"near_of").as("dup_of"))
+    },
+    Some(s"""$sigCte, $bandsCte,
+      fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t),
+      cfp AS (SELECT fp, min(doc_id) AS exact_of FROM fp
+              WHERE doc_id < 400 GROUP BY 1),
+      ex AS (
+        SELECT b.doc_id, c.exact_of
+        FROM (SELECT doc_id, fp FROM fp WHERE doc_id >= 400) b
+        LEFT JOIN cfp c USING (fp)),
+      near0 AS (
+        SELECT r.doc_id,
+          l.doc_id AS cand,
+          ${(0 until 8).map(i => s"(CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS agree
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bucket = r.bucket
+        WHERE l.doc_id < 400 AND r.doc_id >= 400),
+      near AS (
+        SELECT doc_id, cand AS near_of FROM (
+          SELECT doc_id, cand, agree,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY agree DESC, cand ASC) AS rn
+          FROM near0 WHERE agree >= 4)
+        WHERE rn = 1)
+      SELECT e.doc_id,
+        CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+             WHEN n.near_of IS NOT NULL THEN 'near_dup'
+             ELSE 'novel' END AS status,
+        coalesce(e.exact_of, n.near_of) AS dup_of
+      FROM ex e LEFT JOIN near n USING (doc_id)"""))
+
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
       qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
-      qBloomContamination, qVerifiedPairs)
+      qBloomContamination, qVerifiedPairs, qIncremental)
 }

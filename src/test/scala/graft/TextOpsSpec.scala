@@ -165,6 +165,26 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).forall(cand.contains))
   }
 
+  test("incremental dedup triages batch docs: exact, near, novel") {
+    val a = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 40).map(i => s"beta$i").mkString(" ")
+    // bNear: one token changed → fingerprint differs, signature mostly agrees
+    val bNear = b.replace("beta20", "CHANGED")
+    val dir = docsDir(Seq(
+      (0L, a), (1L, b),                  // existing corpus
+      (400L, a),                         // exact copy of 0
+      (401L, bNear),                     // near copy of 1
+      (402L, (1 to 40).map(i => s"gamma$i").mkString(" "))))  // novel
+    val rows = queries.Dedup.qIncremental.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(rows(400L) == ("exact_dup", 0L))
+    assert(rows(401L) == ("near_dup", 1L))
+    assert(rows(402L) == ("novel", -1L))
+    // batch docs never match each other — only the corpus
+    assert(rows.keySet == Set(400L, 401L, 402L))
+  }
+
   test("retention cohorts: offset 0 is full retention, later ≤ cohort") {
     val rows = queries.EventWindows.qRetentionCohorts
       .run(spark, sf("sf0.001")).collect()
