@@ -444,34 +444,32 @@ object Dedup {
         (col("m.cosine") >= threshold).as("near_dup"))
   }
 
-  /** Registry instantiation: 2 tables × 8 bits, cap 128, θ=0.42.
-    * The oracle mirrors the exact construction (same planes, same
-    * deterministic cap, same tie-breaks). */
-  val qEmbeddingNearDup = GraftQuery(
-    "dd_embedding_neardup",
-    (s, d) => embeddingNearDup(Tables.embeddings(s, d),
-      tables = 2, bits = 8, cap = 128, threshold = 0.42),
-    Some {
-      def planeSql(p: Int): String =
-        s"""(CASE WHEN list_sum(list_transform(range(1, 65), i ->
-           CASE WHEN (((i - 1 + ${64L * p}) * 1103515245 + 12345) >> 16) & 1 = 1
-           THEN q[i] ELSE -q[i] END)) >= 0 THEN ${1L << (p % 8)} ELSE 0 END)"""
-      def tableSql(t: Int): String =
-        s"""SELECT vec_id, $t AS tbl,
-            ${(t * 8 until t * 8 + 8).map(planeSql).mkString(" + ")} AS bucket
-            FROM q"""
-      s"""
+  /** Shared DuckDB CTE chain replaying the multi-table ANN candidate
+    * construction + exact cosine scoring + per-vector ranking —
+    * produces CTEs `q`, `bands`, `capped`, `pairs`, `scored`,
+    * `ranked` (ranked has a_id, b_id, cosine, rk). Used by the
+    * near-dup oracle (rk = 1) and the kNN-graph oracle (rk ≤ k). */
+  private[queries] def annRankedCtes(tables: Int, cap: Int): String = {
+    def planeSql(p: Int): String =
+      s"""(CASE WHEN list_sum(list_transform(range(1, 65), i ->
+         CASE WHEN (((i - 1 + ${64L * p}) * 1103515245 + 12345) >> 16) & 1 = 1
+         THEN q[i] ELSE -q[i] END)) >= 0 THEN ${1L << (p % 8)} ELSE 0 END)"""
+    def tableSql(t: Int): String =
+      s"""SELECT vec_id, $t AS tbl,
+          ${(t * 8 until t * 8 + 8).map(planeSql).mkString(" + ")} AS bucket
+          FROM q"""
+    s"""
       WITH q AS (
         SELECT vec_id,
           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
         FROM embeddings),
-      bands AS (${(0 until 2).map(tableSql).mkString(" UNION ALL ")}),
+      bands AS (${(0 until tables).map(tableSql).mkString(" UNION ALL ")}),
       capped AS (
         SELECT vec_id, tbl, bucket FROM (
           SELECT vec_id, tbl, bucket,
             ROW_NUMBER() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn
           FROM bands)
-        WHERE rn <= 128),
+        WHERE rn <= $cap),
       pairs AS (
         SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
         FROM capped l JOIN capped r
@@ -489,10 +487,19 @@ object Dedup {
       ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
                                      ORDER BY cosine DESC, b_id ASC) AS rk
-        FROM scored)
+        FROM scored)"""
+  }
+
+  /** Registry instantiation: 2 tables × 8 bits, cap 128, θ=0.42.
+    * The oracle mirrors the exact construction (same planes, same
+    * deterministic cap, same tie-breaks). */
+  val qEmbeddingNearDup = GraftQuery(
+    "dd_embedding_neardup",
+    (s, d) => embeddingNearDup(Tables.embeddings(s, d),
+      tables = 2, bits = 8, cap = 128, threshold = 0.42),
+    Some(s"""${annRankedCtes(tables = 2, cap = 128)}
       SELECT a_id, b_id AS nearest_in_bucket, cosine, cosine >= 0.42 AS near_dup
-      FROM ranked WHERE rk = 1"""
-    })
+      FROM ranked WHERE rk = 1"""))
 
   /** Chunk-level exact dedup (the C4 "line dedup" shape): documents
     * are cut into deterministic 10-token chunks, each chunk is kept

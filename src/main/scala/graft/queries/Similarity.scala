@@ -249,6 +249,43 @@ object Similarity {
         FROM sims)
       SELECT probe_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5"""))
 
+  /** Symmetric k-NN graph (k=3) over the multi-table ANN candidate
+    * pairs — the neighborhood structure semantic clustering / quality
+    * propagation jobs consume. Same candidate construction as
+    * dd_embedding_neardup (2 tables × 8 bits, cap 128; both pair
+    * directions present), ranked per vector by (cosine DESC, id ASC)
+    * with the [[BoundedTopK]] hash-aggregate.
+    *
+    * Scale shape: identical to the near-dup query — signature
+    * artifact checkpointed once, candidate shuffle on (tbl, bucket),
+    * two id-keyed hash joins for the quantized vectors, and the
+    * per-node ranking is a map-side-partial aggregate whose
+    * parallelism follows the vec_id key space. */
+  val qKnnGraph = GraftQuery(
+    "sim_knn_graph",
+    (s, d) => {
+      import s.implicits._
+      val sig = Tables.embeddings(s, d)
+        .select($"vec_id", quant($"embedding").as("q"))
+        .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
+        .localCheckpoint(true) // feeds buckets AND both cosine sides
+      val pairs = Dedup.annCandidatePairs(sig, tables = 2, bits = 8, cap = 128)
+      val qa = sig.select($"vec_id".as("a_id"), $"q".as("aq"), $"qn".as("an"))
+      val qb = sig.select($"vec_id".as("b_id"), $"q".as("bq"), $"qn".as("bn"))
+      val cos = round(idot($"aq", $"bq").cast("double") / ($"an" * $"bn"), 6)
+      val topk = udaf(new BoundedTopK(3), ExpressionEncoder[Scored]())
+      pairs.join(qa, "a_id").join(qb, "b_id")
+        .select($"a_id", $"b_id", cos.as("cosine"))
+        .groupBy($"a_id")
+        .agg(topk($"b_id", $"cosine").as("tk"))
+        .select($"a_id", posexplode($"tk").as(Seq("pos", "e")))
+        .select($"a_id".as("vec_id"), $"e.id".as("neighbor"),
+          $"e.score".as("cosine"), ($"pos" + 1).cast("int").as("rk"))
+    },
+    Some(s"""${Dedup.annRankedCtes(tables = 2, cap = 128)}
+      SELECT a_id AS vec_id, b_id AS neighbor, cosine, rk
+      FROM ranked WHERE rk <= 3"""))
+
   val all: Seq[GraftQuery] =
-    Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK)
+    Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK, qKnnGraph)
 }

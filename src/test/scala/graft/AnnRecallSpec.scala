@@ -81,6 +81,27 @@ class AnnRecallSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("knn graph: ranks are dense per node, rank 1 matches near-dup pick") {
+    val knn = queries.Similarity.qKnnGraph.run(spark, sf("sf0.001"))
+      .collect()
+    assert(knn.nonEmpty)
+    knn.foreach(r => assert(r.getLong(0) != r.getLong(1))) // no self edges
+    // per node: ranks are 1..m (m ≤ 3), cosines non-increasing
+    knn.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to sorted.length))
+      val cosines = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines.zip(cosines.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // the rank-1 edge agrees with dd_embedding_neardup's best pick
+    // (same candidate construction, same tie-break)
+    val nd = queries.Dedup.qEmbeddingNearDup.run(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    knn.filter(_.getAs[Int]("rk") == 1).foreach { r =>
+      assert(nd(r.getLong(0)) == r.getLong(1), s"node ${r.getLong(0)}")
+    }
+  }
+
   test("per-bucket cap bounds pair work and reports what it dropped") {
     val pops = Dedup.annBuckets(sig, 1, 2) // 4 buckets → forced overflow
       .groupBy($"tbl", $"bucket").count()
