@@ -1,10 +1,10 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.functions.{BoundedTopK, Scored, VectorExpressions}
+import graft.functions.VectorExpressions
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TopKAggregate
 
 /** Similarity search over the `embeddings` table (array<float>, 64-d).
   *
@@ -37,7 +37,9 @@ object Similarity {
   /** Brute-force cosine top-k: 5 nearest neighbors for each probe
     * (vec_id < 20), ranked by rounded cosine with id tie-break.
     *
-    * Ranking is a [[BoundedTopK]] hash-aggregate, NOT a window: with
+    * Ranking is a native bounded top-k hash-aggregate
+    * ([[org.apache.spark.sql.graft.TopKAggregate]] — primitive-array
+    * buffer, flat 16·k-byte shuffle serialization), NOT a window: with
     * only 20 probes, `row_number().over(partitionBy(probe_id))` would
     * sort all 20·N cosine rows in ≤20 tasks — a straggler wall at
     * scale. The aggregate reduces each input partition to ≤5 entries
@@ -59,11 +61,10 @@ object Similarity {
         .select($"vec_id".as("probe_id"), $"q".as("pq"), $"qn".as("pn"))
       val cos = round(
         idot($"pq", $"q").cast("double") / ($"pn" * $"qn"), 6)
-      val topk = udaf(new BoundedTopK(5), ExpressionEncoder[Scored]())
       e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
         .select($"probe_id", $"vec_id", cos.as("cosine"))
         .groupBy($"probe_id")
-        .agg(topk($"vec_id", $"cosine").as("tk"))
+        .agg(TopKAggregate.of($"vec_id", $"cosine", 5).as("tk"))
         .select($"probe_id", posexplode($"tk").as(Seq("pos", "e")))
         .select($"probe_id", $"e.id".as("vec_id"), $"e.score".as("cosine"),
           ($"pos" + 1).cast("int").as("rk"))
@@ -161,7 +162,7 @@ object Similarity {
     * vector and every comparison stays in exact int64 arithmetic on
     * both engines; no float centroid ever exists. Assignment tie-break
     * by lowest label; within-cell ranking by (cosine, vec_id) like
-    * sim_cosine_topk, via the same BoundedTopK aggregate (no
+    * sim_cosine_topk, via the same native top-k aggregate (no
     * probe-count window). */
   val qIvfTopK = GraftQuery(
     "sim_ivf_topk",
@@ -196,12 +197,11 @@ object Similarity {
           $"qn".as("pn"), $"cell".as("pcell"))
       val cos = round(
         idot($"pq", $"q").cast("double") / ($"pn" * $"qn"), 6)
-      val topk = udaf(new BoundedTopK(5), ExpressionEncoder[Scored]())
       cells.join(broadcast(probes),
           $"cell" === $"pcell" && $"vec_id" =!= $"probe_id")
         .select($"probe_id", $"vec_id", cos.as("cosine"))
         .groupBy($"probe_id")
-        .agg(topk($"vec_id", $"cosine").as("tk"))
+        .agg(TopKAggregate.of($"vec_id", $"cosine", 5).as("tk"))
         .select($"probe_id", posexplode($"tk").as(Seq("pos", "e")))
         .select($"probe_id", $"e.id".as("vec_id"), $"e.score".as("cosine"),
           ($"pos" + 1).cast("int").as("rk"))
@@ -254,7 +254,7 @@ object Similarity {
     * propagation jobs consume. Same candidate construction as
     * dd_embedding_neardup (2 tables × 8 bits, cap 128; both pair
     * directions present), ranked per vector by (cosine DESC, id ASC)
-    * with the [[BoundedTopK]] hash-aggregate.
+    * with the native bounded top-k hash-aggregate.
     *
     * Scale shape: identical to the near-dup query — signature
     * artifact checkpointed once, candidate shuffle on (tbl, bucket),
@@ -273,11 +273,10 @@ object Similarity {
       val qa = sig.select($"vec_id".as("a_id"), $"q".as("aq"), $"qn".as("an"))
       val qb = sig.select($"vec_id".as("b_id"), $"q".as("bq"), $"qn".as("bn"))
       val cos = round(idot($"aq", $"bq").cast("double") / ($"an" * $"bn"), 6)
-      val topk = udaf(new BoundedTopK(3), ExpressionEncoder[Scored]())
       pairs.join(qa, "a_id").join(qb, "b_id")
         .select($"a_id", $"b_id", cos.as("cosine"))
         .groupBy($"a_id")
-        .agg(topk($"b_id", $"cosine").as("tk"))
+        .agg(TopKAggregate.of($"b_id", $"cosine", 3).as("tk"))
         .select($"a_id", posexplode($"tk").as(Seq("pos", "e")))
         .select($"a_id".as("vec_id"), $"e.id".as("neighbor"),
           $"e.score".as("cosine"), ($"pos" + 1).cast("int").as("rk"))

@@ -29,4 +29,28 @@ object StreamingDedup {
       .withColumn("fp", fingerprint(col("text")))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming twin of `dd_incremental`'s exact triage: each arriving
+    * document is classified `exact_dup` (same normalized-text
+    * fingerprint as a corpus doc, with the canonical corpus id) or
+    * `novel`, via a stream-static left join against the corpus
+    * fingerprint table.
+    *
+    * Scale shape: the static side is the PERSISTED fingerprint
+    * artifact (16-byte md5 + id per corpus doc) and is broadcast —
+    * the stream side never shuffles and carries no state; re-planned
+    * per micro-batch, so a corpus refresh is picked up on the next
+    * batch. At corpus sizes past broadcast range the same plan runs
+    * as a shuffled stream-static join keyed on fp. */
+  def triageAgainstCorpus(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusFp = corpus
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("exact_of"))
+    docs
+      .withColumn("fp", fingerprint(col("text")))
+      .join(broadcast(corpusFp), Seq("fp"), "left")
+      .withColumn("status",
+        when(col("exact_of").isNotNull, "exact_dup").otherwise("novel"))
+      .withColumnRenamed("exact_of", "dup_of")
+  }
 }

@@ -36,4 +36,26 @@ class StreamingDedupSpec extends SparkSpec {
       assert(spark.table("sdedup").count() == 3)
     } finally q.stop()
   }
+
+  test("streaming triage classifies arrivals against the static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((0L, "known document one"), (1L, "known document two"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[String]
+    val out = StreamingDedup.triageAgainstCorpus(
+      input.toDF().toDF("text"), corpus)
+    val q = out.writeStream
+      .format("memory").queryName("striage").outputMode(OutputMode.Append)
+      .start()
+    try {
+      // whitespace-normalized dup of corpus doc 0 + a novel doc
+      input.addData("known  document   one", "never seen before")
+      q.processAllAvailable()
+      val rows = spark.table("striage")
+        .collect().map(r => r.getAs[String]("text") ->
+          (r.getAs[String]("status"), r.getAs[Any]("dup_of"))).toMap
+      assert(rows("known  document   one") == (("exact_dup", 0L)))
+      assert(rows("never seen before") == (("novel", null)))
+    } finally q.stop()
+  }
 }
