@@ -598,7 +598,11 @@ object Dedup {
       val sh = Tables.documents(s, d)
         .select($"doc_id",
           explode(org.apache.spark.sql.graft.ShingleHashes.of($"text")).as("h"))
+      // Materialize the benchmark shingle set once: count(), the bloom
+      // build, and the exact confirm join each launch a job over it,
+      // and without this each re-runs the scan+explode of documents.
       val bench = sh.filter($"doc_id" < 50).select($"h").distinct()
+        .localCheckpoint()
       val nBench = bench.count()
       val bf = bench.stat.bloomFilter("h", math.max(nBench, 1L), 0.01)
       val bfB = s.sparkContext.broadcast(bf)

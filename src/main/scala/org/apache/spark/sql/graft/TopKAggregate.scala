@@ -6,7 +6,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -52,7 +52,10 @@ final class TopKBuf(val k: Int) extends Serializable {
   * the window-free top-k shape.
   *
   * Returns `array<struct<id:bigint, score:double>>` ordered by
-  * score DESC, id ASC.
+  * score DESC, id ASC. NaN scores are dropped on update (a NaN has no
+  * place in a total order, so admitting it would make results depend
+  * on partition/merge arrival order; cosine yields NaN for a zero-norm
+  * vector and "unranked" is the honest answer for it).
   */
 case class TopKAggregate(
     id: Expression,
@@ -60,12 +63,14 @@ case class TopKAggregate(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuf] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[TopKBuf]
+  with BinaryLike[Expression] with ExpectsInputTypes {
 
   require(k > 0, "k must be positive")
 
   override def left: Expression = id
   override def right: Expression = score
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
   override def nullable: Boolean = false
   override def prettyName: String = "bounded_topk"
 
@@ -80,8 +85,10 @@ case class TopKAggregate(
   override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
     val i = id.eval(input)
     val s = score.eval(input)
-    if (i != null && s != null)
-      buf.insert(i.asInstanceOf[Long], s.asInstanceOf[Double])
+    if (i != null && s != null) {
+      val sv = s.asInstanceOf[Double]
+      if (!java.lang.Double.isNaN(sv)) buf.insert(i.asInstanceOf[Long], sv)
+    }
     buf
   }
 

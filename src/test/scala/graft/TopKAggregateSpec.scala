@@ -57,4 +57,24 @@ class TopKAggregateSpec extends SparkSpec {
     assert(m.n == 4)
     assert((0 until m.n).map(m.ids(_)) == Seq(3L, 1L, 5L, 2L)) // 4 (0.7) evicted
   }
+
+  test("NaN scores are dropped, not admitted in arrival order") {
+    // NaN breaks the total order, so it must never enter the buffer —
+    // regardless of whether it arrives while the buffer has room.
+    val df = Seq((1L, Double.NaN), (2L, 0.5), (3L, Double.NaN), (4L, 0.9))
+      .toDF("id", "score").repartition(3)
+    val out = df.agg(TopKAggregate.of($"id", $"score", 3).as("tk"))
+      .select(explode($"tk").as("e")).select($"e.id", $"e.score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((4L, 0.9), (2L, 0.5)))
+  }
+
+  test("mis-typed inputs fail at analysis time, not executor runtime") {
+    val df = Seq((1, 0.5f)).toDF("id", "score") // int id, float score
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(TopKAggregate.of($"id", $"score", 3)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("bounded_topk") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
 }
