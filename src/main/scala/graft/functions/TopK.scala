@@ -31,7 +31,9 @@ class BoundedTopK(k: Int)
   override def zero: Seq[Scored] = Seq.empty
 
   override def reduce(buf: Seq[Scored], v: Scored): Seq[Scored] =
-    if (buf.length >= k && ord.lteq(buf.last, v)) buf // v can't rank
+    if (v.score.isNaN) buf // same policy as the native TopKAggregate:
+    // NaN has no place in a total order, so it never enters the buffer
+    else if (buf.length >= k && ord.lteq(buf.last, v)) buf // v can't rank
     else (buf :+ v).sorted(ord).take(k)
 
   override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =

@@ -426,6 +426,10 @@ object Dedup {
     val sig = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("qn", sqrt(quantizedDot(col("q"), col("q")).cast("double")))
+      // zero-norm vectors are dropped symmetrically with the oracle's
+      // q CTE (see Similarity.cosineTopK scaladoc): their cosine is
+      // NaN everywhere and the two engines rank NaN differently
+      .filter(col("qn") > 0)
       .localCheckpoint(true) // sig feeds buckets AND both cosine sides
     val pairs = annCandidatePairs(sig, tables, bits, cap)
     val qa = sig.select(col("vec_id").as("a_id"), col("q").as("aq"),
@@ -459,10 +463,12 @@ object Dedup {
           ${(t * 8 until t * 8 + 8).map(planeSql).mkString(" + ")} AS bucket
           FROM q"""
     s"""
-      WITH q AS (
+      WITH q0 AS (
         SELECT vec_id,
           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
         FROM embeddings),
+      q AS (SELECT * FROM q0
+        WHERE list_sum(list_transform(q, x -> x * x)) > 0),
       bands AS (${(0 until tables).map(tableSql).mkString(" UNION ALL ")}),
       capped AS (
         SELECT vec_id, tbl, bucket FROM (

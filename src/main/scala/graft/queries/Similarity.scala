@@ -34,6 +34,20 @@ object Similarity {
   private val quantSql =
     "list_transform(%s, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
 
+  /** Oracle-side zero-norm guard: the `q` CTE every cosine oracle
+    * reads admits only vectors with a positive squared norm — the SQL
+    * twin of the engine's `qn > 0` filter (see [[cosineTopK]]).
+    * Without the symmetric pair, a zero vector would be absent from
+    * the native output (TopKAggregate drops its NaN cosine) but rank
+    * FIRST in the oracle (DuckDB's IEEE ordering sorts NaN greatest
+    * under DESC) — a latent cross-engine parity break. */
+  private def quantNormCte(extraCols: String = ""): String =
+    s"""q0 AS (
+        SELECT vec_id$extraCols, ${quantSql.format("embedding")} AS q
+        FROM embeddings),
+      q AS (SELECT * FROM q0
+        WHERE list_sum(list_transform(q, x -> x * x)) > 0)"""
+
   /** Brute-force cosine top-k: 5 nearest neighbors for each probe
     * (vec_id < 20), ranked by rounded cosine with id tie-break.
     *
@@ -45,34 +59,42 @@ object Similarity {
     * scale. The aggregate reduces each input partition to ≤5 entries
     * per probe map-side, so the one shuffle moves O(partitions·k)
     * rows and parallelism follows the CORPUS partitioning, not the
-    * probe count. */
+    * probe count.
+    *
+    * Zero-norm vectors are dropped up front (`qn > 0`, mirrored in
+    * the oracle's `q` CTE): their cosine is NaN on every pairing, the
+    * native aggregate refuses to rank NaN, and DuckDB would rank it
+    * first — filtering symmetrically pins the policy on both engines
+    * (ZeroNormSpec exercises the synthetic all-zero vector). */
+  private[graft] def cosineTopK(emb: org.apache.spark.sql.DataFrame,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    // norms are per-VECTOR, not per-pair: compute sqrt(q·q) once per
+    // row on each side (vs once per joined row — 2/3 of the dot
+    // products in the 20×N nested loop were redundant self-dots).
+    // Same doubles, same operation order → bit-identical cosine.
+    val e = emb
+      .select(col("vec_id"), quant(col("embedding")).as("q"))
+      .withColumn("qn", sqrt(idot(col("q"), col("q")).cast("double")))
+      .filter(col("qn") > 0)
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("qn").as("pn"))
+    val cos = round(
+      idot(col("pq"), col("q")).cast("double") / (col("pn") * col("qn")), 6)
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), cos.as("cosine"))
+      .groupBy(col("probe_id"))
+      .agg(TopKAggregate.of(col("vec_id"), col("cosine"), k).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("probe_id"), col("e.id").as("vec_id"),
+        col("e.score").as("cosine"), (col("pos") + 1).cast("int").as("rk"))
+  }
+
   val qCosineTopK = GraftQuery(
     "sim_cosine_topk",
-    (s, d) => {
-      import s.implicits._
-      // norms are per-VECTOR, not per-pair: compute sqrt(q·q) once per
-      // row on each side (vs once per joined row — 2/3 of the dot
-      // products in the 20×N nested loop were redundant self-dots).
-      // Same doubles, same operation order → bit-identical cosine.
-      val e = Tables.embeddings(s, d)
-        .select($"vec_id", quant($"embedding").as("q"))
-        .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
-      val probes = e.filter($"vec_id" < 20)
-        .select($"vec_id".as("probe_id"), $"q".as("pq"), $"qn".as("pn"))
-      val cos = round(
-        idot($"pq", $"q").cast("double") / ($"pn" * $"qn"), 6)
-      e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
-        .select($"probe_id", $"vec_id", cos.as("cosine"))
-        .groupBy($"probe_id")
-        .agg(TopKAggregate.of($"vec_id", $"cosine", 5).as("tk"))
-        .select($"probe_id", posexplode($"tk").as(Seq("pos", "e")))
-        .select($"probe_id", $"e.id".as("vec_id"), $"e.score".as("cosine"),
-          ($"pos" + 1).cast("int").as("rk"))
-    },
+    (s, d) => cosineTopK(Tables.embeddings(s, d)),
     Some(s"""
-      WITH q AS (
-        SELECT vec_id, ${quantSql.format("embedding")} AS q
-        FROM embeddings),
+      WITH ${quantNormCte()},
       p AS (SELECT vec_id AS probe_id, q AS pq FROM q WHERE vec_id < 20),
       sims AS (
         SELECT p.probe_id, q.vec_id,
@@ -174,6 +196,7 @@ object Similarity {
       val e = Tables.embeddings(s, d)
         .select($"vec_id", $"label", quant($"embedding").as("q"))
         .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
+        .filter($"qn" > 0) // zero-norm policy — see cosineTopK scaladoc
         .localCheckpoint(true) // feeds centroids, assignment, search
       // centroid direction per label = element-wise sum vector
       val cent = e.select($"label".as("clabel"), posexplode($"q").as(Seq("pos", "v")))
@@ -207,9 +230,7 @@ object Similarity {
           ($"pos" + 1).cast("int").as("rk"))
     },
     Some(s"""
-      WITH q AS (
-        SELECT vec_id, label, ${quantSql.format("embedding")} AS q
-        FROM embeddings),
+      WITH ${quantNormCte(", label")},
       cent AS (
         SELECT label AS clabel, list(sv ORDER BY i) AS cv FROM (
           SELECT label, i, CAST(SUM(q[i]) AS BIGINT) AS sv
@@ -268,6 +289,7 @@ object Similarity {
       val sig = Tables.embeddings(s, d)
         .select($"vec_id", quant($"embedding").as("q"))
         .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
+        .filter($"qn" > 0) // zero-norm policy — see cosineTopK scaladoc
         .localCheckpoint(true) // feeds buckets AND both cosine sides
       val pairs = Dedup.annCandidatePairs(sig, tables = 2, bits = 8, cap = 128)
       val qa = sig.select($"vec_id".as("a_id"), $"q".as("aq"), $"qn".as("an"))

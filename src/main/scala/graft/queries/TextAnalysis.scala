@@ -212,7 +212,14 @@ object TextAnalysis {
     * companion to exact countDistinct for 100 TB cardinality work. No
     * SQL oracle: DuckDB's approx_count_distinct uses a different
     * sketch, so the driver records the rows-only check; the exact
-    * column is there to eyeball the approximation in results. */
+    * column is there to eyeball the approximation in results.
+    *
+    * The sketch IS hard-checked, just not by cross-engine hashing:
+    * [[qExactDistinct]] is the oracle-able exact twin of this query,
+    * and TextOpsSpec gates the HLL estimate's relative error against
+    * it at ≤ 5% per source (the default rsd is 0.05, so a correct
+    * sketch sits inside that bound with huge margin at fixture
+    * cardinalities). */
   val qApproxDistinct = GraftQuery(
     "t_approx_distinct_tokens",
     (s, d) => {
@@ -225,6 +232,32 @@ object TextAnalysis {
              count(lit(1)).as("n_tokens"))
     },
     None)
+
+  /** Exact-distinct twin of [[qApproxDistinct]]: same explode + group,
+    * COUNT(DISTINCT) instead of the sketch — trivially oracle-able, so
+    * the approx-distinct surface gets a hash-checked anchor (the HLL
+    * row itself stays rows-only by design). Scale: COUNT(DISTINCT tok)
+    * is a two-phase hash-aggregate (partial distinct per partition on
+    * (source, tok), then merge) — the exact path you run while the
+    * corpus still fits, and the number the sketch is judged against. */
+  val qExactDistinct = GraftQuery(
+    "t_exact_distinct_tokens",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"source", explode(tokens($"text")).as("tok"))
+        .groupBy($"source")
+        .agg(countDistinct($"tok").as("exact_distinct_tokens"),
+             count(lit(1)).as("n_tokens"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents)
+      SELECT source, COUNT(DISTINCT tok) AS exact_distinct_tokens,
+        COUNT(*) AS n_tokens
+      FROM t GROUP BY source"""))
 
   /** Deterministic train/val split: assignment = md5(doc_id) bucket,
     * NOT random — reproducible across runs, engines and reshuffles,
@@ -472,6 +505,7 @@ object TextAnalysis {
 
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
-      qApproxDistinct, qTrainValSplit, qSequencePack, qSkewSaltedAgg,
+      qApproxDistinct, qExactDistinct, qTrainValSplit, qSequencePack,
+      qSkewSaltedAgg,
       qRepetition, qTopTerms, qMixSample)
 }

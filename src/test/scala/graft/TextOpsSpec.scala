@@ -209,4 +209,27 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_digit_runs") >= 1)
     assert(r.getAs[Int]("n_digits_redacted") >= 3)
   }
+
+  test("HLL approx distinct stays within 5% of the exact twin per source") {
+    // t_approx_distinct_tokens is rows-only in the driver's oracle
+    // sweep (DuckDB's sketch differs); this is its hard check — the
+    // estimate vs the hash-checked exact companion query. The default
+    // HLL++ rsd is 0.05, so a correct sketch clears 5% with margin at
+    // fixture cardinalities; a broken hash or merge blows straight
+    // through it.
+    val approx = queries.TextAnalysis.qApproxDistinct
+      .run(spark, sf("sf0.001"))
+      .select("source", "approx_distinct_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = queries.TextAnalysis.qExactDistinct
+      .run(spark, sf("sf0.001"))
+      .select("source", "exact_distinct_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, ex) =>
+      val ap = approx(src).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.05,
+        s"source $src: approx $ap vs exact $ex exceeds 5% relative error")
+    }
+  }
 }

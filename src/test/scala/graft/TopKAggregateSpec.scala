@@ -13,9 +13,14 @@ class TopKAggregateSpec extends SparkSpec {
   import spark.implicits._
 
   test("native top-k == Aggregator reference on a grouped fixture") {
-    // deterministic pseudo-random scores with planted exact ties
+    // deterministic pseudo-random scores with planted exact ties, plus
+    // planted NaN rows: both implementations must drop NaN (a NaN that
+    // entered either buffer would surface here as a set mismatch or as
+    // an arrival-order-dependent flake)
     val rows = for (g <- 0 until 7; i <- 0 until 200) yield
-      (g.toLong, i.toLong, ((i * 2654435761L + g) % 1000) / 1000.0)
+      (g.toLong, i.toLong,
+        if (i % 37 == 0) Double.NaN
+        else ((i * 2654435761L + g) % 1000) / 1000.0)
     val df = rows.toDF("g", "id", "score")
     val native = df.groupBy($"g")
       .agg(TopKAggregate.of($"id", $"score", 5).as("tk"))
