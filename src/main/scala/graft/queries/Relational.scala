@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Tables}
 import graft.Tables.{davg, dsum}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -407,21 +407,97 @@ object Relational {
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 
+  /** Integer floor-division on Columns: (a - a%b)/b is exact in
+    * double for |a| < 2^53 because the numerator is a representable
+    * multiple of b. Callers must guarantee b > 0 on evaluated rows. */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - (a % b)) / b).cast("long")
+
   /** Window-function breadth: rank/dense_rank/ntile/lead/lag over a
-    * fully tie-broken ordering. */
+    * fully tie-broken ordering — computed WITHOUT a window keyed on
+    * the 5-value o_orderpriority. `Window.partitionBy(priority)`
+    * funnels every order in the corpus through ≤5 sort tasks — the
+    * key space never grows with data, so at 100× it is a straggler
+    * wall. Instead, two-phase distributed ranking with a
+    * DATA-DERIVED bucket key: totalprice quantile split points are
+    * frozen on the driver (one approxQuantile pass, ~#buckets
+    * doubles of driver traffic), every row's bucket is then a pure
+    * function of its totalprice — identical on every recomputation,
+    * with none of the exchange-reuse coupling a
+    * spark_partition_id() bucketing would need — and rows are
+    * ranked per (priority, bucket) and merged with bucket-count
+    * offsets. Every window in the plan is keyed on
+    * (priority, bucket) — cardinality grows with the configured
+    * parallelism — and the only non-scalar driver data is the
+    * priorities×buckets count table (broadcast back). Equal-frequency
+    * buckets by construction, so no bucket straggles.
+    *
+    * The ORDER BY (totalprice DESC, orderkey ASC) is a total order —
+    * o_orderkey is the table key — so rank == dense_rank ==
+    * row_number by definition (no ties exist; the oracle's RANK over
+    * the same spec agrees identically). ntile(4) is derived from the
+    * global row number and the per-priority count by the standard
+    * first-(n mod t)-tiles-get-one-extra rule; lead/lag re-join on
+    * the dense (priority, rn) key — two hash joins on keys that
+    * scale with data, replacing cross-partition row handoff. */
   val qWindowFuncs = GraftQuery(
     "q_window_functions",
     (s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"o_orderpriority")
+      val orders = Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      val nb = math.max(s.conf.get("spark.sql.shuffle.partitions").toInt, 2)
+      val splitPoints = orders.stat.approxQuantile("o_totalprice",
+        (1 until nb).map(_.toDouble / nb).toArray, 0.01).distinct.sorted
+      // bucket = how many split points this price exceeds: equal
+      // prices share a bucket (ties never straddle a boundary), and
+      // higher prices get higher buckets — so DESC rank order walks
+      // buckets from high to low
+      val bucket = splitPoints
+        .map(sp => when($"o_totalprice" > sp, 1).otherwise(0))
+        .reduceOption[Column](_ + _).getOrElse(lit(0))
+      val bucketed = orders.withColumn("bkt", bucket)
+      val localW = Window.partitionBy($"o_orderpriority", $"bkt")
         .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-      Tables.orders(s, d).select(
-        $"o_orderkey", $"o_orderpriority",
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        ntile(4).over(w).as("quartile"),
-        lead($"o_orderkey", 1).over(w).as("next_key"),
-        lag($"o_orderkey", 2).over(w).as("prev2_key"))
+      val local = bucketed.withColumn("lrn", row_number().over(localW))
+      // priorities×buckets count table (tiny): cumulative offset of
+      // each bucket in DESC order plus the per-priority total
+      val cw = Window.partitionBy($"o_orderpriority").orderBy($"bkt".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nw = Window.partitionBy($"o_orderpriority")
+      val offsets = bucketed.groupBy($"o_orderpriority", $"bkt")
+        .agg(count(lit(1)).as("cnt"))
+        .select($"o_orderpriority", $"bkt",
+          coalesce(sum($"cnt").over(cw), lit(0L)).as("off"),
+          sum($"cnt").over(nw).as("n"))
+      val glob = local
+        .join(broadcast(offsets), Seq("o_orderpriority", "bkt"))
+        .withColumn("rn", $"off" + $"lrn")
+      // ntile(4): q = n div 4 rows per tile, first r = n mod 4 tiles
+      // take one extra; when n < 4 the first branch always fires
+      // (rn <= n·1), so the q=0 division in the other branch is never
+      // evaluated (CASE WHEN short-circuits per row)
+      val q = idiv($"n", lit(4))
+      val r = $"n" % 4
+      val quartile = when($"rn" <= r * (q + 1),
+          idiv($"rn" - 1, q + 1) + 1)
+        .otherwise(r + idiv($"rn" - r * (q + 1) - 1, q) + 1)
+      val core = glob.select($"o_orderkey", $"o_orderpriority", $"rn",
+        quartile.cast("int").as("quartile"))
+      // lead/lag over a dense global rank == equi-join on (prio, rn±d)
+      val keyed = core.select($"o_orderpriority".as("jp"), $"rn".as("jrn"),
+        $"o_orderkey".as("jkey"))
+      core
+        .join(keyed.as("ld"), $"o_orderpriority" === col("ld.jp") &&
+          col("ld.jrn") === $"rn" + 1, "left")
+        .withColumn("next_key", col("ld.jkey"))
+        .drop("jp", "jrn", "jkey")
+        .join(keyed.as("lg"), $"o_orderpriority" === col("lg.jp") &&
+          col("lg.jrn") === $"rn" - 2, "left")
+        .withColumn("prev2_key", col("lg.jkey"))
+        .select($"o_orderkey", $"o_orderpriority",
+          $"rn".cast("int").as("rnk"), $"rn".cast("int").as("drnk"),
+          $"quartile", $"next_key", $"prev2_key")
     },
     Some("""
       SELECT o_orderkey, o_orderpriority,

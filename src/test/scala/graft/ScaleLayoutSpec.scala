@@ -123,6 +123,40 @@ class ScaleLayoutSpec extends SparkSpec {
       s"only the bucket-cap window may remain:\n$plan")
   }
 
+  test("q_window_functions: no window keyed on the 5-value priority alone") {
+    // VERDICT r5: Window.partitionBy(o_orderpriority) sorts the whole
+    // corpus in ≤5 tasks. The two-phase ranking must key every window
+    // on (priority, bucket) — or on the tiny offsets table — never on
+    // the bare priority over the full orders scan.
+    val df = Registry.byName("q_window_functions").run(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val rowWindows = plan.split("\n")
+      .filter(l => l.contains("Window") && l.contains("row_number"))
+    assert(rowWindows.nonEmpty, s"expected the local-rank window:\n$plan")
+    assert(rowWindows.forall(_.contains("bkt")),
+      s"every ranking window must include the bucket key:\n$plan")
+  }
+
+  test("q_window_functions two-phase ranking equals the direct window") {
+    // the naive single-window formulation IS the semantic definition —
+    // keep it as the executable reference and require equality
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val ref = Tables.orders(spark, sf("sf0.001")).select(
+      $"o_orderkey", $"o_orderpriority",
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"),
+      lead($"o_orderkey", 1).over(w).as("next_key"),
+      lag($"o_orderkey", 2).over(w).as("prev2_key"))
+      .collect().map(_.toSeq).toSet
+    val got = Registry.byName("q_window_functions")
+      .run(spark, sf("sf0.001")).collect().map(_.toSeq).toSet
+    assert(got == ref)
+  }
+
   test("q3 broadcasts bounded dims; threshold off degrades to SMJ, same rows") {
     // broadcast-threshold sensitivity: the dimension joins in q3 must
     // be BroadcastHashJoin under the default threshold (no fact-side
