@@ -259,13 +259,12 @@ object Dedup {
     * (deterministic; only docs appearing in ≥1 candidate pair emit a
     * row). Oracle replays the same graph via a recursive-CTE
     * transitive closure. */
-  val qDupClusters = GraftQuery(
-    "dd_dup_clusters",
-    (s, d) => connectedComponents(
-      pairsFromSignatures(cachedSignatures(s, d)).select(col("doc_a"), col("doc_b")))
-      .select(col("node").as("doc_id"), col("label").as("cluster_id")),
-    Some(s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $bandsCte,
-      cand AS (
+  /** DuckDB replay of the LSH candidate graph + transitive closure —
+    * CTEs `cand`, `edges`, `reach`, `clusters` (clusters has doc_id,
+    * cluster_id). Requires $sigCte as WITH RECURSIVE + $bandsCte in
+    * front. Shared by the dup-clusters and keep-list oracles. */
+  private val clusterCtes =
+    """cand AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM bands l JOIN bands r
           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
@@ -275,9 +274,19 @@ object Dedup {
       reach AS (
         SELECT src, dst FROM edges
         UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-      FROM reach GROUP BY src"""))
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      clusters AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src)"""
+
+  val qDupClusters = GraftQuery(
+    "dd_dup_clusters",
+    (s, d) => connectedComponents(
+      pairsFromSignatures(cachedSignatures(s, d)).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id")),
+    Some(s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $bandsCte,
+      $clusterCtes
+      SELECT doc_id, cluster_id FROM clusters"""))
 
   /** True n-gram Jaccard on a linear pair set (consecutive doc_ids) —
     * the verification-side of near-dup detection. At scale this runs
@@ -751,8 +760,73 @@ object Dedup {
         coalesce(e.exact_of, n.near_of) AS dup_of
       FROM ex e LEFT JOIN near n USING (doc_id)"""))
 
+  /** The pipeline's final answer — one keep/drop decision per
+    * document, composing exact dedup and the LSH near-dup clusters:
+    *
+    *  - `keeper(doc)` = its cluster's min doc_id if it appears in any
+    *    LSH candidate pair, else the min doc_id of its exact
+    *    fingerprint group;
+    *  - `keep` ⇔ doc_id == keeper; dropped docs carry `dup_of` =
+    *    keeper and a reason: `exact_dup` when an identical lower-id
+    *    copy exists, `near_dup` otherwise.
+    *
+    * The keeper is always itself kept: identical docs share all
+    * MinHash signatures, so an exact-dup group is always inside one
+    * cluster — hence a cluster's min doc_id is also the min of its
+    * own fingerprint group, and an exact canonical outside any
+    * cluster has no lower copy anywhere. KeepListSpec asserts the
+    * resulting invariants (partition of the corpus + dropped docs
+    * point at kept docs); the DuckDB oracle replays the same
+    * composition over the recursive-CTE closure.
+    *
+    * Scale shape: fingerprinting is one hash-aggregate on md5 (16
+    * bytes on the shuffle); the canonical join re-uses the fp key;
+    * clustering is the bounded-round label propagation of
+    * [[connectedComponents]]; the final assembly is two id-keyed
+    * joins. Nothing driver-side, nothing keyed on a bounded space. */
+  val qKeepList = GraftQuery(
+    "dd_keep_list",
+    (s, d) => {
+      import s.implicits._
+      val norm = md5(array_join(split(trim($"text"), "\\s+"), " "))
+      val fps = Tables.documents(s, d).select($"doc_id", norm.as("fp"))
+      val canon = fps.groupBy($"fp").agg(min($"doc_id").as("exact_canonical"))
+      val base = fps.join(canon, "fp").select($"doc_id", $"exact_canonical")
+      val clusters = connectedComponents(
+        pairsFromSignatures(cachedSignatures(s, d))
+          .select($"doc_a", $"doc_b"))
+        .select($"node".as("doc_id"), $"label".as("cluster_id"))
+      base.join(clusters, Seq("doc_id"), "left")
+        .withColumn("keeper", coalesce($"cluster_id", $"exact_canonical"))
+        .select($"doc_id",
+          ($"doc_id" === $"keeper").as("keep"),
+          when($"doc_id" === $"keeper", "keep")
+            .when($"doc_id" =!= $"exact_canonical", "exact_dup")
+            .otherwise("near_dup").as("reason"),
+          when($"doc_id" =!= $"keeper", $"keeper").as("dup_of"))
+    },
+    Some(s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $bandsCte,
+      $clusterCtes,
+      fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t),
+      canon AS (SELECT fp, min(doc_id) AS exact_canonical
+                FROM fp GROUP BY 1),
+      base AS (
+        SELECT f.doc_id, c.exact_canonical
+        FROM fp f JOIN canon c USING (fp)),
+      final AS (
+        SELECT b.doc_id, b.exact_canonical,
+          coalesce(cl.cluster_id, b.exact_canonical) AS keeper
+        FROM base b LEFT JOIN clusters cl USING (doc_id))
+      SELECT doc_id,
+        doc_id = keeper AS keep,
+        CASE WHEN doc_id = keeper THEN 'keep'
+             WHEN doc_id <> exact_canonical THEN 'exact_dup'
+             ELSE 'near_dup' END AS reason,
+        CASE WHEN doc_id <> keeper THEN keeper END AS dup_of
+      FROM final"""))
+
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
       qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
-      qBloomContamination, qVerifiedPairs, qIncremental)
+      qBloomContamination, qVerifiedPairs, qIncremental, qKeepList)
 }

@@ -1,0 +1,36 @@
+package graft
+
+/** Invariants of the end-to-end dedup decision (dd_keep_list): the
+  * value-level output is hash-checked against the DuckDB oracle by the
+  * driver sweep; this suite pins the STRUCTURAL contract a downstream
+  * training-data job relies on — the decision is a partition of the
+  * corpus, and the dup_of graph resolves in one hop to a kept doc. */
+class KeepListSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keep list partitions the corpus; drops resolve to kept docs") {
+    val rows = queries.Dedup.qKeepList.run(spark, sf("sf0.001")).cache()
+    val total = Tables.documents(spark, sf("sf0.001")).count()
+    // conservation: exactly one decision per corpus document
+    assert(rows.count() == total)
+    assert(rows.select($"doc_id").distinct().count() == total)
+    // kept rows carry no dup_of; dropped rows always carry one
+    assert(rows.filter($"keep" && $"dup_of".isNotNull).count() == 0)
+    assert(rows.filter(!$"keep" && $"dup_of".isNull).count() == 0)
+    // reason agrees with the decision and covers the domain
+    assert(rows.filter(!$"reason".isin("keep", "exact_dup", "near_dup"))
+      .count() == 0)
+    assert(rows.filter($"keep" && $"reason" =!= "keep").count() == 0)
+    assert(rows.filter(!$"keep" && $"reason" === "keep").count() == 0)
+    // one-hop resolution: every dropped doc's keeper is itself kept
+    // (cluster min == its own exact canonical — see qKeepList scaladoc)
+    val kept = rows.filter($"keep").select($"doc_id")
+      .as[Long].collect().toSet
+    val dupOf = rows.filter(!$"keep").select($"dup_of")
+      .as[Long].collect()
+    assert(dupOf.forall(kept.contains),
+      "a dropped doc resolved to another dropped doc")
+    // the fixture plants real duplicates — the gate must bite
+    assert(dupOf.nonEmpty, "expected at least one drop in the fixture")
+  }
+}
