@@ -26,17 +26,19 @@ object ZipReferenceJob {
       .groupBy(col("county"))
       .agg(map_from_entries(array_sort(
         collect_list(struct(col("city"), col("zips"))))).as("cities"))
-    // one tiny row per county at this point — a driver-side fold over
-    // counties is O(#counties), not O(#rows). Each county becomes a
-    // single-entry JSON object so key AND value are Spark-escaped;
-    // the fold just strips the braces and joins the entries.
-    val entries = perCounty
-      .select(col("county"),
-        to_json(map(col("county"), col("cities"))).as("entry"))
-      .orderBy(col("county"))
-      .collect()
-    entries.map(_.getString(1).stripPrefix("{").stripSuffix("}"))
-      .mkString("{", ", ", "}")
+    // each county becomes a single-entry JSON object so key AND value
+    // are Spark-escaped; the whole document is then assembled by ONE
+    // final aggregate (sort entries by county, strip braces, join) —
+    // the only driver traffic is the finished JSON string itself
+    val entry = to_json(map(col("county"), col("cities")))
+    perCounty
+      .select(col("county"), entry.as("entry"))
+      .agg(concat(lit("{"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("county"), col("entry")))),
+          e => e("entry").substr(lit(2), length(e("entry")) - 2)), ", "),
+        lit("}")).as("doc"))
+      .head().getString(0)
   }
 
   /** Write all three artifacts like the reference's save_data_to_file. */
@@ -45,11 +47,14 @@ object ZipReferenceJob {
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(outDir, "county_city_zips.json"),
       nestedJson(rows))
+    // dedup + sort + join inside one aggregate — a scalar string read,
+    // not a per-zip collect
     val flat = rows.filter(col("zip").rlike("^[0-9]{5}$"))
-      .select(col("zip")).distinct().orderBy(col("zip"))
-      .collect().map(_.getString(0))
-    Files.writeString(Paths.get(outDir, "all_zip_codes.json"),
-      flat.mkString("[\"", "\", \"", "\"]"))
+      .agg(concat(lit("[\""),
+        array_join(array_sort(collect_set(col("zip"))), "\", \""),
+        lit("\"]")).as("doc"))
+      .head().getString(0)
+    Files.writeString(Paths.get(outDir, "all_zip_codes.json"), flat)
     rows.filter(col("zip").rlike("^[0-9]{5}$"))
       .groupBy(col("county")).agg(countDistinct(col("zip")).as("n_zips"))
       .coalesce(1).write.mode("overwrite")

@@ -210,10 +210,11 @@ object Dedup {
     * clusters are shallow — a handful), each round one join + one
     * hash-aggregate, both keyed on node id — the standard large-graph
     * CC shape (GraphX Pregel does the same dataflow). Convergence is
-    * detected by the monotonically decreasing label sum — one scalar
-    * per round on the driver, never the label table. Each round's
-    * result is localCheckpoint'd: the lineage would otherwise double
-    * per iteration.
+    * detected by counting rows whose label changed this round — one
+    * scalar per round on the driver, never the label table, and
+    * immune to the (theoretical) sum-collision a label-sum check
+    * admits. Each round's result is localCheckpoint'd: the lineage
+    * would otherwise double per iteration.
     *
     * An empty pair frame returns an empty label frame (no NPE on the
     * null sum); a component with diameter > maxRounds throws rather
@@ -226,23 +227,19 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
-    var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
       val next = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select(labels("node"),
+        .select(labels("node"), labels("label").as("prev_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
         .localCheckpoint(true)
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
+      converged =
+        next.filter(col("label") =!= col("prev_label")).count() == 0
+      labels = next.select(col("node"), col("label"))
       rounds += 1
     }
     if (!converged)
@@ -372,6 +369,22 @@ object Dedup {
         round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS contamination,
         CAST(n_overlap AS DOUBLE) / n_shingles >= 0.2 AS contaminated
       FROM o"""))
+
+  /** Hyperplane bit-width for a corpus of `n` vectors at a target
+    * mean bucket population: 2^bits buckets ⇒ bits =
+    * ceil(log2(n / targetBucketPop)), clamped to [1, 30]. This is
+    * "grow `bits` with N, buy recall back with `tables`" as code —
+    * per-bucket population stays ~flat as the corpus grows, so the
+    * quadratic within-bucket pair work per bucket is constant and
+    * total candidate work stays linear in N. The registry
+    * instantiation below derives its bit-width from this rule. */
+  def bitsFor(n: Long, targetBucketPop: Int): Int = {
+    require(n > 0 && targetBucketPop > 0,
+      s"need positive corpus size and target, got n=$n target=$targetBucketPop")
+    val raw = math.ceil(
+      math.log(n.toDouble / targetBucketPop) / math.log(2.0)).toInt
+    math.min(30, math.max(1, raw))
+  }
 
   /** (vec_id, tbl, bucket) rows: `tables` independent hash tables of
     * `bits` sign planes each (table t uses planes t·bits … t·bits+b-1),
@@ -505,13 +518,23 @@ object Dedup {
         FROM scored)"""
   }
 
-  /** Registry instantiation: 2 tables × 8 bits, cap 128, θ=0.42.
-    * The oracle mirrors the exact construction (same planes, same
-    * deterministic cap, same tie-breaks). */
+  /** Registry bit-width via [[bitsFor]]: the sweep's largest corpus
+    * (sf0.1, ~5k vectors) at a ~20-vector target bucket population →
+    * 8 bits. The oracle's plane SQL is pinned to 8 bits per table, so
+    * drift in the sizing rule fails fast here instead of as a silent
+    * hash mismatch. */
+  private val registryBits = bitsFor(5000L, 20)
+  require(registryBits == 8,
+    s"registry ANN oracle is pinned to 8 bits/table, bitsFor gave $registryBits")
+
+  /** Registry instantiation: 2 tables × 8 bits (bits from
+    * [[bitsFor]]), cap 128, θ=0.42. The oracle mirrors the exact
+    * construction (same planes, same deterministic cap, same
+    * tie-breaks). */
   val qEmbeddingNearDup = GraftQuery(
     "dd_embedding_neardup",
     (s, d) => embeddingNearDup(Tables.embeddings(s, d),
-      tables = 2, bits = 8, cap = 128, threshold = 0.42),
+      tables = 2, bits = registryBits, cap = 128, threshold = 0.42),
     Some(s"""${annRankedCtes(tables = 2, cap = 128)}
       SELECT a_id, b_id AS nearest_in_bucket, cosine, cosine >= 0.42 AS near_dup
       FROM ranked WHERE rk = 1"""))
@@ -616,6 +639,10 @@ object Dedup {
       // Materialize the benchmark shingle set once: count(), the bloom
       // build, and the exact confirm join each launch a job over it,
       // and without this each re-runs the scan+explode of documents.
+      // Like the other localCheckpoint sites, the blocks stay resident
+      // for the session (and are lost on executor failure) — the
+      // benchmark set is eval-suite-sized, so retention is cheap and a
+      // lost block just re-fails the one query that owns it.
       val bench = sh.filter($"doc_id" < 50).select($"h").distinct()
         .localCheckpoint()
       val nBench = bench.count()

@@ -117,4 +117,19 @@ class AnnRecallSpec extends SparkSpec {
     val uncapped = Dedup.annCandidatePairs(sig, 1, 2, Int.MaxValue).count()
     assert(capped < uncapped)
   }
+
+  test("bitsFor holds bucket population flat as the corpus grows") {
+    // the registry's 2×8-bit instantiation is this rule applied to the
+    // sweep's largest corpus (~5k vectors at ~20/bucket)
+    assert(Dedup.bitsFor(5000L, 20) == 8)
+    // 1000× the corpus at the same target → +10 bits (2^10 more buckets)
+    assert(Dedup.bitsFor(5000000L, 20) == 18)
+    // clamps: tiny corpora never go below 1 bit, huge never above 30
+    assert(Dedup.bitsFor(10L, 20) == 1)
+    assert(Dedup.bitsFor(Long.MaxValue, 1) == 30)
+    // monotone in n — more data never means fewer buckets
+    val ns = Seq(100L, 10000L, 1000000L, 100000000L)
+    val bs = ns.map(Dedup.bitsFor(_, 20))
+    assert(bs == bs.sorted)
+  }
 }
