@@ -67,7 +67,7 @@ object Dedup {
     s"""list_min(list_transform(sh, v -> ($polyHashSql * $a + $b) % $P))"""
   }
 
-  private val sigCte =
+  private[queries] val sigCte =
     s"""WITH t AS (
          SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
          FROM documents),
@@ -76,7 +76,7 @@ object Dedup {
          ${(0 until 8).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
        FROM s)"""
 
-  private val bandsCte =
+  private[queries] val bandsCte =
     """bands AS (
         SELECT doc_id, b.band,
           CAST(CASE b.band WHEN 0 THEN mh0 WHEN 1 THEN mh2 WHEN 2 THEN mh4 ELSE mh6 END AS VARCHAR)
@@ -260,7 +260,7 @@ object Dedup {
     * CTEs `cand`, `edges`, `reach`, `clusters` (clusters has doc_id,
     * cluster_id). Requires $sigCte as WITH RECURSIVE + $bandsCte in
     * front. Shared by the dup-clusters and keep-list oracles. */
-  private val clusterCtes =
+  private[queries] val clusterCtes =
     """cand AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM bands l JOIN bands r
@@ -811,20 +811,43 @@ object Dedup {
     * clustering is the bounded-round label propagation of
     * [[connectedComponents]]; the final assembly is two id-keyed
     * joins. Nothing driver-side, nothing keyed on a bounded space. */
+  /** (doc_id, exact_canonical, keeper) for every corpus document —
+    * the decision core of [[qKeepList]], shared with the corpus-yield
+    * report (TextAnalysis.qCorpusYield). */
+  private[queries] def keeperFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    val norm = md5(array_join(split(trim($"text"), "\\s+"), " "))
+    val fps = Tables.documents(s, d).select($"doc_id", norm.as("fp"))
+    val canon = fps.groupBy($"fp").agg(min($"doc_id").as("exact_canonical"))
+    val base = fps.join(canon, "fp").select($"doc_id", $"exact_canonical")
+    val clusters = connectedComponents(
+      pairsFromSignatures(cachedSignatures(s, d))
+        .select($"doc_a", $"doc_b"))
+      .select($"node".as("doc_id"), $"label".as("cluster_id"))
+    base.join(clusters, Seq("doc_id"), "left")
+      .withColumn("keeper", coalesce($"cluster_id", $"exact_canonical"))
+      .select($"doc_id", $"exact_canonical", $"keeper")
+  }
+
+  /** Oracle CTE chain producing `keeper(doc_id, exact_canonical,
+    * keeper)` — the SQL twin of [[keeperFrame]]; requires $sigCte (as
+    * WITH RECURSIVE) + $bandsCte + $clusterCtes in front. */
+  private[queries] val keeperCtes =
+    """fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t),
+      canon AS (SELECT fp, min(doc_id) AS exact_canonical
+                FROM fp GROUP BY 1),
+      keeper AS (
+        SELECT f.doc_id, c.exact_canonical,
+          coalesce(cl.cluster_id, c.exact_canonical) AS keeper
+        FROM fp f JOIN canon c USING (fp)
+        LEFT JOIN clusters cl USING (doc_id))"""
+
   val qKeepList = GraftQuery(
     "dd_keep_list",
     (s, d) => {
       import s.implicits._
-      val norm = md5(array_join(split(trim($"text"), "\\s+"), " "))
-      val fps = Tables.documents(s, d).select($"doc_id", norm.as("fp"))
-      val canon = fps.groupBy($"fp").agg(min($"doc_id").as("exact_canonical"))
-      val base = fps.join(canon, "fp").select($"doc_id", $"exact_canonical")
-      val clusters = connectedComponents(
-        pairsFromSignatures(cachedSignatures(s, d))
-          .select($"doc_a", $"doc_b"))
-        .select($"node".as("doc_id"), $"label".as("cluster_id"))
-      base.join(clusters, Seq("doc_id"), "left")
-        .withColumn("keeper", coalesce($"cluster_id", $"exact_canonical"))
+      keeperFrame(s, d)
         .select($"doc_id",
           ($"doc_id" === $"keeper").as("keep"),
           when($"doc_id" === $"keeper", "keep")
@@ -833,24 +856,14 @@ object Dedup {
           when($"doc_id" =!= $"keeper", $"keeper").as("dup_of"))
     },
     Some(s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $bandsCte,
-      $clusterCtes,
-      fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t),
-      canon AS (SELECT fp, min(doc_id) AS exact_canonical
-                FROM fp GROUP BY 1),
-      base AS (
-        SELECT f.doc_id, c.exact_canonical
-        FROM fp f JOIN canon c USING (fp)),
-      final AS (
-        SELECT b.doc_id, b.exact_canonical,
-          coalesce(cl.cluster_id, b.exact_canonical) AS keeper
-        FROM base b LEFT JOIN clusters cl USING (doc_id))
+      $clusterCtes, $keeperCtes
       SELECT doc_id,
         doc_id = keeper AS keep,
         CASE WHEN doc_id = keeper THEN 'keep'
              WHEN doc_id <> exact_canonical THEN 'exact_dup'
              ELSE 'near_dup' END AS reason,
         CASE WHEN doc_id <> keeper THEN keeper END AS dup_of
-      FROM final"""))
+      FROM keeper"""))
 
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,

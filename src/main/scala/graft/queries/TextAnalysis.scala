@@ -23,6 +23,54 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "de", "un", "est", "dans"),
     "zh" -> Seq("de", "le", "shi", "zai", "you", "wo", "ta"))
 
+  private val stopWords =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Composite quality score over a text column — shared by
+    * t_quality_score and the corpus-yield verdict so the keep
+    * threshold can never drift between the report and the per-doc
+    * query. Raw ratios feed the score; any rounding happens only at
+    * an output edge. */
+  private def qualityScoreExpr(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isInCollection(stopWords)))
+    val stopRatio = nStop.cast("double") / nTok
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    when(nTok.between(10, 2000), 0.5).otherwise(0.0) +
+      when(stopRatio.between(0.01, 0.5), 0.25).otherwise(0.0) +
+      ttr * 0.25
+  }
+
+  /** Alphabetical-first argmax language prediction over a text column
+    * (shared by t_lang_id and the corpus-yield verdict). */
+  private def predictedLangExpr(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = markers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.sortBy(_._1).foldRight(lit("unknown")) {
+      case ((lang, sc), acc) =>
+        when(sc === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Oracle twins of the language scorer: per-language score columns
+    * over a `toks` list column, the greatest() expression, and the
+    * alphabetical-first CASE chain (expects the scores + `best` in
+    * scope). */
+  private def langScoreSql: String = markers.map { case (lang, words) =>
+    val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+    s"length(list_filter(toks, x -> list_contains($lst, x))) AS score_$lang"
+  }.mkString(", ")
+  private def langBestSql: String =
+    markers.map(m => s"score_${m._1}").mkString("greatest(", ", ", ")")
+  private def langCaseSql: String =
+    markers.map(_._1).sorted.reverse.foldLeft("'unknown'") { (acc, lang) =>
+      s"CASE WHEN score_$lang = best AND best > 0 THEN '$lang' ELSE $acc END"
+    }
+
   val qTokenStats = GraftQuery(
     "t_token_stats",
     (s, d) => {
@@ -53,20 +101,18 @@ object TextAnalysis {
     "t_quality_score",
     (s, d) => {
       import s.implicits._
-      val stop = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
       val toks = tokens($"text")
       val nTok = size(toks)
-      val nStop = size(filter(toks, t => t.isInCollection(stop)))
+      val nStop = size(filter(toks, t => t.isInCollection(stopWords)))
       // raw ratios feed the score; rounding only at the output edge.
       // (Rounding twice creates exact decimal ties where Spark's
       // BigDecimal rounding and DuckDB's scaled-double rounding split.)
       val stopRatio = nStop.cast("double") / nTok
       val ttr = size(array_distinct(toks)).cast("double") / nTok
       val nPunct = length($"text") - length(regexp_replace($"text", "[^a-zA-Z0-9\\s]", ""))
-      val score =
-        when(nTok.between(10, 2000), 0.5).otherwise(0.0) +
-        when(stopRatio.between(0.01, 0.5), 0.25).otherwise(0.0) +
-        ttr * 0.25
+      // the shared expression (codegen CSE collapses the re-derived
+      // token pieces with the ratio columns above)
+      val score = qualityScoreExpr($"text")
       Tables.documents(s, d).select(
         $"doc_id", nTok.as("n_tokens"), nStop.as("n_stopwords"),
         round(stopRatio, 6).as("stop_ratio"),
@@ -113,40 +159,22 @@ object TextAnalysis {
     (s, d) => {
       import s.implicits._
       val toks = tokens($"text")
-      val scores = markers.map { case (lang, words) =>
-        lang -> size(filter(toks, t => t.isInCollection(words)))
-      }
-      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-      // alphabetical-first argmax: fold over langs sorted by name
-      val predicted = scores.sortBy(_._1).foldRight(lit("unknown")) {
-        case ((lang, sc), acc) =>
-          when(sc === best && best > 0, lang).otherwise(acc)
-      }
+      val enScore = size(filter(toks,
+        t => t.isInCollection(markers.find(_._1 == "en").get._2)))
       Tables.documents(s, d).select(
         $"doc_id", $"lang".as("labeled_lang"),
-        predicted.as("predicted_lang"),
-        scores.find(_._1 == "en").get._2.as("en_score"))
+        predictedLangExpr($"text").as("predicted_lang"),
+        enScore.as("en_score"))
     },
-    Some {
-      val langSql = markers.map { case (lang, words) =>
-        val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
-        s"length(list_filter(toks, x -> list_contains($lst, x))) AS score_$lang"
-      }.mkString(", ")
-      val best = markers.map(m => s"score_${m._1}").mkString("greatest(", ", ", ")")
-      val cases = markers.map(_._1).sorted.reverse
-        .foldLeft("'unknown'") { (acc, lang) =>
-          s"CASE WHEN score_$lang = best AND best > 0 THEN '$lang' ELSE $acc END"
-        }
-      s"""
+    Some(s"""
       WITH t AS (
         SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
         FROM documents),
-      sc AS (SELECT doc_id, lang, $langSql FROM t),
-      b AS (SELECT *, $best AS best FROM sc)
-      SELECT doc_id, lang AS labeled_lang, $cases AS predicted_lang,
+      sc AS (SELECT doc_id, lang, $langScoreSql FROM t),
+      b AS (SELECT *, $langBestSql AS best FROM sc)
+      SELECT doc_id, lang AS labeled_lang, $langCaseSql AS predicted_lang,
         score_en AS en_score
-      FROM b"""
-    })
+      FROM b"""))
 
   /** Document fingerprinting: md5 of whitespace-normalized text (the
     * exact-dup key) + a 16-bit SimHash over distinct tokens (the
@@ -503,9 +531,100 @@ object TextAnalysis {
           AS n_tokens_kept
       FROM b GROUP BY lang"""))
 
+  /** Corpus-yield report — what a production filtering run actually
+    * publishes: per (labeled lang, source), documents and tokens
+    * before and after the full filter chain, with per-reason drop
+    * counts. One verdict per document with fixed precedence:
+    *
+    *   1. `drop_dedup`   — not its group's keeper (Dedup.keeperFrame:
+    *      exact canonical / LSH cluster min);
+    *   2. `drop_quality` — composite quality score < 0.5
+    *      ([[qualityScoreExpr]], same expression as t_quality_score);
+    *   3. `drop_lang`    — the language scorer can't identify it
+    *      ([[predictedLangExpr]] == "unknown");
+    *   4. `kept`.
+    *
+    * This composes dedup + quality + lang-id through their SHARED
+    * expression builders, so the report can never disagree with the
+    * per-doc queries it summarizes. Scale shape: the verdict is one
+    * map-side expression over documents joined to the keeper frame
+    * (id-keyed), then a single hash-aggregate on (lang, source);
+    * token counting rides the same pass. */
+  val qCorpusYield = GraftQuery(
+    "t_corpus_yield",
+    (s, d) => {
+      import s.implicits._
+      val nTok = size(tokens($"text")).cast("long")
+      val verdict = when($"doc_id" =!= $"keeper", "drop_dedup")
+        .when(qualityScoreExpr($"text") < 0.5, "drop_quality")
+        .when(predictedLangExpr($"text") === "unknown", "drop_lang")
+        .otherwise("kept")
+      Tables.documents(s, d)
+        .join(Dedup.keeperFrame(s, d).select($"doc_id", $"keeper"), "doc_id")
+        .select($"lang", $"source", nTok.as("n_tok"), verdict.as("verdict"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("n_tokens"),
+          sum(when($"verdict" === "kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"verdict" === "kept", $"n_tok").otherwise(0L))
+            .as("n_tokens_kept"),
+          sum(when($"verdict" === "drop_dedup", 1L).otherwise(0L))
+            .as("n_drop_dedup"),
+          sum(when($"verdict" === "drop_quality", 1L).otherwise(0L))
+            .as("n_drop_quality"),
+          sum(when($"verdict" === "drop_lang", 1L).otherwise(0L))
+            .as("n_drop_lang"))
+    },
+    Some(s"""${Dedup.sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      ${Dedup.bandsCte}, ${Dedup.clusterCtes}, ${Dedup.keeperCtes},
+      d2 AS (
+        SELECT doc_id, lang, source,
+          regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      qm AS (
+        SELECT doc_id, length(toks) AS n_tok,
+          length(list_filter(toks, x -> list_contains(
+            [${stopWords.map(w => s"'$w'").mkString(",")}], x))) AS n_stop,
+          length(list_distinct(toks)) AS n_distinct
+        FROM d2),
+      qq AS (
+        SELECT doc_id, n_tok,
+          ((CASE WHEN n_tok BETWEEN 10 AND 2000 THEN 0.5 ELSE 0.0 END) +
+           (CASE WHEN CAST(n_stop AS DOUBLE) / n_tok BETWEEN 0.01 AND 0.5
+                 THEN 0.25 ELSE 0.0 END) +
+           CAST(n_distinct AS DOUBLE) / n_tok * 0.25) >= 0.5 AS q_keep
+        FROM qm),
+      ls AS (SELECT doc_id, $langScoreSql FROM d2),
+      lb AS (SELECT *, $langBestSql AS best FROM ls),
+      lp AS (SELECT doc_id, $langCaseSql AS predicted FROM lb),
+      v AS (
+        SELECT d.doc_id, d.lang, d.source, qq.n_tok,
+          CASE WHEN k.keeper <> d.doc_id THEN 'drop_dedup'
+               WHEN NOT qq.q_keep THEN 'drop_quality'
+               WHEN lp.predicted = 'unknown' THEN 'drop_lang'
+               ELSE 'kept' END AS verdict
+        FROM d2 d
+        JOIN keeper k USING (doc_id)
+        JOIN qq USING (doc_id)
+        JOIN lp USING (doc_id))
+      SELECT lang, source,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(SUM(CASE WHEN verdict = 'kept' THEN n_tok ELSE 0 END) AS BIGINT)
+          AS n_tokens_kept,
+        CAST(SUM(CASE WHEN verdict = 'drop_dedup' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_drop_dedup,
+        CAST(SUM(CASE WHEN verdict = 'drop_quality' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_drop_quality,
+        CAST(SUM(CASE WHEN verdict = 'drop_lang' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_drop_lang
+      FROM v GROUP BY 1, 2"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
       qApproxDistinct, qExactDistinct, qTrainValSplit, qSequencePack,
       qSkewSaltedAgg,
-      qRepetition, qTopTerms, qMixSample)
+      qRepetition, qTopTerms, qMixSample, qCorpusYield)
 }

@@ -33,4 +33,21 @@ class KeepListSpec extends SparkSpec {
     // the fixture plants real duplicates — the gate must bite
     assert(dupOf.nonEmpty, "expected at least one drop in the fixture")
   }
+
+  test("corpus yield conserves docs and agrees with dd_keep_list's drops") {
+    import org.apache.spark.sql.functions._
+    val y = queries.TextAnalysis.qCorpusYield.run(spark, sf("sf0.001")).cache()
+    val total = Tables.documents(spark, sf("sf0.001")).count()
+    // verdict counts partition each group and sum to the corpus
+    assert(y.filter($"n_kept" + $"n_drop_dedup" + $"n_drop_quality" +
+      $"n_drop_lang" =!= $"n_docs").count() == 0)
+    assert(y.agg(sum($"n_docs")).head().getLong(0) == total)
+    assert(y.filter($"n_tokens_kept" > $"n_tokens").count() == 0)
+    // dedup precedence: the yield's dedup drops are exactly
+    // dd_keep_list's drops (quality/lang never shadow them)
+    val keepListDrops = queries.Dedup.qKeepList.run(spark, sf("sf0.001"))
+      .filter(!$"keep").count()
+    val yieldDedupDrops = y.agg(sum($"n_drop_dedup")).head().getLong(0)
+    assert(yieldDedupDrops == keepListDrops)
+  }
 }
