@@ -32,17 +32,23 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <srcDir> <dstDir> [factor]")
-    val (src, dst) = (args(0), args(1))
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scaleup")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args(1), args.lift(2).map(_.toInt).getOrElse(10))
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    // events.ts is TIMESTAMP(NANOS); read it as raw longs exactly like
+    // Tables.events (runtime-settable legacy conf)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
@@ -94,6 +100,5 @@ object ScaleUp {
     write(replicate(read("embeddings"), "vec_id" -> vecStep), "embeddings")
 
     println(s"wrote ${factor}x of $src to $dst")
-    spark.stop()
   }
 }
