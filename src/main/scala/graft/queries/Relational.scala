@@ -437,9 +437,48 @@ object Relational {
     * row_number by definition (no ties exist; the oracle's RANK over
     * the same spec agrees identically). ntile(4) is derived from the
     * global row number and the per-priority count by the standard
-    * first-(n mod t)-tiles-get-one-extra rule; lead/lag re-join on
-    * the dense (priority, rn) key — two hash joins on keys that
-    * scale with data, replacing cross-partition row handoff. */
+    * first-(n mod t)-tiles-get-one-extra rule. lead/lag are computed
+    * INSIDE the one bucket-keyed window pass — correct everywhere
+    * except at bucket boundaries — and the boundary rows (≤4 per
+    * bucket: lrn ≤ 2 or ≥ cnt−1) are patched from a bucket-count-
+    * sized table whose own window replays the true rank order
+    * restricted to boundary rows (adjacent in that order, so the
+    * tiny lead/lag equal the global ones for exactly the overridden
+    * slots). The corpus therefore makes ONE pass through shuffle +
+    * sort + window, is materialized once (localCheckpoint — the
+    * same persisted-artifact shape as the dedup signature table),
+    * and everything downstream of it is bucket-count-sized and
+    * broadcast. */
+  /** The single corpus window pass of [[qWindowFuncs]] (pre-
+    * materialization), exposed so ScaleLayoutSpec can assert its
+    * plan: local rank, local lead/lag, and bucket population, all
+    * over the (priority, quantile-bucket) key. */
+  private[graft] def windowCore(orders: DataFrame, nb: Int): DataFrame = {
+    val splitPoints = orders.stat.approxQuantile("o_totalprice",
+      (1 until nb).map(_.toDouble / nb).toArray, 0.01).distinct.sorted
+    // bucket = how many split points this price exceeds: equal
+    // prices share a bucket (ties never straddle a boundary), and
+    // higher prices get higher buckets — so DESC rank order walks
+    // buckets from high to low. The split points are frozen on the
+    // driver (~nb doubles), making the bucket a pure function of the
+    // row — identical on every recomputation, with none of the
+    // exchange-reuse coupling a spark_partition_id() bucketing would
+    // need.
+    val bucket = splitPoints
+      .map(sp => when(col("o_totalprice") > sp, 1).otherwise(0))
+      .reduceOption[Column](_ + _).getOrElse(lit(0))
+    val localW = Window.partitionBy(col("o_orderpriority"), col("bkt"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val cntW = Window.partitionBy(col("o_orderpriority"), col("bkt"))
+    orders.withColumn("bkt", bucket)
+      .withColumn("lrn", row_number().over(localW))
+      .withColumn("llead", lead(col("o_orderkey"), 1).over(localW))
+      .withColumn("llag2", lag(col("o_orderkey"), 2).over(localW))
+      .withColumn("cnt", count(lit(1)).over(cntW))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("bkt"),
+        col("lrn"), col("llead"), col("llag2"), col("cnt"))
+  }
+
   val qWindowFuncs = GraftQuery(
     "q_window_functions",
     (s, d) => {
@@ -447,32 +486,41 @@ object Relational {
       val orders = Tables.orders(s, d)
         .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
       val nb = math.max(s.conf.get("spark.sql.shuffle.partitions").toInt, 2)
-      val splitPoints = orders.stat.approxQuantile("o_totalprice",
-        (1 until nb).map(_.toDouble / nb).toArray, 0.01).distinct.sorted
-      // bucket = how many split points this price exceeds: equal
-      // prices share a bucket (ties never straddle a boundary), and
-      // higher prices get higher buckets — so DESC rank order walks
-      // buckets from high to low
-      val bucket = splitPoints
-        .map(sp => when($"o_totalprice" > sp, 1).otherwise(0))
-        .reduceOption[Column](_ + _).getOrElse(lit(0))
-      val bucketed = orders.withColumn("bkt", bucket)
-      val localW = Window.partitionBy($"o_orderpriority", $"bkt")
-        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-      val local = bucketed.withColumn("lrn", row_number().over(localW))
+      // ONE corpus shuffle+sort+window, materialized once; the
+      // offsets aggregate, the boundary patch, and the final
+      // assembly all read this artifact instead of re-deriving the
+      // window subtree (the plan audit showed 3 full recomputations
+      // in the self-join formulation this replaces)
+      val core = windowCore(orders, nb).localCheckpoint(true)
       // priorities×buckets count table (tiny): cumulative offset of
-      // each bucket in DESC order plus the per-priority total
+      // each bucket in DESC order plus the per-priority total; its
+      // windows run over nb·priorities aggregated rows, not the corpus
       val cw = Window.partitionBy($"o_orderpriority").orderBy($"bkt".desc)
         .rowsBetween(Window.unboundedPreceding, -1)
       val nw = Window.partitionBy($"o_orderpriority")
-      val offsets = bucketed.groupBy($"o_orderpriority", $"bkt")
-        .agg(count(lit(1)).as("cnt"))
+      val offsets = core.groupBy($"o_orderpriority", $"bkt")
+        .agg(count(lit(1)).as("bcnt"))
         .select($"o_orderpriority", $"bkt",
-          coalesce(sum($"cnt").over(cw), lit(0L)).as("off"),
-          sum($"cnt").over(nw).as("n"))
-      val glob = local
+          coalesce(sum($"bcnt").over(cw), lit(0L)).as("off"),
+          sum($"bcnt").over(nw).as("n"))
+      // boundary rows (≤4 per bucket): their window replays the true
+      // rank order restricted to boundary rows, which is exact for
+      // the slots we override — the last row's lead is the next
+      // bucket's first row, and the first two rows' lag(2) reaches
+      // only first/last boundary rows of preceding buckets
+      val pw = Window.partitionBy($"pp").orderBy($"pb".desc, $"pl".asc)
+      val patch = core
+        .filter($"lrn" <= 2 || $"lrn" >= $"cnt" - 1)
+        .select($"o_orderpriority".as("pp"), $"bkt".as("pb"),
+          $"lrn".as("pl"), $"o_orderkey")
+        .select($"pp", $"pb", $"pl",
+          lead($"o_orderkey", 1).over(pw).as("plead"),
+          lag($"o_orderkey", 2).over(pw).as("plag2"))
+      val glob = core
         .join(broadcast(offsets), Seq("o_orderpriority", "bkt"))
         .withColumn("rn", $"off" + $"lrn")
+        .join(broadcast(patch), $"o_orderpriority" === $"pp" &&
+          $"bkt" === $"pb" && $"lrn" === $"pl", "left")
       // ntile(4): q = n div 4 rows per tile, first r = n mod 4 tiles
       // take one extra; when n < 4 the first branch always fires
       // (rn <= n·1), so the q=0 division in the other branch is never
@@ -482,22 +530,13 @@ object Relational {
       val quartile = when($"rn" <= r * (q + 1),
           idiv($"rn" - 1, q + 1) + 1)
         .otherwise(r + idiv($"rn" - r * (q + 1) - 1, q) + 1)
-      val core = glob.select($"o_orderkey", $"o_orderpriority", $"rn",
-        quartile.cast("int").as("quartile"))
-      // lead/lag over a dense global rank == equi-join on (prio, rn±d)
-      val keyed = core.select($"o_orderpriority".as("jp"), $"rn".as("jrn"),
-        $"o_orderkey".as("jkey"))
-      core
-        .join(keyed.as("ld"), $"o_orderpriority" === col("ld.jp") &&
-          col("ld.jrn") === $"rn" + 1, "left")
-        .withColumn("next_key", col("ld.jkey"))
-        .drop("jp", "jrn", "jkey")
-        .join(keyed.as("lg"), $"o_orderpriority" === col("lg.jp") &&
-          col("lg.jrn") === $"rn" - 2, "left")
-        .withColumn("prev2_key", col("lg.jkey"))
-        .select($"o_orderkey", $"o_orderpriority",
-          $"rn".cast("int").as("rnk"), $"rn".cast("int").as("drnk"),
-          $"quartile", $"next_key", $"prev2_key")
+      glob.select($"o_orderkey", $"o_orderpriority",
+        $"rn".cast("int").as("rnk"), $"rn".cast("int").as("drnk"),
+        quartile.cast("int").as("quartile"),
+        when($"lrn" === $"cnt", $"plead").otherwise($"llead")
+          .as("next_key"),
+        when($"lrn" <= 2, $"plag2").otherwise($"llag2")
+          .as("prev2_key"))
     },
     Some("""
       SELECT o_orderkey, o_orderpriority,

@@ -125,17 +125,24 @@ class ScaleLayoutSpec extends SparkSpec {
 
   test("q_window_functions: no window keyed on the 5-value priority alone") {
     // VERDICT r5: Window.partitionBy(o_orderpriority) sorts the whole
-    // corpus in ≤5 tasks. The two-phase ranking must key every window
-    // on (priority, bucket) — or on the tiny offsets table — never on
-    // the bare priority over the full orders scan.
+    // corpus in ≤5 tasks. The corpus makes ONE pass through the
+    // bucket-keyed window (windowCore, materialized); the final plan
+    // may only contain the tiny offsets/patch windows — no corpus
+    // ranking window at all.
+    val orders = Tables.orders(spark, sf("sf0.001"))
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    val core = queries.Relational.windowCore(orders, nb = 4)
+    core.collect()
+    val corePlan = core.queryExecution.executedPlan.toString
+    val coreWindows = corePlan.split("\n").filter(_.contains("Window"))
+    assert(coreWindows.nonEmpty, s"expected the local-rank window:\n$corePlan")
+    assert(coreWindows.forall(_.contains("bkt")),
+      s"every corpus window must include the bucket key:\n$corePlan")
     val df = Registry.byName("q_window_functions").run(spark, sf("sf0.001"))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    val rowWindows = plan.split("\n")
-      .filter(l => l.contains("Window") && l.contains("row_number"))
-    assert(rowWindows.nonEmpty, s"expected the local-rank window:\n$plan")
-    assert(rowWindows.forall(_.contains("bkt")),
-      s"every ranking window must include the bucket key:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"ranking must come from the materialized core, not a re-run window:\n$plan")
   }
 
   test("q_window_functions two-phase ranking equals the direct window") {
