@@ -147,10 +147,39 @@ object Dedup {
     perSession.getOrElseUpdate(d, signatureTable(Tables.documents(s, d)))
   }
 
-  /** Drop all cached signature tables (e.g. after rewriting a dataset
-    * path in place); the next consumer recomputes. */
-  def clearSignatureCache(): Unit =
+  /** Drop all cached signature and cluster tables (e.g. after
+    * rewriting a dataset path in place); the next consumer recomputes. */
+  def clearSignatureCache(): Unit = {
     sigCache.synchronized(sigCache.clear())
+    clusterCache.synchronized(clusterCache.clear())
+  }
+
+  /** Session-scoped cluster cache, same shape and lifetime rules as
+    * [[cachedSignatures]]: dd_dup_clusters, dd_keep_list and
+    * t_corpus_yield all consume the LSH cluster table, and a
+    * production pipeline materializes it once per corpus — the
+    * iterative CC rounds are the most expensive dedup step, so
+    * re-deriving them per consumer is pure waste. The result frame is
+    * already localCheckpoint'd by [[connectedComponents]]. */
+  private val clusterCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]
+  private def cachedClusters(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val perSession = clusterCache.synchronized {
+      var m = clusterCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        clusterCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(d,
+      connectedComponents(
+        pairsFromSignatures(cachedSignatures(s, d))
+          .select(col("doc_a"), col("doc_b")))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id")))
+  }
 
   /** Candidate near-dup pairs via LSH banding (4 bands × 2 rows):
     * docs sharing any band bucket, estimated Jaccard = signature
@@ -278,9 +307,7 @@ object Dedup {
 
   val qDupClusters = GraftQuery(
     "dd_dup_clusters",
-    (s, d) => connectedComponents(
-      pairsFromSignatures(cachedSignatures(s, d)).select(col("doc_a"), col("doc_b")))
-      .select(col("node").as("doc_id"), col("label").as("cluster_id")),
+    (s, d) => cachedClusters(s, d),
     Some(s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $bandsCte,
       $clusterCtes
       SELECT doc_id, cluster_id FROM clusters"""))
@@ -821,11 +848,7 @@ object Dedup {
     val fps = Tables.documents(s, d).select($"doc_id", norm.as("fp"))
     val canon = fps.groupBy($"fp").agg(min($"doc_id").as("exact_canonical"))
     val base = fps.join(canon, "fp").select($"doc_id", $"exact_canonical")
-    val clusters = connectedComponents(
-      pairsFromSignatures(cachedSignatures(s, d))
-        .select($"doc_a", $"doc_b"))
-      .select($"node".as("doc_id"), $"label".as("cluster_id"))
-    base.join(clusters, Seq("doc_id"), "left")
+    base.join(cachedClusters(s, d), Seq("doc_id"), "left")
       .withColumn("keeper", coalesce($"cluster_id", $"exact_canonical"))
       .select($"doc_id", $"exact_canonical", $"keeper")
   }
