@@ -479,13 +479,14 @@ object Relational {
         col("lrn"), col("llead"), col("llag2"), col("cnt"))
   }
 
-  val qWindowFuncs = GraftQuery(
-    "q_window_functions",
-    (s, d) => {
-      import s.implicits._
-      val orders = Tables.orders(s, d)
+  /** Full two-phase window assembly over an (o_orderkey,
+    * o_orderpriority, o_totalprice) frame — the registry query minus
+    * the table read, exposed so the spec can stress tiny buckets
+    * (cnt ∈ {1, 2}) that real fixtures may not produce. */
+  private[graft] def windowFuncs(ordersIn: DataFrame, nb: Int): DataFrame = {
+      import ordersIn.sparkSession.implicits._
+      val orders = ordersIn
         .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
-      val nb = math.max(s.conf.get("spark.sql.shuffle.partitions").toInt, 2)
       // ONE corpus shuffle+sort+window, materialized once; the
       // offsets aggregate, the boundary patch, and the final
       // assembly all read this artifact instead of re-deriving the
@@ -537,7 +538,13 @@ object Relational {
           .as("next_key"),
         when($"lrn" <= 2, $"plag2").otherwise($"llag2")
           .as("prev2_key"))
-    },
+  }
+
+  val qWindowFuncs = GraftQuery(
+    "q_window_functions",
+    (s, d) => windowFuncs(
+      Tables.orders(s, d),
+      math.max(s.conf.get("spark.sql.shuffle.partitions").toInt, 2)),
     Some("""
       SELECT o_orderkey, o_orderpriority,
         RANK() OVER w AS rnk,

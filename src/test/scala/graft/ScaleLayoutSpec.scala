@@ -145,6 +145,33 @@ class ScaleLayoutSpec extends SparkSpec {
       s"ranking must come from the materialized core, not a re-run window:\n$plan")
   }
 
+  test("two-phase ranking survives tiny buckets (cnt 1-2) and tied prices") {
+    // nb far above the row count forces near-single-row buckets for
+    // the unique-price priority — the worst case for the boundary
+    // patch (a row can be a bucket's first, second, last and
+    // second-to-last at once, and lag(2) chains through two preceding
+    // buckets) — while the tied-price priority pins the
+    // ties-share-a-bucket property.
+    import org.apache.spark.sql.expressions.Window
+    val rows =
+      (for (i <- 1 to 13) yield (100L + i, "A", i * 10.0)) ++
+      (for (i <- 1 to 13) yield (200L + i, "B", ((i * 7) % 5) * 10.0))
+    val df = rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val got = queries.Relational.windowFuncs(df, nb = 64)
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val ref = df.select(
+      $"o_orderkey", $"o_orderpriority",
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"),
+      lead($"o_orderkey", 1).over(w).as("next_key"),
+      lag($"o_orderkey", 2).over(w).as("prev2_key"))
+      .collect().map(_.toSeq).toSet
+    assert(got == ref)
+  }
+
   test("q_window_functions two-phase ranking equals the direct window") {
     // the naive single-window formulation IS the semantic definition —
     // keep it as the executable reference and require equality
