@@ -814,6 +814,99 @@ object Dedup {
         coalesce(e.exact_of, n.near_of) AS dup_of
       FROM ex e LEFT JOIN near n USING (doc_id)"""))
 
+  /** SimHash near-dup pairs — the Hamming-space counterpart of the
+    * MinHash/Jaccard family (Manku et al.'s web-dedup shape): a
+    * 60-bit SimHash per document (sign of the per-bit ±1 vote over
+    * distinct-token hashes, the 60-bit widening of t_fingerprint's
+    * 16-bit sketch), split into 4 × 15-bit bands; documents sharing
+    * any band value EXACTLY are candidates (pigeonhole: Hamming ≤ 3
+    * over 60 bits forces ≥ 1 identical band), then the true Hamming
+    * distance — bit_count(xor) — verifies each candidate at θ = 3.
+    *
+    * Scale shape: the sketch is one map-side pass (the token hash
+    * array is materialized once per row, the 60 sign-folds read it);
+    * candidate generation shuffles once on (band, value) with the
+    * same deterministic per-bucket cap as the ANN path (a 15-bit
+    * band space is large but fixed, so a degenerate corpus could
+    * still pile into one value — the cap bounds that to cap² like
+    * everywhere else); verification touches candidates only, and
+    * only 8-byte sketches ride the pair shuffle. At 100 TB the
+    * 60-fold HOF belongs in a native codegen expression like
+    * ShingleMinHash — the dataflow is final, the expression is the
+    * swap-in. */
+  val qSimhashNearDup = GraftQuery(
+    "dd_simhash_neardup",
+    (s, d) => {
+      import s.implicits._
+      val cap = 256
+      val toks = array_distinct(split(trim($"text"), "\\s+"))
+      val hv = transform(toks, t =>
+        conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+      def bit(i: Int): Column =
+        when(aggregate($"hv", lit(0L), (acc, v) =>
+          acc + when(shiftright(v, i).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)) >= 0, 1L).otherwise(0L)
+      val sim = (0 until 60).map(i => bit(i) * (1L << i)).reduce(_ + _)
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", hv.as("hv"))
+        .select($"doc_id", sim.as("sh"))
+        .localCheckpoint(true) // sketch artifact: feeds bands + both pair sides
+      val bandVals = array((0 until 4).map(b =>
+        shiftright($"sh", 15 * b).bitwiseAND(lit(0x7FFFL))): _*)
+      val capped = sh
+        .select($"doc_id", posexplode(bandVals).as(Seq("band", "bval")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"band", $"bval").orderBy($"doc_id")))
+        .filter($"rn" <= cap).drop("rn")
+      val pairs = capped.as("l")
+        .join(capped.as("r"),
+          col("l.band") === col("r.band") && col("l.bval") === col("r.bval") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+      val ham = expr("bit_count(sh_a ^ sh_b)").cast("int")
+      pairs
+        .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .select($"doc_a", $"doc_b", ham.as("hamming"),
+          (ham <= 3).as("is_dup"))
+    },
+    Some {
+      def bitSql(i: Int): String =
+        s"""(CASE WHEN list_sum(list_transform(hv, v ->
+           CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+           THEN ${1L << i} ELSE 0 END)"""
+      s"""
+      WITH t0 AS (
+        SELECT doc_id,
+          list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS dtoks
+        FROM documents),
+      h AS (SELECT doc_id,
+        list_transform(dtoks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hv
+        FROM t0),
+      sh AS (SELECT doc_id, ${(0 until 60).map(bitSql).mkString(" + ")} AS sh FROM h),
+      bands AS (
+        SELECT doc_id, b.band, (sh >> (15 * b.band)) & 32767 AS bval
+        FROM sh, (SELECT unnest(range(0, 4)) AS band) b),
+      capped AS (
+        SELECT doc_id, band, bval FROM (
+          SELECT doc_id, band, bval,
+            ROW_NUMBER() OVER (PARTITION BY band, bval ORDER BY doc_id) AS rn
+          FROM bands)
+        WHERE rn <= 256),
+      pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM capped l JOIN capped r
+          ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id)
+      SELECT p.doc_a, p.doc_b,
+        CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming,
+        bit_count(xor(a.sh, b.sh)) <= 3 AS is_dup
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b"""
+    })
+
   /** The pipeline's final answer — one keep/drop decision per
     * document, composing exact dedup and the LSH near-dup clusters:
     *
@@ -891,5 +984,6 @@ object Dedup {
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
       qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
-      qBloomContamination, qVerifiedPairs, qIncremental, qKeepList)
+      qBloomContamination, qVerifiedPairs, qIncremental, qKeepList,
+      qSimhashNearDup)
 }

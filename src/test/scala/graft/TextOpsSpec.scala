@@ -210,6 +210,32 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_digits_redacted") >= 3)
   }
 
+  test("simhash near-dup: exact duplicates collide at hamming 0") {
+    // sf0.1: the smallest fixture that plants exact duplicates
+    import spark.implicits._
+    val rows = queries.Dedup.qSimhashNearDup
+      .run(spark, sf("sf0.1")).cache()
+    // verdict consistency: is_dup ⇔ hamming ≤ 3, hamming ∈ [0, 60]
+    assert(rows.filter($"is_dup" =!= ($"hamming" <= 3)).count() == 0)
+    assert(rows.filter($"hamming" < 0 || $"hamming" > 60).count() == 0)
+    // ground truth: every exact-duplicate pair (identical normalized
+    // text ⇒ identical sketch ⇒ all four bands collide) must surface
+    // with hamming 0
+    val norm = md5(array_join(split(trim($"text"), "\\s+"), " "))
+    val fps = Tables.documents(spark, sf("sf0.1"))
+      .select($"doc_id", norm.as("fp"))
+    val exactPairs = fps
+      .select($"doc_id".as("doc_a"), $"fp")
+      .join(fps.select($"doc_id".as("doc_b"), $"fp".as("fp_b")),
+        $"fp" === $"fp_b" && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+    assert(exactPairs.count() > 0, "fixture must contain exact dups")
+    val missing = exactPairs
+      .join(rows.filter($"hamming" === 0), Seq("doc_a", "doc_b"),
+        "left_anti").count()
+    assert(missing == 0, s"$missing exact-dup pairs not found at hamming 0")
+  }
+
   test("HLL approx distinct stays within 5% of the exact twin per source") {
     // t_approx_distinct_tokens is rows-only in the driver's oracle
     // sweep (DuckDB's sketch differs); this is its hard check — the
