@@ -321,7 +321,74 @@ object EventWindows {
         round(CAST(n.n_users AS DOUBLE) / b.cohort_size, 6) AS retention
       FROM n JOIN b USING (cohort_week)"""))
 
+  /** Two-pass z-score outlier flagging per (user, event_type): pass 1
+    * aggregates exact fixed-point moments — `value` quantized to 1e4
+    * (two decimal places in the data, so lossless) makes n / Σq / Σq²
+    * pure integer sums, associative and therefore partition-order-free
+    * on both engines; pass 2 joins the moment table back by key and
+    * computes z in double FROM those exact integers, so every float op
+    * sees bit-identical inputs in a fixed order. Σq² rides a
+    * DECIMAL(38,0) because bigint overflows around 4·10⁵ events/user
+    * at this value range (DuckDB's SUM(BIGINT) widens to HUGEINT —
+    * same exactness, different spelling).
+    *
+    * Scale shape: the moment table is keyed on (user_id, event_type) —
+    * a key space that grows with the data — and the join back is a
+    * same-key shuffle join AQE can plan either way; no global moment,
+    * no driver-side stats, no window. Degenerate groups (zero
+    * variance, e.g. n = 1) emit z = 0 by the same guard on both
+    * engines; the variance guard compares the exact integers
+    * (n·Σq² > Σq·Σq ⟺ population variance > 0) so float cancellation
+    * can never flip it. */
+  val qValueOutliers = GraftQuery(
+    "w_value_outliers",
+    (s, d) => {
+      import s.implicits._
+      val q = floor($"value" * 1e4 + 0.5).cast("long")
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type", q.as("q"))
+      val moments = ev.groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"q").as("s"),
+          sum(($"q" * $"q").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("ss"))
+      val dn = $"n".cast("double")
+      val mean = $"s".cast("double") / dn
+      val varp = $"ss".cast("double") / dn - mean * mean
+      val z = round(($"q".cast("double") - mean) / sqrt(varp), 6)
+      ev.join(moments, Seq("user_id", "event_type"))
+        .select($"event_id", $"user_id", $"event_type",
+          when($"n" * $"ss" > $"s".cast(
+              org.apache.spark.sql.types.DecimalType(38, 0)) * $"s", z)
+            .otherwise(0.0).as("z"),
+          (when($"n" * $"ss" > $"s".cast(
+              org.apache.spark.sql.types.DecimalType(38, 0)) * $"s", abs(z))
+            .otherwise(0.0) > 3.0).as("is_outlier"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+          CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS q
+        FROM events),
+      m AS (
+        SELECT user_id, event_type, COUNT(*) AS n,
+          CAST(SUM(q) AS BIGINT) AS s, SUM(q * q) AS ss
+        FROM ev GROUP BY 1, 2)
+      SELECT ev.event_id, ev.user_id, ev.event_type,
+        CASE WHEN n * ss > CAST(s AS HUGEINT) * s
+          THEN round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) / n) /
+            sqrt(CAST(ss AS DOUBLE) / n -
+              (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6)
+          ELSE 0.0 END AS z,
+        CASE WHEN n * ss > CAST(s AS HUGEINT) * s
+          THEN abs(round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) / n) /
+            sqrt(CAST(ss AS DOUBLE) / n -
+              (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6))
+          ELSE 0.0 END > 3.0 AS is_outlier
+      FROM ev JOIN m USING (user_id, event_type)"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
-      qAsOfPriorView, qIntervalJoin, qFunnel, qRetentionCohorts)
+      qAsOfPriorView, qIntervalJoin, qFunnel, qRetentionCohorts,
+      qValueOutliers)
 }

@@ -638,10 +638,46 @@ object Relational {
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""))
 
+  /** Pivot (long→wide) over a PINNED value list: per priority, one
+    * (orders count, exact totalprice sum) column pair per order
+    * status. The status list is declared, not discovered —
+    * `.pivot(col)` without values runs a driver-side distinct scan of
+    * the corpus before planning, a hidden collect AND an extra full
+    * pass at 100 TB; pinning keeps the whole query one map-side-
+    * partial hash aggregate (Catalyst rewrites each cell into a
+    * conditional aggregate). Absent (priority, status) cells are
+    * pinned to 0 / NULL explicitly because the two engines disagree
+    * by default (Spark's pivot count yields NULL for an empty cell,
+    * SQL's COUNT(*) FILTER yields 0; sums are NULL on both).
+    * Oracle: the standard conditional-aggregation expansion. */
+  val qPivotStatus = GraftQuery(
+    "q_pivot_status",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .select($"o_orderpriority",
+          coalesce($"F_n", lit(0L)).as("f_n"), $"F_total".as("f_total"),
+          coalesce($"O_n", lit(0L)).as("o_n"), $"O_total".as("o_total"),
+          coalesce($"P_n", lit(0L)).as("p_n"), $"P_total".as("p_total"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_total,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_total
+      FROM orders
+      GROUP BY o_orderpriority"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,
     q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q9PartStats,
     q10ReturnedRevenue, qAggCollect, qAggNested, qOuterBalance, qSetOps,
     qRollup, qCube, qWindowFuncs, qPercentiles, qCorrelatedSubquery,
-    q18LargeOrders, qGroupingSets)
+    q18LargeOrders, qGroupingSets, qPivotStatus)
 }

@@ -186,9 +186,17 @@ object Similarity {
     * by lowest label; within-cell ranking by (cosine, vec_id) like
     * sim_cosine_topk, via the same native top-k aggregate (no
     * probe-count window). */
-  val qIvfTopK = GraftQuery(
-    "sim_ivf_topk",
-    (s, d) => {
+  /** Shared IVF builder — see [[qIvfTopK]] for the full design notes.
+    * `nprobe` is the recall knob: each probe searches its `nprobe`
+    * nearest cells (ranked by centroid cosine, lowest label on ties —
+    * the same (score DESC, id ASC) policy as every ranking here, so
+    * the probe-cell list is the native top-k aggregate, not a window).
+    * Corpus vectors always live in exactly ONE cell, so the candidate
+    * sets of a probe's cells are disjoint and need no dedup; the
+    * candidate volume scales linearly in nprobe while recall climbs
+    * toward brute force — the standard IVF trade dial. */
+  private[graft] def ivfTopK(s: org.apache.spark.sql.SparkSession,
+      d: String, nprobe: Int): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       // per-vector norm computed ONCE before the checkpoint — every
       // downstream pairing (centroid assignment and within-cell
@@ -207,17 +215,24 @@ object Similarity {
         .withColumn("cn", sqrt(idot($"cv", $"cv").cast("double")))
       val ccos = round(
         idot($"q", $"cv").cast("double") / ($"qn" * $"cn"), 6)
-      // nearest centroid per vector: max(struct) — no window
-      val assign = e.crossJoin(broadcast(cent))
+      val scored = e.crossJoin(broadcast(cent))
         .select($"vec_id", ccos.as("ccos"), $"clabel")
+      // nearest centroid per vector: max(struct) — no window
+      val assign = scored
         .groupBy($"vec_id")
         .agg(max(struct($"ccos", (-$"clabel").as("nl"))).as("m"))
         .select($"vec_id", (-$"m.nl").as("cell"))
       val cells = e.join(assign, "vec_id")
         .select($"vec_id", $"q", $"qn", $"cell")
+      // nprobe nearest cells per probe (20 probes × nprobe rows)
+      val probeCells = scored.filter($"vec_id" < 20)
+        .groupBy($"vec_id")
+        .agg(TopKAggregate.of($"clabel".cast("long"), $"ccos", nprobe).as("tk"))
+        .select($"vec_id".as("probe_id"), explode($"tk").as("e"))
+        .select($"probe_id", $"e.id".cast("int").as("pcell"))
       val probes = cells.filter($"vec_id" < 20)
-        .select($"vec_id".as("probe_id"), $"q".as("pq"),
-          $"qn".as("pn"), $"cell".as("pcell"))
+        .select($"vec_id".as("probe_id"), $"q".as("pq"), $"qn".as("pn"))
+        .join(probeCells, "probe_id")
       val cos = round(
         idot($"pq", $"q").cast("double") / ($"pn" * $"qn"), 6)
       cells.join(broadcast(probes),
@@ -228,8 +243,9 @@ object Similarity {
         .select($"probe_id", posexplode($"tk").as(Seq("pos", "e")))
         .select($"probe_id", $"e.id".as("vec_id"), $"e.score".as("cosine"),
           ($"pos" + 1).cast("int").as("rk"))
-    },
-    Some(s"""
+  }
+
+  private def ivfOracle(nprobe: Int): String = s"""
       WITH ${quantNormCte(", label")},
       cent AS (
         SELECT label AS clabel, list(sv ORDER BY i) AS cv FROM (
@@ -246,16 +262,18 @@ object Similarity {
             AS ccos
         FROM q CROSS JOIN cent c),
       assign AS (
-        SELECT vec_id, clabel AS cell FROM (
+        SELECT vec_id, clabel, crk FROM (
           SELECT vec_id, clabel,
             ROW_NUMBER() OVER (PARTITION BY vec_id
                                ORDER BY ccos DESC, clabel ASC) AS crk
-          FROM scored_cent)
-        WHERE crk = 1),
+          FROM scored_cent)),
       cells AS (
-        SELECT q.vec_id, q.q, a.cell FROM q JOIN assign a ON a.vec_id = q.vec_id),
+        SELECT q.vec_id, q.q, a.clabel AS cell
+        FROM q JOIN assign a ON a.vec_id = q.vec_id AND a.crk = 1),
       probes AS (
-        SELECT vec_id AS probe_id, q AS pq, cell FROM cells WHERE vec_id < 20),
+        SELECT c.vec_id AS probe_id, c.q AS pq, a.clabel AS pcell
+        FROM cells c JOIN assign a ON a.vec_id = c.vec_id
+        WHERE c.vec_id < 20 AND a.crk <= $nprobe),
       sims AS (
         SELECT p.probe_id, c.vec_id,
           round(
@@ -263,12 +281,25 @@ object Similarity {
             (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> p.pq[i] * p.pq[i])) AS DOUBLE)) *
              sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * c.q[i])) AS DOUBLE))), 6)
             AS cosine
-        FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.probe_id),
+        FROM probes p JOIN cells c ON c.cell = p.pcell AND c.vec_id <> p.probe_id),
       ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
                                      ORDER BY cosine DESC, vec_id ASC) AS rk
         FROM sims)
-      SELECT probe_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5"""))
+      SELECT probe_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5"""
+
+  val qIvfTopK = GraftQuery(
+    "sim_ivf_topk", (s, d) => ivfTopK(s, d, nprobe = 1),
+    Some(ivfOracle(1)))
+
+  /** Multi-probe IVF (nprobe = 2): same plan as [[qIvfTopK]] with each
+    * probe searching its two nearest cells — roughly 2× the candidate
+    * work buying back most of the recall a single-cell search loses at
+    * cell boundaries. IvfRecallSpec gates that the nprobe=2 result is
+    * at least as close to brute force as nprobe=1 on every probe. */
+  val qIvfMultiprobe = GraftQuery(
+    "sim_ivf_multiprobe", (s, d) => ivfTopK(s, d, nprobe = 2),
+    Some(ivfOracle(2)))
 
   /** Symmetric k-NN graph (k=3) over the multi-table ANN candidate
     * pairs — the neighborhood structure semantic clustering / quality
@@ -308,5 +339,6 @@ object Similarity {
       FROM ranked WHERE rk <= 3"""))
 
   val all: Seq[GraftQuery] =
-    Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK, qKnnGraph)
+    Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK,
+      qIvfMultiprobe, qKnnGraph)
 }

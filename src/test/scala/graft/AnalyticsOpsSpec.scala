@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.{EventWindows, Relational, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for the round-6 analytics additions, checked
+  * against independent recomputations (the value-level truth is pinned
+  * by the DuckDB oracle; these gate the properties a hash can't see). */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = sf("sf0.001")
+
+  test("q_pivot_status conserves the orders corpus and matches per-status totals") {
+    val piv = Relational.qPivotStatus.run(spark, d).cache()
+    val nOrders = Tables.orders(spark, d).count()
+    val pivoted = piv.agg(sum($"f_n" + $"o_n" + $"p_n")).head().getLong(0)
+    assert(pivoted === nOrders,
+      s"pivot cells must partition the corpus: $pivoted != $nOrders")
+    // cross-check one cell against a direct filtered aggregate
+    val direct = Tables.orders(spark, d)
+      .filter($"o_orderstatus" === "O").count()
+    val fromPivot = piv.agg(sum($"o_n")).head().getLong(0)
+    assert(fromPivot === direct)
+  }
+
+  test("w_value_outliers: z-scores sum to ~0 per group and flags imply |z| > 3") {
+    val out = EventWindows.qValueOutliers.run(spark, d).cache()
+    assert(out.count() === Tables.events(spark, d).count(),
+      "outlier report must cover every event")
+    val badFlag = out.filter($"is_outlier" && abs($"z") <= 3.0).count()
+    assert(badFlag === 0, "is_outlier must mean |z| > 3")
+    // sum of (q - mean) over a group is exactly 0, so per-group z sums
+    // only carry rounding residue: |mean z| < 1e-4 per group
+    val drift = out.groupBy($"user_id", $"event_type")
+      .agg(abs(avg($"z")).as("m")).filter($"m" > 1e-4).count()
+    assert(drift === 0, "per-group z must center on 0")
+  }
+
+  test("t_idf_rarity: bounds and the all-common-token floor") {
+    val docs = Tables.documents(spark, d)
+    val n = docs.count()
+    val r = TextAnalysis.qIdfRarity.run(spark, d).cache()
+    assert(r.count() === n, "one rarity row per document")
+    val maxIdf = (math.log(n.toDouble) * 1e6).toLong + 1
+    val oob = r.filter($"mean_idf_micro" < 0L || $"mean_idf_micro" > maxIdf).count()
+    assert(oob === 0, s"mean_idf_micro must lie in [0, 1e6·ln($n)]")
+    // a token present in EVERY doc has idf exactly 0; a unique token
+    // scores ln(N) — so the per-doc mean orders rare-heavy docs above
+    // boilerplate. Verify the ordering signal exists in the fixture:
+    val spread = r.agg(max($"mean_idf_micro") - min($"mean_idf_micro"))
+      .head().getLong(0)
+    assert(spread > 100000L, "fixture should separate rare-heavy from common-heavy docs")
+  }
+}
