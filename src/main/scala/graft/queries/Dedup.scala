@@ -738,6 +738,67 @@ object Dedup {
       JOIN hs a ON a.doc_id = c.doc_a
       JOIN hs b ON b.doc_id = c.doc_b"""))
 
+  /** Asymmetric containment over the same LSH candidate pairs as
+    * [[qVerifiedPairs]]: containment(A⊆B) = |A∩B| / |A| on the
+    * shingle-hash sets. Jaccard misses inclusion — a short document
+    * quoted whole inside a long one scores low symmetric similarity
+    * but containment ≈ 1 on the short side — and a production dedup
+    * pass wants that distinction (drop the quote, keep the superset).
+    * `relation` classifies each pair at θ = 0.9: `a_in_b` / `b_in_a` /
+    * `mutual` (≈ exact dup) / `none`.
+    *
+    * Scale shape: identical to dd_verified_pairs — candidate-sized
+    * work throughout, two id-keyed hash joins, only sorted int64 hash
+    * arrays on the shuffle; the per-pair intersections are linear in
+    * doc length. The round(x, 6) edges can't tie-break differently
+    * cross-engine: x = i/n with n ≤ shingle count ≪ 2·10⁶, so x never
+    * lands on a half-millionth. */
+  val qContainment = GraftQuery(
+    "dd_containment",
+    (s, d) => {
+      import s.implicits._
+      val cand = pairsFromSignatures(cachedSignatures(s, d))
+        .select($"doc_a", $"doc_b")
+      val hs = Tables.documents(s, d).select($"doc_id",
+        org.apache.spark.sql.graft.ShingleHashes.of($"text").as("hsh"))
+      val a = hs.select($"doc_id".as("doc_a"), $"hsh".as("hs_a"))
+      val b = hs.select($"doc_id".as("doc_b"), $"hsh".as("hs_b"))
+      val inter = size(array_intersect($"hs_a", $"hs_b")).cast("double")
+      val ca = round(inter / size($"hs_a"), 6)
+      val cb = round(inter / size($"hs_b"), 6)
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .select($"doc_a", $"doc_b",
+          ca.as("containment_a"), cb.as("containment_b"),
+          when(ca >= 0.9 && cb >= 0.9, "mutual")
+            .when(ca >= 0.9, "a_in_b")
+            .when(cb >= 0.9, "b_in_a")
+            .otherwise("none").as("relation"))
+    },
+    Some(s"""$sigCte, $bandsCte,
+      cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+      hs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(sh, v -> $polyHashSql)) AS hsh
+        FROM s),
+      sc AS (
+        SELECT c.doc_a, c.doc_b,
+          round(CAST(length(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+            length(a.hsh), 6) AS containment_a,
+          round(CAST(length(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+            length(b.hsh), 6) AS containment_b
+        FROM cand c
+        JOIN hs a ON a.doc_id = c.doc_a
+        JOIN hs b ON b.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, containment_a, containment_b,
+        CASE WHEN containment_a >= 0.9 AND containment_b >= 0.9 THEN 'mutual'
+             WHEN containment_a >= 0.9 THEN 'a_in_b'
+             WHEN containment_b >= 0.9 THEN 'b_in_a'
+             ELSE 'none' END AS relation
+      FROM sc"""))
+
   /** Incremental-ingestion dedup triage — the shape a production
     * corpus actually runs: a NEW batch (doc_id ≥ 400; the pinned
     * stand-in for "this cycle's ingest") is checked against the
@@ -985,5 +1046,5 @@ object Dedup {
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
       qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
       qBloomContamination, qVerifiedPairs, qIncremental, qKeepList,
-      qSimhashNearDup)
+      qSimhashNearDup, qContainment)
 }

@@ -37,6 +37,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(drift === 0, "per-group z must center on 0")
   }
 
+  test("dd_containment: dominates jaccard pairwise and classifies consistently") {
+    val cont = graft.queries.Dedup.qContainment.run(spark, d).cache()
+    val jac = graft.queries.Dedup.qVerifiedPairs.run(spark, d)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    // |A∩B|/|A| >= |A∩B|/|A∪B| always (A ⊆ A∪B)
+    val violations = cont.join(jac, Seq("doc_a", "doc_b"))
+      .filter($"containment_a" < $"jaccard" - 1e-6 ||
+              $"containment_b" < $"jaccard" - 1e-6)
+      .count()
+    assert(violations === 0, "containment must dominate jaccard on every pair")
+    val misclass = cont.filter(
+      ($"relation" === "mutual" &&
+        ($"containment_a" < 0.9 || $"containment_b" < 0.9)) ||
+      ($"relation" === "none" &&
+        ($"containment_a" >= 0.9 || $"containment_b" >= 0.9))).count()
+    assert(misclass === 0, "relation labels must match their thresholds")
+  }
+
   test("t_idf_rarity: bounds and the all-common-token floor") {
     val docs = Tables.documents(spark, d)
     val n = docs.count()
