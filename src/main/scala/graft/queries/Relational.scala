@@ -643,9 +643,10 @@ object Relational {
     * status. The status list is declared, not discovered —
     * `.pivot(col)` without values runs a driver-side distinct scan of
     * the corpus before planning, a hidden collect AND an extra full
-    * pass at 100 TB; pinning keeps the whole query one map-side-
-    * partial hash aggregate (Catalyst rewrites each cell into a
-    * conditional aggregate). Absent (priority, status) cells are
+    * pass at 100 TB; pinning keeps the whole query two cascaded
+    * map-side-partial hash aggregates ((priority, status) partials,
+    * then pivotfirst per priority) — both shuffles aggregate-reduced,
+    * no discovery job. Absent (priority, status) cells are
     * pinned to 0 / NULL explicitly because the two engines disagree
     * by default (Spark's pivot count yields NULL for an empty cell,
     * SQL's COUNT(*) FILTER yields 0; sums are NULL on both).

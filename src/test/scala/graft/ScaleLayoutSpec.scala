@@ -191,6 +191,48 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("q_pivot_status is one aggregate: pinned values, no discovery pass") {
+    // .pivot(col) without a value list runs a driver-side distinct
+    // scan of the corpus BEFORE planning; the pinned list keeps the
+    // whole query a single partial+final conditional aggregate.
+    val df = Registry.byName("q_pivot_status").run(spark, sf("sf0.001"))
+    df.collect()
+    // AdaptiveSparkPlan.toString appends the initial plan — audit the
+    // final plan only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.split("\n")
+      .count(_.trim.startsWith("+- Exchange"))
+    // Spark's pinned-value pivot = (priority, status) aggregate
+    // cascaded into a pivotfirst aggregate: two shuffles, both
+    // map-side-partial and both keyed on grouping keys — nothing
+    // corpus-sized and no discovery job before planning
+    assert(exchanges <= 2,
+      s"pivot must pay at most the two cascaded aggregate shuffles, saw $exchanges:\n$plan")
+    assert(plan.contains("pivotfirst"),
+      s"expected the pivot aggregate, not a join assembly:\n$plan")
+    assert(!plan.contains("Window"), s"no window in a pivot plan:\n$plan")
+  }
+
+  test("w_value_outliers: moment join keyed on the growing key space, no window") {
+    val df = Registry.byName("w_value_outliers").run(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"two-pass moments must not use a window:\n$plan")
+    assert(plan.contains("user_id"),
+      s"join/aggregate must key on user_id:\n$plan")
+  }
+
+  test("t_idf_rarity: no window, corpus count rides a broadcast not a collect") {
+    val df = Registry.byName("t_idf_rarity").run(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window in the idf plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row N frame must broadcast, not cartesian:\n$plan")
+  }
+
   test("q3 broadcasts bounded dims; threshold off degrades to SMJ, same rows") {
     // broadcast-threshold sensitivity: the dimension joins in q3 must
     // be BroadcastHashJoin under the default threshold (no fact-side
