@@ -684,9 +684,53 @@ object TextAnalysis {
       FROM tok JOIN idf USING (tok)
       GROUP BY doc_id"""))
 
+  /** Deterministic per-group "reservoir" sample: exactly k = 20 docs
+    * per language, selected by ranking on a 48-bit md5 hash of the
+    * doc id — uniform-ish like a reservoir, but reproducible across
+    * runs, engines, and reshuffles (the same stability argument as
+    * t_train_val_split), and stable under ingest growth in the sense
+    * that a doc's sort key never changes.
+    *
+    * Scale shape: `lang` is a LOW-cardinality key, so the obvious
+    * row_number window would sort the whole corpus in ≤|langs| tasks —
+    * the exact straggler wall q_window_functions/sim_cosine_topk
+    * engineered away. Instead the native bounded top-k aggregate
+    * ([[org.apache.spark.sql.graft.TopKAggregate]]) keeps ≤ k
+    * candidates per partition map-side, so the one shuffle moves
+    * O(partitions·k) rows and parallelism follows the corpus. */
+  val qReservoirSample = GraftQuery(
+    "t_reservoir_sample",
+    (s, d) => {
+      import s.implicits._
+      val score = conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+        .cast("long")
+      Tables.documents(s, d)
+        .select($"lang", $"doc_id", score.as("score"))
+        .groupBy($"lang")
+        .agg(org.apache.spark.sql.graft.TopKAggregate
+          .of($"doc_id", $"score".cast("double"), 20).as("tk"))
+        .select($"lang", posexplode($"tk").as(Seq("pos", "e")))
+        .select($"lang", $"e.id".as("doc_id"),
+          ($"pos" + 1).cast("int").as("rk"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT lang, doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+            AS score
+        FROM documents),
+      ranked AS (
+        SELECT lang, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY lang
+                             ORDER BY score DESC, doc_id ASC) AS rk
+        FROM scored)
+      SELECT lang, doc_id, CAST(rk AS INT) AS rk
+      FROM ranked WHERE rk <= 20"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
       qApproxDistinct, qExactDistinct, qTrainValSplit, qSequencePack,
       qSkewSaltedAgg,
-      qRepetition, qTopTerms, qMixSample, qCorpusYield, qIdfRarity)
+      qRepetition, qTopTerms, qMixSample, qCorpusYield, qIdfRarity,
+      qReservoirSample)
 }
