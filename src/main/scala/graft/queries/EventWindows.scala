@@ -145,6 +145,35 @@ object EventWindows {
       FROM events
       GROUP BY day, event_type"""))
 
+  /** Variant twin of [[qJsonProps]]: the same daily prop rollup with
+    * the JSON string parsed ONCE into Spark 4's binary `VariantType`
+    * (`parse_json`) and fields read with `variant_get` — the modern
+    * semi-structured path. At 100 TB the difference is material: a
+    * corpus lands props as a variant column ONCE at ingest and every
+    * downstream query does typed binary field reads instead of
+    * re-tokenizing JSON text per access (get_json_object re-parses
+    * the string for every extraction expression). Same oracle as the
+    * string path; AnalyticsOpsSpec additionally pins the two engines'
+    * row-level equality so the variant decode can never drift from
+    * the string decode. */
+  val qVariantProps = GraftQuery(
+    "w_variant_props_daily",
+    (s, d) => {
+      import s.implicits._
+      val k = try_variant_get(parse_json($"props"), "$.k", "long")
+      Tables.events(s, d)
+        .select(date_trunc("day", $"ts").as("day"), $"event_type",
+          k.as("k"))
+        .groupBy($"day", $"event_type")
+        .agg(count($"k").as("n_with_k"), sum($"k").as("sum_k"))
+    },
+    Some("""
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+        COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      FROM events
+      GROUP BY day, event_type"""))
+
   /** As-of join semantics composed from built-ins (preference (a) of
     * the custom-operator ladder): each purchase event joined to the
     * user's most recent PRIOR view event. Instead of a range/as-of
@@ -390,5 +419,5 @@ object EventWindows {
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
       qAsOfPriorView, qIntervalJoin, qFunnel, qRetentionCohorts,
-      qValueOutliers)
+      qValueOutliers, qVariantProps)
 }

@@ -55,6 +55,14 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(misclass === 0, "relation labels must match their thresholds")
   }
 
+  test("variant props decode equals the JSON-string decode row for row") {
+    val viaString = graft.queries.EventWindows.qJsonProps.run(spark, d)
+    val viaVariant = graft.queries.EventWindows.qVariantProps.run(spark, d)
+    assert(viaString.exceptAll(viaVariant).isEmpty &&
+           viaVariant.exceptAll(viaString).isEmpty,
+      "parse_json/variant_get must agree with get_json_object exactly")
+  }
+
   test("t_idf_rarity: bounds and the all-common-token floor") {
     val docs = Tables.documents(spark, d)
     val n = docs.count()
