@@ -582,6 +582,30 @@ object Relational {
       FROM lineitem
       GROUP BY l_returnflag"""))
 
+  /** Approximate percentiles (KLL/GK-style sketch via Spark's
+    * percentile_approx) — the single-pass mergeable-sketch path that
+    * replaces [[qPercentiles]]' exact sort-based percentile once the
+    * group no longer fits a sort: bounded memory, partial-aggregate
+    * merges, rank error ≤ 1/accuracy. No SQL oracle — DuckDB's
+    * approx_quantile is a different sketch (t-digest), so the driver
+    * records the rows-only check, exactly like t_approx_distinct_
+    * tokens; the hard check lives in AnalyticsOpsSpec, which gates
+    * every approx value inside the EXACT percentile envelope at
+    * p ± 2·(1/accuracy) computed by the oracle-checked exact twin. */
+  val qApproxPercentiles = GraftQuery(
+    "q_approx_percentiles",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile_approx(l_quantity, 0.5, 100)").as("ap50"),
+          expr("percentile_approx(l_quantity, 0.9, 100)").as("ap90"),
+          expr("percentile_approx(l_quantity, 0.99, 100)").as("ap99"),
+          count(lit(1)).as("n"))
+    },
+    None)
+
   /** TPC-H Q18-shaped large-quantity orders: aggregate + HAVING +
     * re-join the qualifying keys back to the fact (semi on an agg). */
   val q18LargeOrders = GraftQuery(
@@ -680,5 +704,5 @@ object Relational {
     q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q9PartStats,
     q10ReturnedRevenue, qAggCollect, qAggNested, qOuterBalance, qSetOps,
     qRollup, qCube, qWindowFuncs, qPercentiles, qCorrelatedSubquery,
-    q18LargeOrders, qGroupingSets, qPivotStatus)
+    q18LargeOrders, qGroupingSets, qPivotStatus, qApproxPercentiles)
 }

@@ -55,6 +55,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(misclass === 0, "relation labels must match their thresholds")
   }
 
+  test("q_approx_percentiles lands inside the exact rank-error envelope") {
+    // rank error <= 1/accuracy = 1%; gate each sketch value between
+    // the EXACT percentiles at p -/+ 2% (computed by the oracle-checked
+    // exact machinery), per group
+    val li = Tables.lineitem(spark, d)
+    val envelope = li.groupBy($"l_returnflag").agg(
+      expr("percentile(l_quantity, 0.48)").as("lo50"),
+      expr("percentile(l_quantity, 0.52)").as("hi50"),
+      expr("percentile(l_quantity, 0.88)").as("lo90"),
+      expr("percentile(l_quantity, 0.92)").as("hi90"),
+      expr("percentile(l_quantity, 0.97)").as("lo99"),
+      expr("percentile(l_quantity, 1.00)").as("hi99"))
+    val bad = Relational.qApproxPercentiles.run(spark, d)
+      .join(envelope, "l_returnflag")
+      .filter($"ap50" < $"lo50" || $"ap50" > $"hi50" ||
+              $"ap90" < $"lo90" || $"ap90" > $"hi90" ||
+              $"ap99" < $"lo99" || $"ap99" > $"hi99")
+      .count()
+    assert(bad === 0, "every approx percentile must sit in its exact envelope")
+  }
+
   test("variant props decode equals the JSON-string decode row for row") {
     val viaString = graft.queries.EventWindows.qJsonProps.run(spark, d)
     val viaVariant = graft.queries.EventWindows.qVariantProps.run(spark, d)
