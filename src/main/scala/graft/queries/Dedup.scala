@@ -1067,9 +1067,39 @@ object Dedup {
         CASE WHEN doc_id <> keeper THEN keeper END AS dup_of
       FROM keeper"""))
 
+  /** Cluster-size distribution — the one-page summary a dedup run
+    * reports: how many near-dup clusters exist at each size, plus the
+    * doc volume they bind. Composes the cached cluster artifact with
+    * two tiny hash-aggregates (cluster_id-keyed, then size-keyed —
+    * both key spaces shrink as they aggregate); nothing here touches
+    * text or signatures. Singleton docs (no LSH candidate pair) are
+    * not in the cluster table and therefore not in this report —
+    * dd_keep_list is the per-doc account. */
+  val qClusterStats = GraftQuery(
+    "dd_cluster_stats",
+    (s, d) => {
+      import s.implicits._
+      cachedClusters(s, d)
+        .groupBy($"cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy($"cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum($"cluster_size").as("n_docs"),
+          (sum($"cluster_size") - count(lit(1))).as("n_droppable"))
+    },
+    Some(s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $bandsCte,
+      $clusterCtes,
+      cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
+             FROM clusters GROUP BY 1)
+      SELECT cluster_size,
+        COUNT(*) AS n_clusters,
+        CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+        CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_droppable
+      FROM cs GROUP BY cluster_size"""))
+
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
       qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
       qBloomContamination, qVerifiedPairs, qIncremental, qKeepList,
-      qSimhashNearDup, qContainment)
+      qSimhashNearDup, qContainment, qClusterStats)
 }

@@ -416,8 +416,43 @@ object EventWindows {
           ELSE 0.0 END > 3.0 AS is_outlier
       FROM ev JOIN m USING (user_id, event_type)"""))
 
+  /** Trailing 1-hour RANGE-frame rollup per user — the time-based
+    * sliding frame ([[qRunning]] is the rows-based one): every event
+    * sees the sum/count of its user's events in the preceding hour
+    * INCLUDING simultaneous ones (RANGE pulls in all rows tied on the
+    * order key, so intra-second order can't matter — and the summed
+    * value is quantized to an exact long, so neither can accumulation
+    * order). Keyed on user_id: parallelism grows with users, the sort
+    * is per-partition. The oracle spells the identical frame. */
+  val qRolling1h = GraftQuery(
+    "w_rolling_1h_user",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"sec")
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          unix_timestamp($"ts").as("sec"),
+          floor($"value" * 1e4 + 0.5).cast("long").as("q"))
+        .select($"event_id", $"user_id",
+          (sum($"q").over(w).cast("double") / 1e4).as("rolling_value_1h"),
+          count(lit(1)).over(w).as("rolling_n_1h"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+          CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS q
+        FROM events)
+      SELECT event_id, user_id,
+        CAST(SUM(q) OVER w AS DOUBLE) / 1e4 AS rolling_value_1h,
+        COUNT(*) OVER w AS rolling_n_1h
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
       qAsOfPriorView, qIntervalJoin, qFunnel, qRetentionCohorts,
-      qValueOutliers, qVariantProps)
+      qValueOutliers, qVariantProps, qRolling1h)
 }
