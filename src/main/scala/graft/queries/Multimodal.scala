@@ -41,5 +41,43 @@ object Multimodal {
         n_chars AS meta_chars
       FROM documents"""))
 
-  val all: Seq[GraftQuery] = Seq(qMediaFeatures)
+  /** Frame sampling — the fan-out step of a video pipeline (sample →
+    * per-frame decode → per-frame features/embeddings): each asset
+    * emits ≤ 4 uniformly-strided frame indices regardless of its
+    * frame count, so the post-sample row volume is bounded by
+    * corpus · budget, not corpus · duration — the memory/shuffle
+    * contract that keeps a 100 TB video corpus processable (the
+    * decode that would follow each emitted row is the per-partition
+    * stub in operators/MediaPipeline). All integer arithmetic +
+    * per-frame md5 keys; frame counts come from the same stub decode
+    * as [[qMediaFeatures]] so the two queries can never disagree on
+    * an asset's geometry. */
+  val qFrameSample = GraftQuery(
+    "mm_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      val nf = ($"n_chars" % 30 + 1).cast("int")
+      val stride = greatest(ceil(nf.cast("double") / 4).cast("int"), lit(1))
+      Tables.documents(s, d)
+        .select($"doc_id", nf.as("n_frames"), stride.as("stride"))
+        .select($"doc_id", $"n_frames",
+          explode(sequence(lit(0), $"n_frames" - 1, $"stride")).as("frame_idx"))
+        .select($"doc_id", $"n_frames", $"frame_idx",
+          md5(concat($"doc_id", lit("_"), $"frame_idx")).as("frame_key"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id,
+          CAST(n_chars % 30 + 1 AS INT) AS n_frames,
+          greatest(CAST(ceil((n_chars % 30 + 1) / 4.0) AS INT), 1) AS stride
+        FROM documents),
+      f AS (
+        SELECT doc_id, n_frames,
+          CAST(unnest(range(0, n_frames, stride)) AS INT) AS frame_idx
+        FROM a)
+      SELECT doc_id, n_frames, frame_idx,
+        md5(doc_id || '_' || frame_idx) AS frame_key
+      FROM f"""))
+
+  val all: Seq[GraftQuery] = Seq(qMediaFeatures, qFrameSample)
 }
