@@ -5,11 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: execute EVERY registered query (not just the bench set)
   * against a given SF dir and report wall time + row count, to catch
   * queries whose plans degenerate at larger scale before the driver
-  * does. Usage: scripts/run.sh graft.SweepCheck [sfDir]
+  * does. Usage: scripts/run.sh graft.SweepCheck [sfDir] [name...]
   */
 object SweepCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,11 +20,19 @@ object SweepCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val results = Registry.all.map { q =>
+    val results = Registry.all
+      .filter(q => names.isEmpty || names.contains(q.name))
+      .map { q =>
       val t0 = System.nanoTime()
-      val n = try q.run(spark, sfDir).count()
-        catch { case e: Throwable =>
-          println(f"${q.name}%-28s FAILED ${e.getMessage.take(100)}"); -1L }
+      // full noop materialization like Bench — a bare count() lets
+      // Catalyst prune expensive subtrees (a windowed projection
+      // counted 1M rows in 0.13s because the window never ran)
+      val n = try {
+        val df = q.run(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        df.count()
+      } catch { case e: Throwable =>
+        println(f"${q.name}%-28s FAILED ${e.getMessage.take(100)}"); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"${q.name}%-28s ${sec}%8.2fs ${n}%10d rows")
       (q.name, sec)

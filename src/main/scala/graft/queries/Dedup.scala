@@ -349,8 +349,14 @@ object Dedup {
     "dd_ngram_jaccard",
     (s, d) => {
       import s.implicits._
+      // materialize the string-shingle arrays once before the
+      // self-join — lazily each join SIDE would re-derive them
+      // (tokenize + slide + concat per row), which the sf1 sweep
+      // measured at 2× the whole query; same persisted-artifact
+      // shape as signatureTable
       val docs = Tables.documents(s, d)
         .select($"doc_id", shingles($"text").as("sh"))
+        .localCheckpoint(true)
       val a = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
       val b = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
       a.join(b, col("doc_b") === col("doc_a") + 1)
