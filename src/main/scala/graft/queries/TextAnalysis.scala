@@ -382,41 +382,65 @@ object TextAnalysis {
       FROM documents GROUP BY lang"""))
 
   /** Intra-document repetition metrics (Gopher-style quality rules):
-    * the highest single-token count (via a sorted-run scan — one
-    * O(n log n) per-row pass, NOT the O(n·distinct) nested-filter
-    * shape) and the duplicate-bigram fraction. Pure column
-    * expressions, zero shuffle — repetition filtering at 100 TB is a
-    * map-only pass. */
+    * the highest single-token count and the duplicate-bigram
+    * fraction. Counting runs in ONE native codegen'd pass
+    * ([[org.apache.spark.sql.graft.RepetitionStats]] — hash
+    * multiplicity + distinct-bigram tables; the previous
+    * aggregate/transform/array_distinct HOF formulation was
+    * interpreted and measured ~21s for 50k docs in the honest sf1
+    * sweep, ~2.5× this shape). All float math stays out here in
+    * ordinary expressions so the oracle's arithmetic is matched in
+    * exactly one place. Zero shuffle — repetition filtering at
+    * 100 TB is a map-only pass.
+    *
+    * [[repetitionViaHofs]] keeps the original HOF formulation as the
+    * executable reference; RepetitionStatsSpec pins row equality. */
+  private[graft] def repetitionViaHofs(docs: org.apache.spark.sql.DataFrame) = {
+    val toks = tokens(col("text"))
+    val sorted = array_sort(toks)
+    // max run length over the sorted tokens = max token count
+    val maxCount = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val newRun = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), newRun.as("run"),
+          greatest(acc.getField("best"), newRun).as("best"))
+      },
+      acc => acc.getField("best"))
+    val bg = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val dupBigram = when(size(bg) > 0,
+      round(lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg), 6))
+      .otherwise(lit(0.0))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      maxCount.as("top_token_count"),
+      round(maxCount.cast("double") / size(toks), 6).as("top_token_ratio"),
+      dupBigram.as("dup_bigram_frac"))
+  }
+
   val qRepetition = GraftQuery(
     "t_repetition",
     (s, d) => {
       import s.implicits._
-      val toks = tokens($"text")
-      val sorted = array_sort(toks)
-      // max run length over the sorted tokens = max token count
-      val maxCount = aggregate(
-        sorted,
-        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-        (acc, x) => {
-          val newRun = when(x === acc.getField("prev"),
-            acc.getField("run") + 1).otherwise(lit(1))
-          struct(x.as("prev"), newRun.as("run"),
-            greatest(acc.getField("best"), newRun).as("best"))
-        },
-        acc => acc.getField("best"))
-      val bg = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      val dupBigram = when(size(bg) > 0,
-        round(lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg), 6))
-        .otherwise(lit(0.0))
-      Tables.documents(s, d).select(
-        $"doc_id",
-        size(toks).as("n_tokens"),
-        maxCount.as("top_token_count"),
-        round(maxCount.cast("double") / size(toks), 6).as("top_token_ratio"),
-        dupBigram.as("dup_bigram_frac"))
+      val st = org.apache.spark.sql.graft.RepetitionStats.of($"text")
+      Tables.documents(s, d)
+        .select($"doc_id", st.as("st"))
+        .select(
+          $"doc_id",
+          $"st.n_tokens".as("n_tokens"),
+          $"st.top_token_count".as("top_token_count"),
+          round($"st.top_token_count".cast("double") / $"st.n_tokens", 6)
+            .as("top_token_ratio"),
+          when($"st.n_bigrams" > 0,
+            round(lit(1.0) -
+              $"st.n_distinct_bigrams".cast("double") / $"st.n_bigrams", 6))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"))
     },
     Some("""
       WITH t AS (
