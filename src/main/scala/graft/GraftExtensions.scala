@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct, ShingleHashes, ShingleMinHash}
+import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct, RepetitionStats, ShingleHashes, ShingleMinHash}
 
 /** SQL exposure for the engine's native Catalyst expressions, so
   * spark.sql() users get them without touching the Scala API:
@@ -22,7 +22,10 @@ import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct, ShingleHashes, 
   *  - `shingle_minhash(string) -> array<bigint>` — 8-permutation
   *    MinHash signature over 3-word shingles in one codegen'd pass;
   *  - `shingle_hashes(string) -> array<bigint>` — the sorted-distinct
-  *    shingle hash set (membership-style dedup/contamination ops).
+  *    shingle hash set (membership-style dedup/contamination ops);
+  *  - `repetition_stats(string) -> struct` — single-pass token/bigram
+  *    repetition counters (n_tokens, top_token_count, n_bigrams,
+  *    n_distinct_bigrams).
   *
   * Optimizer rules:
   *  - [[graft.plans.I128SumRewrite]] — `sum(CAST(x AS DECIMAL(p,6)))`
@@ -65,6 +68,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "shingle_hashes(text) takes 1 argument")
         ShingleHashes(args.head)
+      }),
+    (FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "repetition_stats(text) takes 1 argument")
+        RepetitionStats(args.head)
       }))
 
   /** Apply the same registrations to a live session. */

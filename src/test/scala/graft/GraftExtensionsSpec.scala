@@ -88,11 +88,24 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("repetition_stats is callable from SQL and matches the Column API") {
+    val row = spark.sql(
+      "SELECT s.* FROM (SELECT repetition_stats('x y x y x y') AS s)")
+      .collect().head
+    assert((row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3)) ==
+      ((6, 3, 5, 2)))
+    val viaCol = Seq("x y x y x y").toDF("text")
+      .select(org.apache.spark.sql.graft.RepetitionStats.of($"text").as("st"))
+      .select($"st.*").collect().head
+    assert(row == viaCol)
+  }
+
   test("extensions class injects the same functions at session build") {
     // the injection list is shared — the class is just the conf-driven
     // wrapper around it
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("i128_sum", "quantized_dot", "shingle_hashes", "shingle_minhash"))
+      Seq("i128_sum", "quantized_dot", "repetition_stats",
+        "shingle_hashes", "shingle_minhash"))
     val ext = new GraftExtensions
     val holder = new org.apache.spark.sql.SparkSessionExtensions
     ext(holder) // must not throw; builder wiring exercised via register()
