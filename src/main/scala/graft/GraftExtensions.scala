@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct, RepetitionStats, ShingleHashes, ShingleMinHash}
+import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct, RepetitionStats, ShingleHashes, ShingleMinHash, SimHash60}
 
 /** SQL exposure for the engine's native Catalyst expressions, so
   * spark.sql() users get them without touching the Scala API:
@@ -25,7 +25,9 @@ import org.apache.spark.sql.graft.{I128Sum, QuantizedDotProduct, RepetitionStats
   *    shingle hash set (membership-style dedup/contamination ops);
   *  - `repetition_stats(string) -> struct` — single-pass token/bigram
   *    repetition counters (n_tokens, top_token_count, n_bigrams,
-  *    n_distinct_bigrams).
+  *    n_distinct_bigrams);
+  *  - `simhash60(string) -> bigint` — 60-bit SimHash over distinct
+  *    tokens (Hamming-space near-dup sketch).
   *
   * Optimizer rules:
   *  - [[graft.plans.I128SumRewrite]] — `sum(CAST(x AS DECIMAL(p,6)))`
@@ -74,6 +76,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "repetition_stats(text) takes 1 argument")
         RepetitionStats(args.head)
+      }),
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash60(text) takes 1 argument")
+        SimHash60(args.head)
       }))
 
   /** Apply the same registrations to a live session. */

@@ -922,26 +922,35 @@ object Dedup {
     * band space is large but fixed, so a degenerate corpus could
     * still pile into one value — the cap bounds that to cap² like
     * everywhere else); verification touches candidates only, and
-    * only 8-byte sketches ride the pair shuffle. At 100 TB the
-    * 60-fold HOF belongs in a native codegen expression like
-    * ShingleMinHash — the dataflow is final, the expression is the
-    * swap-in. */
+    * only 8-byte sketches ride the pair shuffle. The sketch runs in
+    * the native codegen expression
+    * [[org.apache.spark.sql.graft.SimHash60]] (one md5 + one 60-vote
+    * loop per distinct token) — the swap-in this scaladoc planned;
+    * [[simhashViaHofs]] keeps the original 60-fold HOF chain as the
+    * executable reference SimHash60Spec pins it against. */
+  /** The original HOF sketch derivation (doc_id, sh), kept as the
+    * executable reference for [[org.apache.spark.sql.graft.SimHash60]]. */
+  private[graft] def simhashViaHofs(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(split(trim(col("text")), "\\s+"))
+    val hv = transform(toks, t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    def bit(i: Int): Column =
+      when(aggregate(col("hv"), lit(0L), (acc, v) =>
+        acc + when(shiftright(v, i).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)) >= 0, 1L).otherwise(0L)
+    val sim = (0 until 60).map(i => bit(i) * (1L << i)).reduce(_ + _)
+    docs.select(col("doc_id"), hv.as("hv"))
+      .select(col("doc_id"), sim.as("sh"))
+  }
+
   val qSimhashNearDup = GraftQuery(
     "dd_simhash_neardup",
     (s, d) => {
       import s.implicits._
       val cap = 256
-      val toks = array_distinct(split(trim($"text"), "\\s+"))
-      val hv = transform(toks, t =>
-        conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-      def bit(i: Int): Column =
-        when(aggregate($"hv", lit(0L), (acc, v) =>
-          acc + when(shiftright(v, i).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L)) >= 0, 1L).otherwise(0L)
-      val sim = (0 until 60).map(i => bit(i) * (1L << i)).reduce(_ + _)
       val sh = Tables.documents(s, d)
-        .select($"doc_id", hv.as("hv"))
-        .select($"doc_id", sim.as("sh"))
+        .select($"doc_id",
+          org.apache.spark.sql.graft.SimHash60.of($"text").as("sh"))
         .localCheckpoint(true) // sketch artifact: feeds bands + both pair sides
       val bandVals = array((0 until 4).map(b =>
         shiftright($"sh", 15 * b).bitwiseAND(lit(0x7FFFL))): _*)

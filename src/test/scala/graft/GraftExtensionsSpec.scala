@@ -105,7 +105,7 @@ class GraftExtensionsSpec extends SparkSpec {
     // wrapper around it
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
       Seq("i128_sum", "quantized_dot", "repetition_stats",
-        "shingle_hashes", "shingle_minhash"))
+        "shingle_hashes", "shingle_minhash", "simhash60"))
     val ext = new GraftExtensions
     val holder = new org.apache.spark.sql.SparkSessionExtensions
     ext(holder) // must not throw; builder wiring exercised via register()
