@@ -451,8 +451,46 @@ object EventWindows {
       WINDOW w AS (PARTITION BY user_id ORDER BY sec
                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""))
 
+  /** Fixed-bucket value histogram per event type — the distribution
+    * report that pairs with the percentile queries: width_bucket over
+    * a DECLARED range (0, 500, 25 buckets), so the histogram is one
+    * map-side-partial hash aggregate with no data-dependent planning
+    * (a quantile-based binning would need a stats pass first; the
+    * fixed range is what monitoring dashboards pin anyway). DuckDB
+    * has no width_bucket, so the oracle spells out Spark's exact
+    * formula — floor((v−min)/(max−min)·n)+1 in that operation order,
+    * with out-of-range values in the 0 / n+1 overflow buckets — so
+    * the boundary doubles are bit-identical. */
+  val qValueHistogram = GraftQuery(
+    "w_value_histogram",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type",
+          width_bucket($"value", lit(0.0), lit(500.0), lit(25)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          dsum($"value").as("sum_value"))
+        .select($"event_type", $"bucket",
+          round(lit(0.0) + ($"bucket" - 1) * 20.0, 6).as("bucket_lo"),
+          $"n", $"sum_value")
+    },
+    Some("""
+      WITH b AS (
+        SELECT event_type, value,
+          CASE WHEN value < 0.0 THEN 0
+               WHEN value >= 500.0 THEN 26
+               ELSE CAST(floor(value / 500.0 * 25) AS BIGINT) + 1
+          END AS bucket
+        FROM events)
+      SELECT event_type, bucket,
+        round((bucket - 1) * 20.0, 6) AS bucket_lo,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      FROM b
+      GROUP BY event_type, bucket"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
       qAsOfPriorView, qIntervalJoin, qFunnel, qRetentionCohorts,
-      qValueOutliers, qVariantProps, qRolling1h)
+      qValueOutliers, qVariantProps, qRolling1h, qValueHistogram)
 }
