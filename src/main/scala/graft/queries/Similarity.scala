@@ -338,7 +338,122 @@ object Similarity {
       SELECT a_id AS vec_id, b_id AS neighbor, cosine, rk
       FROM ranked WHERE rk <= 3"""))
 
+  /** Deterministic k-means training for the IVF coarse quantizer —
+    * the step sim_ivf_topk assumes has already happened (it borrows
+    * the label column as cells; production trains cells from the
+    * data). k = 8 seeds = the 8 lowest-id vectors, two Lloyd
+    * iterations, then a final assignment; output is the per-cell
+    * population report (integers only).
+    *
+    * Every iteration stays EXACT cross-engine by the same trick as
+    * sim_ivf_topk: cos(v, S/n) = cos(v, S), so the trained "centroid"
+    * is the element-wise int64 sum vector of its members — no float
+    * centroid ever exists, and the only doubles are the per-pair
+    * cosines both engines compute from identical integers in an
+    * identical order (rounded once, ranked with the same tie-break).
+    * An emptied cell keeps its previous direction (LEFT JOIN +
+    * coalesce — spelled identically in the oracle), so k never
+    * silently shrinks.
+    *
+    * Scale shape: per iteration, one broadcast of k sum-vectors, one
+    * map-side argmax (max(struct) hash-aggregate — no window), one
+    * posexplode sum keyed on (cell, pos); the trained directions are
+    * localCheckpoint'd per round like every other iterative artifact
+    * here (CC rounds, signature tables). Lloyd's iteration count is a
+    * constant, not data-dependent — the standard fixed-budget
+    * training run. */
+  /** The trained (vec_id, cell) assignment of [[qKmeansCells]] —
+    * exposed so KmeansSpec can score the partition against a random
+    * baseline. */
+  private[graft] def kmeansAssign(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int = 8, iters: Int = 2): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", quant($"embedding").as("q"))
+        .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
+        .filter($"qn" > 0) // zero-norm policy — see cosineTopK scaladoc
+        .localCheckpoint(true)
+      def assignTo(cent: org.apache.spark.sql.DataFrame) = {
+        val cn = sqrt(idot($"cv", $"cv").cast("double"))
+        val ccos = round(idot($"q", $"cv").cast("double") / ($"qn" * cn), 6)
+        e.crossJoin(broadcast(cent))
+          .select($"vec_id", ccos.as("ccos"), $"cell")
+          .groupBy($"vec_id")
+          .agg(max(struct($"ccos", (-$"cell").as("nc"))).as("m"))
+          .select($"vec_id", (-$"m.nc").cast("int").as("cell"))
+      }
+      def recenter(cent: org.apache.spark.sql.DataFrame,
+          assign: org.apache.spark.sql.DataFrame) = {
+        val sums = e.join(assign, "vec_id")
+          .select($"cell", posexplode($"q").as(Seq("pos", "v")))
+          .groupBy($"cell", $"pos").agg(sum($"v").as("sv"))
+          .groupBy($"cell")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"sv"))),
+            x => x("sv")).as("ncv"))
+        cent.select($"cell", $"cv".as("ocv"))
+          .join(sums, Seq("cell"), "left")
+          .select($"cell", coalesce($"ncv", $"ocv").as("cv"))
+          .localCheckpoint(true)
+      }
+      var cent = e.filter($"vec_id" < k)
+        .select($"vec_id".cast("int").as("cell"), $"q".as("cv"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) cent = recenter(cent, assignTo(cent))
+      assignTo(cent)
+  }
+
+  val qKmeansCells = GraftQuery(
+    "sim_kmeans_cells",
+    (s, d) => {
+      import s.implicits._
+      kmeansAssign(s, d)
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vectors"),
+          min($"vec_id").as("min_vec_id"),
+          max($"vec_id").as("max_vec_id"))
+    },
+    Some {
+      // assignment CTE over centroid table `c`: argmax_cell of the
+      // rounded exact-int cosine, ties to lowest cell
+      def assignSql(name: String, cents: String): String = s"""
+        $name AS (
+          SELECT vec_id, cell FROM (
+            SELECT q.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                round(
+                  CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * c.cv[i])) AS DOUBLE) /
+                  (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * q.q[i])) AS DOUBLE)) *
+                   sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])) AS DOUBLE))), 6)
+                DESC, c.cell ASC) AS rn
+            FROM q CROSS JOIN $cents c)
+          WHERE rn = 1)"""
+      def recenterSql(name: String, prev: String, assign: String): String = s"""
+        ${name}_s AS (
+          SELECT a.cell, i, CAST(SUM(q.q[i]) AS BIGINT) AS sv
+          FROM q JOIN $assign a USING (vec_id),
+               (SELECT unnest(range(1, 65)) AS i) idx
+          GROUP BY a.cell, i),
+        ${name}_l AS (
+          SELECT cell, list(sv ORDER BY i) AS ncv FROM ${name}_s GROUP BY cell),
+        $name AS (
+          SELECT p.cell, coalesce(l.ncv, p.cv) AS cv
+          FROM $prev p LEFT JOIN ${name}_l l USING (cell))"""
+      s"""
+      WITH ${quantNormCte()},
+      seeds AS (
+        SELECT CAST(vec_id AS INT) AS cell, q AS cv FROM q WHERE vec_id < 8),
+      ${assignSql("a1", "seeds")},
+      ${recenterSql("c1", "seeds", "a1")},
+      ${assignSql("a2", "c1")},
+      ${recenterSql("c2", "c1", "a2")},
+      ${assignSql("a3", "c2")}
+      SELECT cell, COUNT(*) AS n_vectors,
+        min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+      FROM a3
+      GROUP BY cell"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK,
-      qIvfMultiprobe, qKnnGraph)
+      qIvfMultiprobe, qKnnGraph, qKmeansCells)
 }

@@ -55,6 +55,40 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(misclass === 0, "relation labels must match their thresholds")
   }
 
+  test("sim_kmeans_cells: conservation, no collapse, training beats random") {
+    import graft.functions.VectorExpressions
+    val rep = graft.queries.Similarity.qKmeansCells.run(spark, d).cache()
+    val nVecs = Tables.embeddings(spark, d).count()
+    assert(rep.agg(sum($"n_vectors")).head().getLong(0) === nVecs,
+      "every vector must land in exactly one cell")
+    assert(rep.count() <= 8)
+    val biggest = rep.agg(max($"n_vectors")).head().getLong(0)
+    assert(biggest < nVecs, "training must not collapse to one cell")
+    // training quality: mean within-cell cosine of the TRAINED
+    // partition must beat a hash-random partition of the same data —
+    // the weakest claim two Lloyd iterations must clear
+    val e = Tables.embeddings(spark, d)
+      .select($"vec_id", VectorExpressions.quantize($"embedding").as("q"))
+    def meanCos(assign: org.apache.spark.sql.DataFrame): Double = {
+      val sums = e.join(assign, "vec_id")
+        .select($"cell", posexplode($"q").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos").agg(sum($"v").as("sv"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"sv"))),
+          x => x("sv")).as("cv"))
+      val cos = VectorExpressions.quantizedDot($"q", $"cv").cast("double") /
+        (sqrt(VectorExpressions.quantizedDot($"q", $"q").cast("double")) *
+         sqrt(VectorExpressions.quantizedDot($"cv", $"cv").cast("double")))
+      e.join(assign, "vec_id").join(sums, "cell")
+        .agg(avg(cos)).head().getDouble(0)
+    }
+    val trained = meanCos(graft.queries.Similarity.kmeansAssign(spark, d))
+    val random = meanCos(
+      e.select($"vec_id", pmod($"vec_id", lit(8)).cast("int").as("cell")))
+    assert(trained > random,
+      s"trained partition ($trained) must beat random ($random)")
+  }
+
   test("q_approx_percentiles lands inside the exact rank-error envelope") {
     // rank error <= 1/accuracy = 1%; gate each sketch value between
     // the EXACT percentiles at p -/+ 2% (computed by the oracle-checked
