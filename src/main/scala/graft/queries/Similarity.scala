@@ -412,33 +412,42 @@ object Similarity {
           min($"vec_id").as("min_vec_id"),
           max($"vec_id").as("max_vec_id"))
     },
-    Some {
-      // assignment CTE over centroid table `c`: argmax_cell of the
-      // rounded exact-int cosine, ties to lowest cell
-      def assignSql(name: String, cents: String): String = s"""
-        $name AS (
-          SELECT vec_id, cell FROM (
-            SELECT q.vec_id, c.cell,
-              ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-                round(
-                  CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * c.cv[i])) AS DOUBLE) /
-                  (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * q.q[i])) AS DOUBLE)) *
-                   sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])) AS DOUBLE))), 6)
-                DESC, c.cell ASC) AS rn
-            FROM q CROSS JOIN $cents c)
-          WHERE rn = 1)"""
-      def recenterSql(name: String, prev: String, assign: String): String = s"""
-        ${name}_s AS (
-          SELECT a.cell, i, CAST(SUM(q.q[i]) AS BIGINT) AS sv
-          FROM q JOIN $assign a USING (vec_id),
-               (SELECT unnest(range(1, 65)) AS i) idx
-          GROUP BY a.cell, i),
-        ${name}_l AS (
-          SELECT cell, list(sv ORDER BY i) AS ncv FROM ${name}_s GROUP BY cell),
-        $name AS (
-          SELECT p.cell, coalesce(l.ncv, p.cv) AS cv
-          FROM $prev p LEFT JOIN ${name}_l l USING (cell))"""
-      s"""
+    Some(s"""$kmeansCtes
+      SELECT cell, COUNT(*) AS n_vectors,
+        min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+      FROM a3
+      GROUP BY cell"""))
+
+  /** Oracle CTE chain replaying [[kmeansAssign]] — `a3` is the final
+    * (vec_id, cell) assignment; requires nothing in front (starts its
+    * own WITH). Shared by sim_kmeans_cells and sim_ivf_trained_topk. */
+  private lazy val kmeansCtes: String = {
+    // assignment CTE over centroid table `c`: argmax_cell of the
+    // rounded exact-int cosine, ties to lowest cell
+    def assignSql(name: String, cents: String): String = s"""
+      $name AS (
+        SELECT vec_id, cell FROM (
+          SELECT q.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              round(
+                CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * c.cv[i])) AS DOUBLE) /
+                (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * q.q[i])) AS DOUBLE)) *
+                 sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])) AS DOUBLE))), 6)
+              DESC, c.cell ASC) AS rn
+          FROM q CROSS JOIN $cents c)
+        WHERE rn = 1)"""
+    def recenterSql(name: String, prev: String, assign: String): String = s"""
+      ${name}_s AS (
+        SELECT a.cell, i, CAST(SUM(q.q[i]) AS BIGINT) AS sv
+        FROM q JOIN $assign a USING (vec_id),
+             (SELECT unnest(range(1, 65)) AS i) idx
+        GROUP BY a.cell, i),
+      ${name}_l AS (
+        SELECT cell, list(sv ORDER BY i) AS ncv FROM ${name}_s GROUP BY cell),
+      $name AS (
+        SELECT p.cell, coalesce(l.ncv, p.cv) AS cv
+        FROM $prev p LEFT JOIN ${name}_l l USING (cell))"""
+    s"""
       WITH ${quantNormCte()},
       seeds AS (
         SELECT CAST(vec_id AS INT) AS cell, q AS cv FROM q WHERE vec_id < 8),
@@ -446,14 +455,62 @@ object Similarity {
       ${recenterSql("c1", "seeds", "a1")},
       ${assignSql("a2", "c1")},
       ${recenterSql("c2", "c1", "a2")},
-      ${assignSql("a3", "c2")}
-      SELECT cell, COUNT(*) AS n_vectors,
-        min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
-      FROM a3
-      GROUP BY cell"""
-    })
+      ${assignSql("a3", "c2")}"""
+  }
+
+  /** IVF search over the TRAINED cells — train → assign → search as
+    * one composed pipeline: [[kmeansAssign]]'s partition replaces the
+    * borrowed label column of [[qIvfTopK]], probes (vec_id < 20)
+    * search their own trained cell, ranking via the native top-k
+    * aggregate. Same scale shape as sim_ivf_topk; the training cost
+    * amortizes across every query that reuses the assignment (in
+    * production the assignment is a persisted artifact — here it is
+    * recomputed per run so the oracle can replay it end to end). */
+  val qIvfTrainedTopK = GraftQuery(
+    "sim_ivf_trained_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", quant($"embedding").as("q"))
+        .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
+        .filter($"qn" > 0)
+      val cells = e.join(kmeansAssign(s, d), "vec_id")
+        .select($"vec_id", $"q", $"qn", $"cell")
+      val probes = cells.filter($"vec_id" < 20)
+        .select($"vec_id".as("probe_id"), $"q".as("pq"),
+          $"qn".as("pn"), $"cell".as("pcell"))
+      val cos = round(
+        idot($"pq", $"q").cast("double") / ($"pn" * $"qn"), 6)
+      cells.join(broadcast(probes),
+          $"cell" === $"pcell" && $"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id", cos.as("cosine"))
+        .groupBy($"probe_id")
+        .agg(TopKAggregate.of($"vec_id", $"cosine", 5).as("tk"))
+        .select($"probe_id", posexplode($"tk").as(Seq("pos", "e")))
+        .select($"probe_id", $"e.id".as("vec_id"), $"e.score".as("cosine"),
+          ($"pos" + 1).cast("int").as("rk"))
+    },
+    Some(s"""$kmeansCtes,
+      cells AS (
+        SELECT q.vec_id, q.q, a.cell FROM q JOIN a3 a USING (vec_id)),
+      probes AS (
+        SELECT vec_id AS probe_id, q AS pq, cell FROM cells
+        WHERE vec_id < 20),
+      sims AS (
+        SELECT p.probe_id, c.vec_id,
+          round(
+            CAST(list_sum(list_transform(range(1, 65), i -> p.pq[i] * c.q[i])) AS DOUBLE) /
+            (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> p.pq[i] * p.pq[i])) AS DOUBLE)) *
+             sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * c.q[i])) AS DOUBLE))), 6)
+            AS cosine
+        FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.probe_id),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rk
+        FROM sims)
+      SELECT probe_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5"""))
 
   val all: Seq[GraftQuery] =
     Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK,
-      qIvfMultiprobe, qKnnGraph, qKmeansCells)
+      qIvfMultiprobe, qKnnGraph, qKmeansCells, qIvfTrainedTopK)
 }
