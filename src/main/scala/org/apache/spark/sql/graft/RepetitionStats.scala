@@ -57,10 +57,9 @@ object RepetitionStats {
 
   /** Called from generated code — one pass, two hash tables. */
   def compute(text: UTF8String): InternalRow = {
-    // same tokenization contract as the split(trim(text), "\s+")
-    // expression (and ShingleHashes.compute): trim first, so no
-    // leading/trailing empties; "" still yields one empty token
-    val toks = text.toString.trim.split("\\s+")
+    // single tokenization contract — see Tokenize.sqlTokens: exact
+    // split(trim(text), "\s+") SQL semantics, non-space padding kept
+    val toks = Tokenize.sqlTokens(text)
     val counts = new java.util.HashMap[String, Integer](toks.length * 2)
     var top = 0
     var i = 0

@@ -63,7 +63,7 @@ object ShingleHashes {
 
   /** Called from generated code — static and allocation-light. */
   def compute(text: UTF8String): ArrayData = {
-    val toks = text.toString.trim.split("\\s+")
+    val toks = Tokenize.sqlTokens(text)
     val n = if (toks.length >= 3) toks.length - 2 else 1
     val hs = new Array[Long](n)
     if (toks.length >= 3) {

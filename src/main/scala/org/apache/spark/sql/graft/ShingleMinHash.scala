@@ -29,10 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (aᵢ·v + bᵢ) mod P. Duplicate shingles don't affect minima, so no
   * distinct pass is needed.
   *
-  * Tokenization parity with the SQL twin: text is trimmed and split
-  * on `\s+`; shingles are single-space joins of 3 consecutive
-  * tokens; texts with <3 tokens contribute one shingle = all tokens
-  * single-space joined (matching `array_join(toks, ' ')`).
+  * Tokenization parity with the SQL twin via [[Tokenize.sqlTokens]]
+  * (exact `split(trim(text), '\s+')` semantics); shingles are
+  * single-space joins of 3 consecutive tokens; texts with <3 tokens
+  * contribute one shingle = all tokens single-space joined (matching
+  * `array_join(toks, ' ')`).
   */
 case class ShingleMinHash(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -84,7 +85,7 @@ object ShingleMinHash {
   /** Called from generated code — must stay a static, allocation-light
     * method so the JIT inlines the hot loop. */
   def compute(text: UTF8String): ArrayData = {
-    val toks = text.toString.trim.split("\\s+")
+    val toks = Tokenize.sqlTokens(text)
     val mins = Array.fill(8)(Long.MaxValue)
     if (toks.length >= 3) {
       var i = 0

@@ -73,7 +73,7 @@ object SimHash60 {
 
   /** Called from generated code. */
   def compute(text: UTF8String): Long = {
-    val toks = text.toString.trim.split("\\s+")
+    val toks = Tokenize.sqlTokens(text)
     val seen = new java.util.HashSet[String](toks.length * 2)
     val votes = new Array[Int](60)
     var i = 0

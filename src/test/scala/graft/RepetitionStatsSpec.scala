@@ -27,7 +27,11 @@ class RepetitionStatsSpec extends SparkSpec {
       (4L, "all distinct tokens here now"),
       (5L, "x y x y x y"),
       (6L, "  padded   whitespace  runs  "),
-      (7L, "héllo wörld héllo wörld héllo"))
+      (7L, "héllo wörld héllo wörld héllo"),
+      (8L, "foo bar\n"),               // trailing \n → trailing "" token
+      (9L, "\tfoo bar"),               // leading \t → leading "" token
+      (10L, " \t a b \n "),            // spaces trimmed, \t/\n kept
+      (11L, "a\r\nb"))
       .toDF("doc_id", "text")
     val native = docs.select($"doc_id", RepetitionStats.of($"text").as("st"))
       .select($"doc_id", $"st.n_tokens", $"st.top_token_count",
@@ -41,6 +45,10 @@ class RepetitionStatsSpec extends SparkSpec {
     assert(rows(5L) == ((6, 3, 5, 2)))      // "x y" and "y x"
     assert(rows(6L) == ((3, 1, 2, 2)))      // trim + \s+ collapse
     assert(rows(7L) == ((5, 3, 4, 2)))      // unicode token identity
+    assert(rows(8L) == ((3, 1, 2, 2)))      // SQL trim keeps \n → "" token
+    assert(rows(9L) == ((3, 1, 2, 2)))      // leading \t → leading "" token
+    assert(rows(10L) == ((4, 2, 3, 3)))     // "" appears twice → top 2
+    assert(rows(11L) == ((2, 1, 1, 1)))     // \r\n is one \s+ run
     val ref = TextAnalysis.repetitionViaHofs(docs)
     val nat = docs.select($"doc_id", RepetitionStats.of($"text").as("st"))
       .select($"doc_id", $"st.n_tokens".as("n_tokens"),

@@ -15,7 +15,10 @@ class ShingleMinHashSpec extends SparkSpec {
     import ShingleMinHash.{A, B, M, P, Seed}
     def poly(s: String): Long =
       s.codePoints().toArray.foldLeft(Seed)((h, c) => (h * M + c) % P)
-    val toks = text.trim.split("\\s+").toSeq
+    // SQL-trim semantics (strip spaces only, keep trailing empties) —
+    // the Tokenize contract, independently restated: NOT Java trim/split
+    val toks = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      .split("\\s+", -1).toSeq
     val shingles =
       if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
       else Seq(toks.mkString(" "))
@@ -37,7 +40,8 @@ class ShingleMinHashSpec extends SparkSpec {
   }
 
   test("tokenization edges: empty, single token, two tokens, multi-space") {
-    val cases = Seq("", "   ", "one", "one two", "a  b   c", "a b c d")
+    val cases = Seq("", "   ", "one", "one two", "a  b   c", "a b c d",
+      "a b c\n", "\ta b c", " \t x y z \n ")
     val got = cases.toDF("text")
       .select(ShingleMinHash.of($"text").as("sig"))
       .collect().map(_.getSeq[Long](0))

@@ -24,7 +24,10 @@ class SimHash60Spec extends SparkSpec {
       (3L, "a a a a"),                // distinctness: equals sketch of "a"
       (4L, "a"),
       (5L, "the quick brown fox jumps over the lazy dog"),
-      (6L, "héllo wörld 你好 世界"))
+      (6L, "héllo wörld 你好 世界"),
+      (7L, "foo bar\n"),              // trailing \n → trailing "" token
+      (8L, "\tfoo bar"),              // leading \t → leading "" token
+      (9L, " \t a b \n "))            // spaces trimmed, \t/\n kept
       .toDF("doc_id", "text")
     val native = docs.select($"doc_id", SimHash60.of($"text").as("sh"))
     val ref = Dedup.simhashViaHofs(docs)
@@ -32,5 +35,7 @@ class SimHash60Spec extends SparkSpec {
     val m = native.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(3L) == m(4L), "repeated tokens must not change the sketch")
     assert((m(5L) >> 60) == 0L, "sketch must fit in 60 bits")
+    // both padded forms yield the distinct set {"", foo, bar}
+    assert(m(7L) == m(8L), "leading/trailing empty token: same distinct set")
   }
 }
