@@ -745,9 +745,11 @@ object Dedup {
       val hs = cachedShingleSets(s, d)
       val a = hs.select($"doc_id".as("doc_a"), $"hsh".as("hs_a"))
       val b = hs.select($"doc_id".as("doc_b"), $"hsh".as("hs_b"))
+      // nullif guard mirrored in the oracle (see qContainment): two
+      // empty sets would yield NULL here but inf/nan in DuckDB
       val jac = round(
         size(array_intersect($"hs_a", $"hs_b")).cast("double") /
-          size(array_union($"hs_a", $"hs_b")), 6)
+          nullif(size(array_union($"hs_a", $"hs_b")), lit(0)), 6)
       cand.join(a, "doc_a").join(b, "doc_b")
         .select($"doc_a", $"doc_b", jac.as("jaccard"),
           (jac >= 0.8).as("is_dup"))
@@ -763,9 +765,10 @@ object Dedup {
         FROM s)
       SELECT c.doc_a, c.doc_b,
         round(CAST(length(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
-          length(list_distinct(list_concat(a.hsh, b.hsh))), 6) AS jaccard,
+          nullif(length(list_distinct(list_concat(a.hsh, b.hsh))), 0),
+          6) AS jaccard,
         round(CAST(length(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
-          length(list_distinct(list_concat(a.hsh, b.hsh))), 6) >= 0.8 AS is_dup
+          nullif(length(list_distinct(list_concat(a.hsh, b.hsh))), 0), 6) >= 0.8 AS is_dup
       FROM cand c
       JOIN hs a ON a.doc_id = c.doc_a
       JOIN hs b ON b.doc_id = c.doc_b"""))
@@ -794,9 +797,13 @@ object Dedup {
       val hs = cachedShingleSets(s, d)
       val a = hs.select($"doc_id".as("doc_a"), $"hsh".as("hs_a"))
       val b = hs.select($"doc_id".as("doc_b"), $"hsh".as("hs_b"))
+      // nullif guard, mirrored in the oracle: an empty shingle set
+      // would otherwise divide by zero as NULL here but inf in DuckDB
+      // (ieee_floating_point_ops). ShingleHashes' <3-token fallback
+      // makes sets non-empty today; the guard pins the edge anyway.
       val inter = size(array_intersect($"hs_a", $"hs_b")).cast("double")
-      val ca = round(inter / size($"hs_a"), 6)
-      val cb = round(inter / size($"hs_b"), 6)
+      val ca = round(inter / nullif(size($"hs_a"), lit(0)), 6)
+      val cb = round(inter / nullif(size($"hs_b"), lit(0)), 6)
       cand.join(a, "doc_a").join(b, "doc_b")
         .select($"doc_a", $"doc_b",
           ca.as("containment_a"), cb.as("containment_b"),
@@ -817,9 +824,9 @@ object Dedup {
       sc AS (
         SELECT c.doc_a, c.doc_b,
           round(CAST(length(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
-            length(a.hsh), 6) AS containment_a,
+            nullif(length(a.hsh), 0), 6) AS containment_a,
           round(CAST(length(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
-            length(b.hsh), 6) AS containment_b
+            nullif(length(b.hsh), 0), 6) AS containment_b
         FROM cand c
         JOIN hs a ON a.doc_id = c.doc_a
         JOIN hs b ON b.doc_id = c.doc_b)

@@ -19,10 +19,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Exactness discipline matches the batch twin: values are quantized
   * to 1e4 fixed point and the state carries integer moments (n, Σq,
-  * Σq²); Σq² rides a BigDecimal(38,0)-encoded field for the same
-  * overflow headroom the batch query gets from DECIMAL(38,0). Events
-  * within a micro-batch are folded in event_id order, so a replayed
-  * batch produces identical output (the CDC determinism rule).
+  * Σq²); Σq² is an exact unsigned 128-bit accumulator split across
+  * two Long fields (headroom 2¹²⁸ ≈ 3.4e38 — the same order as the
+  * batch query's DECIMAL(38,0), and deliberately NOT a BigDecimal
+  * field: `Encoders.product` maps BigDecimal to Decimal(38,18),
+  * whose integer headroom is only ~1e20 and whose overflow surfaces
+  * as an encoder failure). Events within a micro-batch are folded in
+  * event_id order, so a replayed batch produces identical output
+  * (the CDC determinism rule).
   *
   * Scale shape: state is three numbers per (user, event_type) — the
   * same key space the batch moments table aggregates on — and the
@@ -33,9 +37,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOutliers {
 
-  /** (n, Σq, Σq²) for one (user, event_type) group; ss is decimal for
-    * overflow headroom past ~4·10⁵ events/group at this value range. */
-  final case class MomentState(n: Long, s: Long, ss: java.math.BigDecimal)
+  /** (n, Σq, Σq²) for one (user, event_type) group. Σq² is an exact
+    * unsigned 128-bit integer as (ssHi·2⁶⁴ + ssLo) — two Long columns
+    * in the state store, overflow-proof to 2¹²⁸ (≈3.4e38; even
+    * q = 10⁹ per event leaves room for >10²⁰ events per group). */
+  final case class MomentState(n: Long, s: Long, ssHi: Long, ssLo: Long)
 
   final case class ScoredEvent(
       event_id: Long, user_id: Long, event_type: String,
@@ -45,6 +51,14 @@ object StreamingOutliers {
     * code must be able to instantiate it). */
   final case class KeyedEvent(
       user_id: Long, event_type: String, event_id: Long, q: Long)
+
+  /** Unsigned 128-bit (hi·2⁶⁴ + lo) → double, for the variance read
+    * (exactness lives in the integer state; the z-score is float at
+    * the output edge only, same as the batch twin). */
+  private def u128ToDouble(hi: Long, lo: Long): Double = {
+    val loU = (lo >>> 1).toDouble * 2.0 + (lo & 1L).toDouble
+    hi.toDouble * 1.8446744073709552e19 + loU
+  }
 
   /** events must carry event_id, user_id, event_type, value. */
   def score(events: org.apache.spark.sql.DataFrame): Dataset[ScoredEvent] = {
@@ -59,8 +73,7 @@ object StreamingOutliers {
       .flatMapGroupsWithState[MomentState, ScoredEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, rows, state: GroupState[MomentState]) =>
-          var st = state.getOption.getOrElse(
-            MomentState(0L, 0L, java.math.BigDecimal.ZERO))
+          var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L, 0L))
           // deterministic fold order within the micro-batch
           val out = rows.toSeq.sortBy(_.event_id).map { e =>
             val dq = e.q.toDouble
@@ -68,15 +81,20 @@ object StreamingOutliers {
               if (st.n >= 2) {
                 val dn = st.n.toDouble
                 val mean = st.s.toDouble / dn
-                val varp = st.ss.doubleValue() / dn - mean * mean
+                val varp = u128ToDouble(st.ssHi, st.ssLo) / dn - mean * mean
                 if (varp > 0)
                   BigDecimal(( dq - mean) / math.sqrt(varp))
                     .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
                 else 0.0
               } else 0.0
-            st = MomentState(st.n + 1, st.s + e.q,
-              st.ss.add(java.math.BigDecimal.valueOf(e.q)
-                .multiply(java.math.BigDecimal.valueOf(e.q))))
+            // exact 128-bit st.ss += q² (q² ≥ 0; multiplyHigh gives the
+            // correct unsigned high word for a non-negative product)
+            val q2lo = e.q * e.q
+            val q2hi = Math.multiplyHigh(e.q, e.q)
+            val lo = st.ssLo + q2lo
+            val carry =
+              if (java.lang.Long.compareUnsigned(lo, st.ssLo) < 0) 1L else 0L
+            st = MomentState(st.n + 1, st.s + e.q, st.ssHi + q2hi + carry, lo)
             ScoredEvent(e.event_id, e.user_id, e.event_type,
               z, math.abs(z) > 3.0, st.n - 1)
           }

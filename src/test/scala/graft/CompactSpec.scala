@@ -32,4 +32,39 @@ class CompactSpec extends SparkSpec {
     assert(parent.listFiles().forall(!_.getName.contains("_compact_")),
       "swap must clean up its temp directories")
   }
+
+  test("a run that died inside the swap window is restored on the next run") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    spark.range(1000).select($"id").repartition(8).write.parquet(dir)
+    // simulate a crash between rename(path→old) and rename(tmp→path):
+    // the table path is gone, the data sits in the hidden old dir
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(
+      path.getParent, s".${path.getName}_compact_old")
+    require(fs.rename(path, old))
+    assert(!fs.exists(path) && fs.exists(old))
+
+    val (before, after, rows) = Compact.run(spark, dir, targetBytes = 1L << 20)
+    assert(rows === 1000L, "recovery must restore the stranded original")
+    assert(after <= before)
+    assert(spark.read.parquet(dir).count() === 1000L)
+    assert(!fs.exists(old), "recovered old dir must be cleaned up")
+  }
+
+  test("stale old dir next to an intact table is cleared, not restored") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    spark.range(500).select($"id").repartition(4).write.parquet(dir)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(
+      path.getParent, s".${path.getName}_compact_old")
+    // superseded copy left behind by a crash after promote
+    spark.range(99).write.parquet(old.toString)
+
+    val (_, _, rows) = Compact.run(spark, dir, targetBytes = 1L << 20)
+    assert(rows === 500L, "the intact table wins over the stale copy")
+    assert(spark.read.parquet(dir).count() === 500L)
+    assert(!fs.exists(old))
+  }
 }
