@@ -1013,7 +1013,8 @@ object Dedup {
       FROM pairs p
       JOIN sh a ON a.doc_id = p.doc_a
       JOIN sh b ON b.doc_id = p.doc_b"""
-    })
+    },
+    bench = true)
 
   /** The pipeline's final answer — one keep/drop decision per
     * document, composing exact dedup and the LSH near-dup clusters:
@@ -1087,7 +1088,8 @@ object Dedup {
              WHEN doc_id <> exact_canonical THEN 'exact_dup'
              ELSE 'near_dup' END AS reason,
         CASE WHEN doc_id <> keeper THEN keeper END AS dup_of
-      FROM keeper"""))
+      FROM keeper"""),
+    bench = true)
 
   /** Cluster-size distribution — the one-page summary a dedup run
     * reports: how many near-dup clusters exist at each size, plus the

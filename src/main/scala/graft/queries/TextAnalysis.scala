@@ -644,7 +644,8 @@ object TextAnalysis {
           AS n_drop_quality,
         CAST(SUM(CASE WHEN verdict = 'drop_lang' THEN 1 ELSE 0 END) AS BIGINT)
           AS n_drop_lang
-      FROM v GROUP BY 1, 2"""))
+      FROM v GROUP BY 1, 2"""),
+    bench = true)
 
   /** Corpus-relative rarity score — the unigram-LM-flavored quality
     * signal (a cheap stand-in for KenLM-style perplexity filtering):
