@@ -954,31 +954,10 @@ object Dedup {
     "dd_simhash_neardup",
     (s, d) => {
       import s.implicits._
-      val cap = 256
-      val sh = Tables.documents(s, d)
-        .select($"doc_id",
-          org.apache.spark.sql.graft.SimHash60.of($"text").as("sh"))
-        .localCheckpoint(true) // sketch artifact: feeds bands + both pair sides
-      val bandVals = array((0 until 4).map(b =>
-        shiftright($"sh", 15 * b).bitwiseAND(lit(0x7FFFL))): _*)
-      val capped = sh
-        .select($"doc_id", posexplode(bandVals).as(Seq("band", "bval")))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy($"band", $"bval").orderBy($"doc_id")))
-        .filter($"rn" <= cap).drop("rn")
-      val pairs = capped.as("l")
-        .join(capped.as("r"),
-          col("l.band") === col("r.band") && col("l.bval") === col("r.bval") &&
-          col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-        .distinct()
-      val ham = expr("bit_count(sh_a ^ sh_b)").cast("int")
-      pairs
-        .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-        .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-        .select($"doc_a", $"doc_b", ham.as("hamming"),
-          (ham <= 3).as("is_dup"))
+      graft.operators.HammingBands.nearDupPairs(
+        Tables.documents(s, d).select($"doc_id",
+          org.apache.spark.sql.graft.SimHash60.of($"text").as("sh")),
+        nBands = 4, bandBits = 15, cap = 256, theta = 3)
     },
     Some {
       def bitSql(i: Int): String =
@@ -994,25 +973,8 @@ object Dedup {
         list_transform(dtoks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hv
         FROM t0),
       sh AS (SELECT doc_id, ${(0 until 60).map(bitSql).mkString(" + ")} AS sh FROM h),
-      bands AS (
-        SELECT doc_id, b.band, (sh >> (15 * b.band)) & 32767 AS bval
-        FROM sh, (SELECT unnest(range(0, 4)) AS band) b),
-      capped AS (
-        SELECT doc_id, band, bval FROM (
-          SELECT doc_id, band, bval,
-            ROW_NUMBER() OVER (PARTITION BY band, bval ORDER BY doc_id) AS rn
-          FROM bands)
-        WHERE rn <= 256),
-      pairs AS (
-        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-        FROM capped l JOIN capped r
-          ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id)
-      SELECT p.doc_a, p.doc_b,
-        CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming,
-        bit_count(xor(a.sh, b.sh)) <= 3 AS is_dup
-      FROM pairs p
-      JOIN sh a ON a.doc_id = p.doc_a
-      JOIN sh b ON b.doc_id = p.doc_b"""
+      ${graft.operators.HammingBands.oracleSqlTail(
+        nBands = 4, bandBits = 15, cap = 256, theta = 3)}"""
     },
     bench = true)
 

@@ -79,5 +79,63 @@ object Multimodal {
         md5(doc_id || '_' || frame_idx) AS frame_key
       FROM f"""))
 
-  val all: Seq[GraftQuery] = Seq(qMediaFeatures, qFrameSample)
+  /** Perceptual-hash near-dup — the operator every image/video
+    * training-data pipeline runs (re-encoded, resized, or
+    * lightly-edited assets share most perceptual bits while their
+    * content hashes differ): a 60-bit block-mean perceptual hash per
+    * asset ([[org.apache.spark.sql.graft.BlockHash60]] — Blockhash-
+    * family, integer-exact), then the exact same banded-Hamming
+    * candidate machinery as dd_simhash_neardup
+    * ([[graft.operators.HammingBands]]): 4 × 15-bit bands, per-bucket
+    * cap 256, true-Hamming verification at θ = 3 (pigeonhole recall 1
+    * before the cap).
+    *
+    * The stub codec boundary sits INSIDE the sketch expression: with
+    * a real decoder the 60 blocks would be block-mean lumas of the
+    * decoded image; here they are fixed-point means of the payload's
+    * codepoint scanline (deterministic + locality-preserving, so the
+    * near-dup semantics downstream are exercised for real). Scale
+    * shape is inherited from HammingBands: sketch is one map-side
+    * codegen pass, one (band, value) shuffle, pair space never
+    * materialized, 8-byte sketches on the verify join. */
+  val qPhashNearDup = GraftQuery(
+    "mm_phash_neardup",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.HammingBands.nearDupPairs(
+        Tables.documents(s, d).select($"doc_id",
+          org.apache.spark.sql.graft.BlockHash60.of($"text").as("sh")),
+        nBands = 4, bandBits = 15, cap = 256, theta = 3)
+    },
+    Some(s"""
+      WITH cps AS (
+        SELECT doc_id, len(cps0) AS n,
+          CAST(generate_subscripts(cps0, 1) - 1 AS BIGINT) AS j,
+          unnest(cps0) AS cp
+        FROM (SELECT doc_id,
+                list_transform(regexp_extract_all(text, '.'),
+                  c -> unicode(c)) AS cps0
+              FROM documents)),
+      wsums AS (
+        SELECT doc_id, (j * 60) // n AS w,
+          CAST(SUM(cp) AS BIGINT) AS s, COUNT(*) AS width
+        FROM cps GROUP BY 1, 2),
+      grid AS (
+        SELECT d.doc_id, gw.w,
+          coalesce((ws.s * 1000) // ws.width, 0) AS q
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range(0, 60)) AS w) gw
+        LEFT JOIN wsums ws ON ws.doc_id = d.doc_id AND ws.w = gw.w),
+      med AS (
+        SELECT doc_id, list_sort(list(q))[30] AS med
+        FROM grid GROUP BY 1),
+      sh AS (
+        SELECT g.doc_id,
+          CAST(coalesce(SUM(CASE WHEN g.q > m.med
+            THEN 1::BIGINT << g.w ELSE 0 END), 0) AS BIGINT) AS sh
+        FROM grid g JOIN med m USING (doc_id) GROUP BY 1),
+      ${graft.operators.HammingBands.oracleSqlTail(
+        nBands = 4, bandBits = 15, cap = 256, theta = 3)}"""))
+
+  val all: Seq[GraftQuery] = Seq(qMediaFeatures, qFrameSample, qPhashNearDup)
 }
