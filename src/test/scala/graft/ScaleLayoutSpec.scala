@@ -145,6 +145,28 @@ class ScaleLayoutSpec extends SparkSpec {
       s"ranking must come from the materialized core, not a re-run window:\n$plan")
   }
 
+  test("q_window_functions: split points are a cached sampled artifact, not a per-run scan") {
+    // VERDICT r6: the full-scan approxQuantile made every run read
+    // orders twice. Split points now come from a bounded sample,
+    // computed once per (dataset, nb) per session — a re-run must not
+    // pay a second stats pass, so each run scans orders exactly once.
+    Registry.byName("q_window_functions").run(spark, sf("sf0.001")).collect()
+    val after1 = queries.Relational.statsPasses.get()
+    val run2 = Registry.byName("q_window_functions").run(spark, sf("sf0.001"))
+    run2.collect()
+    assert(queries.Relational.statsPasses.get() == after1,
+      "warm split-point artifact must serve re-runs without a stats pass")
+    // and the per-run plan holds exactly one scan of orders
+    val core = queries.Relational.windowCore(
+      Tables.orders(spark, sf("sf0.001"))
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice"),
+      nb = 4, splitsIn = Some(Array(50000.0, 150000.0, 250000.0)))
+    val scans = core.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1,
+      s"window core must read orders exactly once, saw $scans scans")
+  }
+
   test("two-phase ranking survives tiny buckets (cnt 1-2) and tied prices") {
     // nb far above the row count forces near-single-row buckets for
     // the unique-price priority — the worst case for the boundary
@@ -157,7 +179,11 @@ class ScaleLayoutSpec extends SparkSpec {
       (for (i <- 1 to 13) yield (100L + i, "A", i * 10.0)) ++
       (for (i <- 1 to 13) yield (200L + i, "B", ((i * 7) % 5) * 10.0))
     val df = rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
-    val got = queries.Relational.windowFuncs(df, nb = 64)
+    // exact full-data splits (err 0): sampling would collapse the tiny
+    // frame to one bucket and dodge the boundary stress this test wants
+    val splits = df.stat.approxQuantile("o_totalprice",
+      (1 until 64).map(_ / 64.0).toArray, 0.0).distinct.sorted
+    val got = queries.Relational.windowFuncs(df, nb = 64, Some(splits))
       .collect().map(_.toSeq).toSet
     val w = Window.partitionBy($"o_orderpriority")
       .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
