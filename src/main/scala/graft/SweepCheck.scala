@@ -6,8 +6,30 @@ import org.apache.spark.sql.SparkSession
   * against a given SF dir and report wall time + row count, to catch
   * queries whose plans degenerate at larger scale before the driver
   * does. Usage: scripts/run.sh graft.SweepCheck [sfDir] [name...]
+  *
+  * Artifact lifecycle (VERDICT r6): session caches (signature /
+  * cluster / shingle tables) and per-query localCheckpoints used to
+  * accumulate in executor storage for the whole sweep — BASELINE.md's
+  * sf1 notes attribute the sim_label_centroids / sim_ivf_topk in-sweep
+  * outliers to exactly that pressure. Each query now runs against a
+  * clean store: [[clearSessionArtifacts]] drops the caches and
+  * unpersists every lingering RDD afterward, so sweep timings measure
+  * PLANS (each query pays its own artifact materialization, cold) —
+  * which also means sweep totals are higher than, and not comparable
+  * to, the shared-artifact sweeps of rounds ≤ 6.
   */
 object SweepCheck {
+
+  /** Drop every session-scoped artifact: the named caches plus any
+    * still-persisted RDD (localCheckpoints register here). Safe only
+    * when no live DataFrame still depends on a checkpointed plan —
+    * true between sweep queries. */
+  def clearSessionArtifacts(spark: SparkSession): Unit = {
+    queries.Dedup.clearSignatureCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
@@ -35,6 +57,7 @@ object SweepCheck {
         println(f"${q.name}%-28s FAILED ${e.getMessage.take(100)}"); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"${q.name}%-28s ${sec}%8.2fs ${n}%10d rows")
+      clearSessionArtifacts(spark) // measure plans, not cache pressure
       (q.name, sec)
     }
     println(f"TOTAL ${results.map(_._2).sum}%.1fs")
