@@ -40,7 +40,18 @@ def main(sf_dir, out_dir):
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written dir (e.g. ScaleUp sf1)
+            src = f"read_parquet('{p}/*.parquet')"
+            ts_t = (con.execute(f"SELECT typeof(ts) FROM {src} LIMIT 1")
+                    .fetchone()[0] if t == "events" else None)
+            if ts_t == "BIGINT":
+                # ScaleUp replicates events.ts as raw nanosecond longs
+                # (the same shape Tables.events reads); expose the same
+                # micro-truncated TIMESTAMP the original table has
+                src = (f"(SELECT * REPLACE (make_timestamp(ts // 1000)"
+                       f" AS ts) FROM {src})")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
