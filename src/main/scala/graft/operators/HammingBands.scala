@@ -55,10 +55,10 @@ object HammingBands {
         (ham <= theta).as("is_dup"))
   }
 
-  /** The band/cap/pair/verify SQL tail shared by the DuckDB oracles —
-    * expects a CTE `sh` with (doc_id, sh) already defined. */
-  def oracleSqlTail(nBands: Int, bandBits: Int, cap: Int,
-      theta: Int): String = {
+  /** The band/cap/pair CTEs shared by the DuckDB oracles — expects a
+    * CTE `sh` with (doc_id, sh) already defined; yields `bands`,
+    * `capped`, `pairs`. */
+  def oracleBandCtes(nBands: Int, bandBits: Int, cap: Int): String = {
     val mask = (1L << bandBits) - 1
     s"""
       bands AS (
@@ -73,12 +73,17 @@ object HammingBands {
       pairs AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM capped l JOIN capped r
-          ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id)
+          ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id)"""
+  }
+
+  /** Full band/cap/pair/verify SQL tail (final SELECT included). */
+  def oracleSqlTail(nBands: Int, bandBits: Int, cap: Int,
+      theta: Int): String =
+    s"""${oracleBandCtes(nBands, bandBits, cap)}
       SELECT p.doc_a, p.doc_b,
         CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming,
         bit_count(xor(a.sh, b.sh)) <= $theta AS is_dup
       FROM pairs p
       JOIN sh a ON a.doc_id = p.doc_a
       JOIN sh b ON b.doc_id = p.doc_b"""
-  }
 }

@@ -108,7 +108,14 @@ object Multimodal {
         nBands = 4, bandBits = 15, cap = 256, theta = 3)
     },
     Some(s"""
-      WITH cps AS (
+      WITH $phashShCtes,
+      ${graft.operators.HammingBands.oracleSqlTail(
+        nBands = 4, bandBits = 15, cap = 256, theta = 3)}"""))
+
+  /** DuckDB replay of the BlockHash60 sketch — CTEs `cps`, `wsums`,
+    * `grid`, `med`, `sh` (sh has doc_id, sh); shared by the near-dup
+    * and keep-list oracles (a def, so object-init order can't bite). */
+  private def phashShCtes = """cps AS (
         SELECT doc_id, len(cps0) AS n,
           CAST(generate_subscripts(cps0, 1) - 1 AS BIGINT) AS j,
           unnest(cps0) AS cp
@@ -133,9 +140,65 @@ object Multimodal {
         SELECT g.doc_id,
           CAST(coalesce(SUM(CASE WHEN g.q > m.med
             THEN 1::BIGINT << g.w ELSE 0 END), 0) AS BIGINT) AS sh
-        FROM grid g JOIN med m USING (doc_id) GROUP BY 1),
-      ${graft.operators.HammingBands.oracleSqlTail(
-        nBands = 4, bandBits = 15, cap = 256, theta = 3)}"""))
+        FROM grid g JOIN med m USING (doc_id) GROUP BY 1)"""
 
-  val all: Seq[GraftQuery] = Seq(qMediaFeatures, qFrameSample, qPhashNearDup)
+  /** The multimodal pipeline's final answer — one keep/drop decision
+    * per ASSET, completing the family's parity with the text
+    * pipeline (dd_keep_list): verified pHash dup pairs (Hamming ≤ 3)
+    * are composed into clusters by the SAME iterative min-label
+    * connected-components operator the text path uses
+    * ([[Dedup.connectedComponents]]), and each asset keeps iff it is
+    * its cluster's min id (assets in no dup pair keep trivially);
+    * dropped assets carry `dup_of` = their cluster's keeper.
+    *
+    * Scale shape: sketch + banding inherit HammingBands' contract;
+    * clustering moves only (id, label) tables for O(diameter) rounds;
+    * the final verdict is one id-keyed left join against the corpus
+    * id list. Oracle replays the closure with the same recursive CTE
+    * shape as dd_dup_clusters, over the verified-pair graph. */
+  val qPhashKeepList = GraftQuery(
+    "mm_phash_keep_list",
+    (s, d) => {
+      import s.implicits._
+      val dupPairs = graft.operators.HammingBands.nearDupPairs(
+        Tables.documents(s, d).select($"doc_id",
+          org.apache.spark.sql.graft.BlockHash60.of($"text").as("sh")),
+        nBands = 4, bandBits = 15, cap = 256, theta = 3)
+        .filter($"is_dup")
+        .select($"doc_a", $"doc_b")
+      val labels = Dedup.connectedComponents(dupPairs)
+        .withColumnRenamed("node", "doc_id")
+      Tables.documents(s, d).select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select($"doc_id",
+          ($"label".isNull || $"label" === $"doc_id").as("keep"),
+          when($"label" =!= $"doc_id", $"label").as("dup_of"))
+    },
+    Some(s"""
+      WITH RECURSIVE $phashShCtes,
+      ${graft.operators.HammingBands.oracleBandCtes(
+        nBands = 4, bandBits = 15, cap = 256)},
+      dup_pairs AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      dedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION SELECT doc_b, doc_a FROM dup_pairs),
+      reach AS (
+        SELECT src, dst FROM dedges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src),
+      clusters AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src)
+      SELECT d.doc_id,
+        (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS keep,
+        CASE WHEN c.cluster_id <> d.doc_id THEN c.cluster_id END AS dup_of
+      FROM documents d LEFT JOIN clusters c USING (doc_id)"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(qMediaFeatures, qFrameSample, qPhashNearDup, qPhashKeepList)
 }

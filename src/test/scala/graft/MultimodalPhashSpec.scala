@@ -102,6 +102,33 @@ class MultimodalPhashSpec extends SparkSpec {
       "cap survivors must be the lowest doc_ids")
   }
 
+  test("mm_phash_keep_list: keeper kept, dup_of resolves in one hop, conservation") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out = Multimodal.qPhashKeepList.run(spark, sf("sf0.001")).collect()
+    assert(out.length == docs.count(), "one verdict per asset")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    byId.foreach { case (id, (keep, dupOf)) =>
+      if (keep) assert(dupOf.isEmpty, s"kept asset $id must carry no dup_of")
+      else {
+        val target = dupOf.getOrElse(fail(s"dropped $id needs dup_of"))
+        assert(target < id, "keeper is the cluster min, so always lower")
+        assert(byId(target)._1, s"dup_of of $id must resolve to a KEPT asset")
+      }
+    }
+    // every verified dup pair ends up in one cluster: both sides keep
+    // consistent verdicts (at most one of the two is kept... unless
+    // they belong to the same cluster via a third asset)
+    val dupPairs = Multimodal.qPhashNearDup.run(spark, sf("sf0.001"))
+      .filter($"is_dup").select($"doc_a", $"doc_b").collect()
+    dupPairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      def keeperOf(x: Long) = if (byId(x)._1) x else byId(x)._2.get
+      assert(keeperOf(a) == keeperOf(b),
+        s"dup pair ($a,$b) must share a cluster keeper")
+    }
+  }
+
   test("mm_phash_neardup runs end-to-end with verified hamming") {
     val out = Multimodal.qPhashNearDup.run(spark, sf("sf0.001"))
     // the sketch projection is native codegen, not an interpreted HOF
