@@ -1083,9 +1083,120 @@ object Dedup {
         CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_droppable
       FROM cs GROUP BY cluster_size"""))
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    * 2303.09540): assign every embedding to a trained k-means cell
+    * ([[Similarity.kmeansAssign]] — the same deterministic 2-round
+    * Lloyd run the IVF queries share), then compare vectors ONLY
+    * within their cell and drop any vector that has a near-identical
+    * (cosine ≥ θ) cell-mate with a smaller id. Complements
+    * dd_embedding_neardup: LSH banding catches near-copies by random
+    * projection, the cluster pass catches semantic redundancy around
+    * learned modes — the two methods a production corpus runs
+    * side by side.
+    *
+    * Per-cell work is bounded by a deterministic cap: within each
+    * cell only the `cap` lowest vec_ids participate in pairing
+    * (`in_scope`), so a degenerate cell costs ≤ cap² cosines — the
+    * same skew guard as the ANN bucket cap. Out-of-scope vectors are
+    * reported with `in_scope = false` and kept (no silent verdicts).
+    * At 100 TB the real dial is k: SemDeDup sizes k ∝ N/(target cell
+    * population) so cells stay cap-sized and pair work stays linear
+    * in N; k = 8 here is the test-scale instantiation pinned by the
+    * shared oracle CTE chain.
+    *
+    * Scale shape: the trained assignment is the session's cluster
+    * artifact (localCheckpoint'd, reused by all three consumers
+    * below); in-scope selection is the native bounded top-k aggregate
+    * — map-side ≤ cap survivors per partition, NEVER a corpus window
+    * over the k-valued cell key; the participant table is ≤ k·cap
+    * rows BY CONSTRUCTION, so the pair join broadcasts it regardless
+    * of corpus size and the only corpus-sized shuffles are the
+    * assignment itself and the final vec_id-keyed left joins. */
+  private[graft] def semanticDedup(s: org.apache.spark.sql.SparkSession,
+      d: String, cap: Int, threshold: Double): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorExpressions.{quantize, quantizedDot}
+    val sig = Tables.embeddings(s, d)
+      .select($"vec_id", quantize($"embedding").as("q"))
+      .withColumn("qn", sqrt(quantizedDot($"q", $"q").cast("double")))
+      .filter($"qn" > 0) // zero-norm policy — see cosineTopK scaladoc
+    val cells = sig.join(Similarity.kmeansAssign(s, d), "vec_id")
+      .localCheckpoint(true) // feeds scope selection, pairing, output
+    val scoped = cells.groupBy($"cell")
+      .agg(org.apache.spark.sql.graft.TopKAggregate
+        .of($"vec_id", -$"vec_id".cast("double"), cap).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.id".as("vec_id"), lit(true).as("in_scope"))
+    val p = cells.join(broadcast(scoped.select($"vec_id")), "vec_id")
+      .select($"vec_id", $"q", $"qn", $"cell")
+    val a = p.select($"cell", $"vec_id".as("a_id"), $"q".as("aq"),
+      $"qn".as("an"))
+    val b = p.select($"cell", $"vec_id".as("b_id"), $"q".as("bq"),
+      $"qn".as("bn"))
+    val cos = round(
+      quantizedDot($"aq", $"bq").cast("double") / ($"an" * $"bn"), 6)
+    val near = a.join(broadcast(b), Seq("cell"))
+      .filter($"a_id" =!= $"b_id")
+      .filter(cos >= threshold)
+      .groupBy($"a_id")
+      .agg(count(lit(1)).as("n_near"),
+        sum(when($"b_id" < $"a_id", 1L).otherwise(0L)).as("n_prior"))
+      .withColumnRenamed("a_id", "vec_id")
+    cells.select($"vec_id", $"cell")
+      .join(broadcast(scoped), Seq("vec_id"), "left")
+      .join(broadcast(near), Seq("vec_id"), "left")
+      .select($"vec_id", $"cell",
+        coalesce($"in_scope", lit(false)).as("in_scope"),
+        coalesce($"n_near", lit(0L)).as("n_near"),
+        (coalesce($"in_scope", lit(false)) === false ||
+          coalesce($"n_prior", lit(0L)) === 0L).as("keep"))
+  }
+
+  /** Registry instantiation: cap 256 (the house per-bucket cap),
+    * θ = 0.42 — the house near-dup threshold (dd_embedding_neardup
+    * uses the same θ, so the two methods' verdicts are comparable;
+    * within-cell cosines top out ≈ 0.51 on the synthetic fixture, so
+    * the verdict is non-trivial at every SF). The
+    * oracle replays the full chain: shared k-means CTEs → per-cell
+    * ROW_NUMBER cap → both-direction pair scoring → greedy-by-id
+    * keep rule. */
+  val qSemanticDedup = GraftQuery(
+    "dd_semantic_dedup",
+    (s, d) => semanticDedup(s, d, cap = 256, threshold = 0.42),
+    Some(s"""${Similarity.kmeansCtes},
+      cells AS (
+        SELECT q.vec_id, q.q, a.cell FROM q JOIN a3 a USING (vec_id)),
+      scoped AS (
+        SELECT vec_id, q, cell FROM (
+          SELECT vec_id, q, cell,
+            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+          FROM cells)
+        WHERE rn <= 256),
+      near AS (
+        SELECT a.vec_id AS vid,
+          COUNT(*) AS n_near,
+          CAST(SUM(CASE WHEN b.vec_id < a.vec_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_prior
+        FROM scoped a JOIN scoped b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        WHERE round(
+            CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE) /
+            (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * a.q[i])) AS DOUBLE)) *
+             sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.q[i] * b.q[i])) AS DOUBLE))), 6)
+          >= 0.42
+        GROUP BY a.vec_id),
+      sc AS (SELECT vec_id FROM scoped)
+      SELECT c.vec_id, c.cell,
+        (sc.vec_id IS NOT NULL) AS in_scope,
+        COALESCE(n.n_near, 0) AS n_near,
+        (sc.vec_id IS NULL OR COALESCE(n.n_prior, 0) = 0) AS keep
+      FROM cells c
+      LEFT JOIN sc ON sc.vec_id = c.vec_id
+      LEFT JOIN near n ON n.vid = c.vec_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
       qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
       qBloomContamination, qVerifiedPairs, qIncremental, qKeepList,
-      qSimhashNearDup, qContainment, qClusterStats)
+      qSimhashNearDup, qContainment, qClusterStats, qSemanticDedup)
 }

@@ -420,8 +420,9 @@ object Similarity {
 
   /** Oracle CTE chain replaying [[kmeansAssign]] — `a3` is the final
     * (vec_id, cell) assignment; requires nothing in front (starts its
-    * own WITH). Shared by sim_kmeans_cells and sim_ivf_trained_topk. */
-  private lazy val kmeansCtes: String = {
+    * own WITH). Shared by sim_kmeans_cells, sim_ivf_trained_topk and
+    * Dedup's dd_semantic_dedup. */
+  private[graft] lazy val kmeansCtes: String = {
     // assignment CTE over centroid table `c`: argmax_cell of the
     // rounded exact-int cosine, ties to lowest cell
     def assignSql(name: String, cents: String): String = s"""
