@@ -137,5 +137,70 @@ object Cdc {
              ELSE 0.0 END AS price_change_percentage
       FROM ev WHERE status <> 'unchanged'"""))
 
-  val all: Seq[GraftQuery] = Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps)
+  /** SCD Type-2 dimension build (Kimball slowly-changing dimension):
+    * the per-user event stream becomes a versioned dimension table —
+    * one row per VALUE CHANGE carrying [valid_from, valid_to)
+    * validity in epoch seconds, a per-user version number, and an
+    * is_current flag on the open row. Consecutive events with an
+    * unchanged value collapse into their predecessor's interval (true
+    * SCD-2 versions on change, not on event), detected with lag();
+    * ordering ties on the same second break deterministically by
+    * event_id on both engines.
+    *
+    * Scale shape: every window is keyed on user_id — a key space that
+    * grows with the data, so parallelism follows the corpus and no
+    * straggler wall forms (the house window discipline; see
+    * w_running_user_value). One shuffle on user_id feeds all three
+    * window passes (lag, lead, row_number share the same
+    * partitioning+ordering, so Catalyst plans a single sort). */
+  /** SCD-2 core over any (user_id, event_id, sec, value) frame —
+    * factored out so CdcSpec can drive the collapse path with
+    * synthetic repeated values (the fixture's random doubles almost
+    * never repeat, so every event would version). */
+  private[graft] def scd2(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val chg = ev.withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("value"))
+    chg.select(col("user_id"), col("event_id"), col("sec"), col("value"),
+        lead(col("sec"), 1).over(w).as("valid_to_sec"),
+        row_number().over(w).cast("long").as("version"))
+      .select(col("user_id"), col("value"), col("sec").as("valid_from_sec"),
+        col("valid_to_sec"), col("version"),
+        col("valid_to_sec").isNull.as("is_current"))
+  }
+
+  val qCdcScd2 = GraftQuery(
+    "q_cdc_scd2",
+    (s, d) => {
+      import s.implicits._
+      scd2(Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_timestamp($"ts").as("sec"),
+          $"value"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+        FROM events),
+      chg AS (
+        SELECT *, lag(value) OVER (PARTITION BY user_id
+                                   ORDER BY sec, event_id) AS prev
+        FROM ev),
+      v AS (
+        SELECT user_id, event_id, sec, value FROM chg
+        WHERE prev IS NULL OR prev <> value)
+      SELECT user_id, value, sec AS valid_from_sec,
+        lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+          AS valid_to_sec,
+        CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id) AS BIGINT)
+          AS version,
+        (lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+          IS NULL) AS is_current
+      FROM v"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2)
 }

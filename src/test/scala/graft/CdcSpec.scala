@@ -141,4 +141,33 @@ class CdcSpec extends SparkSpec {
       assert(off.head.timeOnMarketDays.contains(3))
     } finally q.stop()
   }
+
+  test("SCD-2: repeated values collapse, intervals chain, one current row") {
+    // user 1: 10 → 10 → 20 → 10 (3 versions; middle repeat collapses)
+    // user 2: constant 5 across 3 events (1 version)
+    val ev = Seq(
+      (1L, 101L, 1000L, 10.0), (1L, 102L, 2000L, 10.0),
+      (1L, 103L, 3000L, 20.0), (1L, 104L, 4000L, 10.0),
+      (2L, 201L, 1500L, 5.0), (2L, 202L, 2500L, 5.0), (2L, 203L, 3500L, 5.0))
+      .toDF("user_id", "event_id", "sec", "value")
+    val dim = graft.queries.Cdc.scd2(ev).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4),
+        r.getBoolean(5)))
+      .sortBy(t => (t._1, t._5))
+    assert(dim.toSeq == Seq(
+      (1L, 10.0, 1000L, Some(3000L), 1L, false),
+      (1L, 20.0, 3000L, Some(4000L), 2L, false),
+      (1L, 10.0, 4000L, None, 3L, true),
+      (2L, 5.0, 1500L, None, 1L, true)))
+    // invariants: versions chain (valid_to == next valid_from) and
+    // exactly one open row per user
+    dim.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.count(_._6) == 1)
+      rows.sortBy(_._5).sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3))
+        case _ =>
+      }
+    }
+  }
 }
