@@ -201,6 +201,95 @@ object Cdc {
           IS NULL) AS is_current
       FROM v"""))
 
+  /** Point-in-time-correct feature join (the feature-store lookup
+    * that prevents label leakage in training data, Feast/Tecton
+    * style): every purchase event is joined to the SCD-2 dimension
+    * version that was valid AT ITS TIME — the latest version with
+    * valid_from ≤ purchase sec, never a later one. The dimension here
+    * is [[scd2]] over the user's `view` events, so the output is
+    * "what the user's tracked value looked like when they bought",
+    * with the version id for audit; purchases before any version
+    * carry nulls.
+    *
+    * Implemented as the carry-forward union, not an interval join:
+    * dimension change rows and probe rows union into one frame, one
+    * window keyed on user_id carries the latest (value, version)
+    * forward, probes read the carried state. Ties at the same second
+    * are pinned: changes sort before probes (ord 0 < 1), and among
+    * same-second changes the higher version wins — the oracle replays
+    * the same policy as ORDER BY valid_from DESC, version DESC.
+    *
+    * Scale shape: ONE exchange + sort keyed on user_id covers the
+    * whole lookup (the same discipline as w_asof_prior_view); no
+    * probe-count window, no interval-join blowup, dimension and
+    * probes never materialize a pair space. */
+  /** PIT core over any (user_id, event_id, sec, value, event_type)
+    * frame — factored out so CdcSpec can drive the leakage and tie
+    * policies synthetically. */
+  private[graft] def pitJoin(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dim = scd2(ev.filter(col("event_type") === "view")
+        .drop("event_type"))
+      .select(col("user_id"), col("valid_from_sec").as("sec"),
+        lit(0).as("ord"), lit(null).cast("long").as("event_id"),
+        col("value"), col("version"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec"), lit(1).as("ord"), col("event_id"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("long").as("version"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("ord"),
+        coalesce(col("version"), lit(Long.MaxValue)))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    dim.unionByName(probes)
+      .withColumn("feature_value",
+        last(col("value"), ignoreNulls = true).over(w))
+      .withColumn("feature_version",
+        last(when(col("ord") === 0, col("version")), ignoreNulls = true)
+          .over(w))
+      .filter(col("ord") === 1)
+      .select(col("event_id"), col("user_id"), col("sec").as("purchase_sec"),
+        col("feature_value"), col("feature_version"))
+  }
+
+  val qCdcPitJoin = GraftQuery(
+    "q_cdc_pit_join",
+    (s, d) => {
+      import s.implicits._
+      pitJoin(Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_timestamp($"ts").as("sec"),
+          $"value", $"event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS sec, value, event_type
+        FROM events),
+      vchg AS (
+        SELECT *, lag(value) OVER (PARTITION BY user_id
+                                   ORDER BY sec, event_id) AS prev
+        FROM (SELECT user_id, event_id, sec, value FROM e
+              WHERE event_type = 'view')),
+      dim AS (
+        SELECT user_id, value, sec AS vf,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY sec, event_id) AS BIGINT)
+            AS version
+        FROM vchg WHERE prev IS NULL OR prev <> value),
+      p AS (
+        SELECT event_id, user_id, sec FROM e
+        WHERE event_type = 'purchase'),
+      j AS (
+        SELECT p.event_id, p.user_id, p.sec, d.value, d.version,
+          ROW_NUMBER() OVER (PARTITION BY p.event_id
+                             ORDER BY d.vf DESC, d.version DESC) AS rn
+        FROM p LEFT JOIN dim d
+          ON d.user_id = p.user_id AND d.vf <= p.sec)
+      SELECT event_id, user_id, sec AS purchase_sec,
+        value AS feature_value, version AS feature_version
+      FROM j WHERE rn = 1"""))
+
   val all: Seq[GraftQuery] =
-    Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2)
+    Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin)
 }

@@ -170,4 +170,23 @@ class CdcSpec extends SparkSpec {
       }
     }
   }
+
+  test("PIT join: no future leakage, same-second change visible, cold start null") {
+    // user 1 views set value 10 @1000, 20 @3000; purchases @2000, @3000, @500
+    val ev = Seq(
+      (1L, 1L, 1000L, 10.0, "view"), (1L, 2L, 3000L, 20.0, "view"),
+      (1L, 11L, 2000L, 99.0, "purchase"),  // must see 10, NOT the future 20
+      (1L, 12L, 3000L, 99.0, "purchase"),  // same-second change IS visible
+      (1L, 13L, 500L, 99.0, "purchase"))   // before any version → nulls
+      .toDF("user_id", "event_id", "sec", "value", "event_type")
+    val got = graft.queries.Cdc.pitJoin(ev).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (11L, Some(10.0), Some(1L)),
+      (12L, Some(20.0), Some(2L)),
+      (13L, None, None)))
+  }
 }
