@@ -1194,9 +1194,75 @@ object Dedup {
       LEFT JOIN sc ON sc.vec_id = c.vec_id
       LEFT JOIN near n ON n.vid = c.vec_id"""))
 
+  /** Edit-distance fuzzy join — entity resolution over a dimension's
+    * name column (near-identical product names in a catalog; the
+    * master-data twin of the document-level near-dup family).
+    *
+    * Scale shape (trigram blocking in the ED-Join tradition, Xiao et
+    * al., VLDB 2008): the quadratic name-pair space is never
+    * materialized. Names sharing at least one character trigram meet
+    * in ONE (gram) shuffle. Completeness is provable, not heuristic:
+    * a single edit destroys at most q = 3 positional trigrams, so a
+    * name with ≥ 3·tau + 1 trigrams (length ≥ 3·tau + 3) keeps at
+    * least one trigram through tau edits — when BOTH names clear that
+    * bar the gram join cannot miss their pair. Names short enough
+    * that tau edits can erase every gram go through a short-name
+    * sidecar instead: any mate within tau edits of a short name is
+    * itself ≤ minLong + tau − 1 chars, so the sidecar pairs the
+    * bounded sub-minLong population exhaustively against the ≤
+    * (minLong + tau − 1)-char slice and never touches the long tail.
+    * The two candidate paths are disjoint by construction (gram path
+    * requires both ≥ minLong; sidecar requires min < minLong).
+    *
+    * The oracle is the NAIVE QUADRATIC formulation — DuckDB can
+    * afford it on the 64-name catalog — so the hash gate empirically
+    * re-proves blocking completeness on every run, at every SF.
+    *
+    * Verification uses the banded levenshtein(_, _, tau) kernel
+    * (O(tau·n) per pair with early exit, Spark 3.5+) on candidates
+    * deduped on (name_a, name_b); only surviving pairs carry a
+    * distance. */
+  private[graft] def fuzzyJoin(s: org.apache.spark.sql.SparkSession,
+      names: DataFrame, tau: Int): DataFrame = {
+    val minLong = 3 * tau + 3
+    val longNames = names.filter(length(col("name")) >= minLong)
+    val grams = longNames.select(col("name"),
+      explode(expr(
+        "array_distinct(transform(sequence(1, length(name) - 2)," +
+          " i -> substring(name, i, 3)))")).as("gram"))
+    val candLong = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+    // every possible tau-edit mate of a sub-minLong name fits here
+    val shortSlice = names.filter(length(col("name")) <= minLong + tau - 1)
+    val candShort = shortSlice.as("a")
+      .join(shortSlice.as("b"), col("a.name") < col("b.name"))
+      .filter(least(length(col("a.name")), length(col("b.name"))) < minLong)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    candLong.unionByName(candShort)
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= tau)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b"), tau).cast("long").as("lev"))
+      .filter(col("lev") >= 0)
+  }
+
+  val qFuzzyJoin = GraftQuery(
+    "dd_fuzzy_join",
+    (s, d) => fuzzyJoin(s,
+      Tables.part(s, d).select(col("p_name").as("name")).distinct(), tau = 1),
+    Some("""
+      WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+      SELECT a.name AS name_a, b.name AS name_b,
+        CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+      FROM n a JOIN n b ON a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 1"""))
+
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
       qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
       qBloomContamination, qVerifiedPairs, qIncremental, qKeepList,
-      qSimhashNearDup, qContainment, qClusterStats, qSemanticDedup)
+      qSimhashNearDup, qContainment, qClusterStats, qSemanticDedup,
+      qFuzzyJoin)
 }
