@@ -290,6 +290,42 @@ object Cdc {
         value AS feature_value, version AS feature_version
       FROM j WHERE rn = 1"""))
 
+  /** Incremental MV refresh ([[graft.operators.IncrementalAgg]]): the
+    * orders fact table is sliced at a date boundary into "already
+    * materialized history" and "newly arrived partition"; each side
+    * contributes a partial-aggregate artifact and the refresh merges
+    * the two WITHOUT rescanning history. The oracle is the full
+    * recompute over the whole table, so the hash gate proves the
+    * merge algebra is exactly lossless (the point of carrying decimal
+    * sums: a double-valued partial would diverge from the recompute
+    * in the last bits and the MV would drift batch over batch). */
+  val qMvMerge = GraftQuery(
+    "q_mv_merge",
+    (s, d) => {
+      import graft.operators.IncrementalAgg
+      import s.implicits._
+      val keys = Seq("status", "priority")
+      val o = Tables.orders(s, d).select(
+        $"o_orderstatus".as("status"), $"o_orderpriority".as("priority"),
+        $"o_totalprice".as("price"), $"o_orderdate".as("ts"))
+      val split = lit("1999-01-01").cast("timestamp")
+      val base = IncrementalAgg.partial(
+        o.filter($"ts" < split), keys, $"price", $"ts")
+      val delta = IncrementalAgg.partial(
+        o.filter($"ts" >= split), keys, $"price", $"ts")
+      IncrementalAgg.present(
+        IncrementalAgg.merge(base.unionByName(delta), keys), keys)
+    },
+    Some("""
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        MIN(o_orderdate) AS first_date,
+        MAX(o_orderdate) AS last_date
+      FROM orders GROUP BY 1, 2"""))
+
   val all: Seq[GraftQuery] =
-    Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin)
+    Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin,
+      qMvMerge)
 }
