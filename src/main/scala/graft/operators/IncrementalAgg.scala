@@ -27,15 +27,24 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object IncrementalAgg {
 
-  /** One partial-aggregate row per key: composable accumulators only
-    * (count / exact decimal sum / min / max — no averages). */
-  def partial(df: DataFrame, keys: Seq[String], value: Column,
-      ts: Column): DataFrame =
-    df.groupBy(keys.map(col): _*).agg(
+  /** The composable accumulator set — ONE definition shared by the
+    * batch partial and the streaming maintainer
+    * ([[graft.streaming.StreamingMv]]), so the two twins cannot drift
+    * on the algebra. */
+  private[graft] def accumulators(value: Column, ts: Column): Seq[Column] =
+    Seq(
       count(lit(1)).as("cnt"),
       sum(value.cast(DecimalType(28, 6))).as("sum_dec"),
       min(ts).as("first_ts"),
       max(ts).as("last_ts"))
+
+  /** One partial-aggregate row per key: composable accumulators only
+    * (count / exact decimal sum / min / max — no averages). */
+  def partial(df: DataFrame, keys: Seq[String], value: Column,
+      ts: Column): DataFrame = {
+    val accs = accumulators(value, ts)
+    df.groupBy(keys.map(col): _*).agg(accs.head, accs.tail: _*)
+  }
 
   /** Merge any number of partials (stacked with unionByName): each
     * accumulator folds with its own combine op. Exactness of sum_dec
