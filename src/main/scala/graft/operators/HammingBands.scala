@@ -56,25 +56,38 @@ object HammingBands {
   }
 
   /** The band/cap/pair CTEs shared by the DuckDB oracles — expects a
-    * CTE `sh` with (doc_id, sh) already defined; yields `bands`,
-    * `capped`, `pairs`. */
-  def oracleBandCtes(nBands: Int, bandBits: Int, cap: Int): String = {
+    * CTE `${p}sh` with (doc_id, sh) already defined; yields
+    * `${p}bands`, `${p}capped`, `${p}pairs`. The prefix lets two
+    * sketch families (e.g. the visual block hash and the caption
+    * SimHash of mm_crossmodal_keep_list) coexist in one WITH chain. */
+  def oracleBandCtes(nBands: Int, bandBits: Int, cap: Int,
+      p: String = ""): String = {
     val mask = (1L << bandBits) - 1
     s"""
-      bands AS (
+      ${p}bands AS (
         SELECT doc_id, b.band, (sh >> ($bandBits * b.band)) & $mask AS bval
-        FROM sh, (SELECT unnest(range(0, $nBands)) AS band) b),
-      capped AS (
+        FROM ${p}sh, (SELECT unnest(range(0, $nBands)) AS band) b),
+      ${p}capped AS (
         SELECT doc_id, band, bval FROM (
           SELECT doc_id, band, bval,
             ROW_NUMBER() OVER (PARTITION BY band, bval ORDER BY doc_id) AS rn
-          FROM bands)
+          FROM ${p}bands)
         WHERE rn <= $cap),
-      pairs AS (
+      ${p}pairs AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-        FROM capped l JOIN capped r
+        FROM ${p}capped l JOIN ${p}capped r
           ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id)"""
   }
+
+  /** θ-verified dup-pair CTE `${p}dup(doc_a, doc_b)` over
+    * `${p}pairs` + `${p}sh`. */
+  def oracleDupCte(theta: Int, p: String = ""): String =
+    s"""${p}dup AS (
+        SELECT pp.doc_a, pp.doc_b
+        FROM ${p}pairs pp
+        JOIN ${p}sh a ON a.doc_id = pp.doc_a
+        JOIN ${p}sh b ON b.doc_id = pp.doc_b
+        WHERE bit_count(xor(a.sh, b.sh)) <= $theta)"""
 
   /** Full band/cap/pair/verify SQL tail (final SELECT included). */
   def oracleSqlTail(nBands: Int, bandBits: Int, cap: Int,

@@ -950,6 +950,24 @@ object Dedup {
       .select(col("doc_id"), sim.as("sh"))
   }
 
+  /** DuckDB replay of the SimHash60 sketch — CTEs `${p}t0`, `${p}h`,
+    * `${p}sh` (sh has doc_id, sh); the prefix lets it share a WITH
+    * chain with another sketch family (mm_crossmodal_keep_list). */
+  private[queries] def simhashShCtes(p: String = ""): String = {
+    def bitSql(i: Int): String =
+      s"""(CASE WHEN list_sum(list_transform(hv, v ->
+         CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+         THEN ${1L << i} ELSE 0 END)"""
+    s"""${p}t0 AS (
+        SELECT doc_id,
+          list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS dtoks
+        FROM documents),
+      ${p}h AS (SELECT doc_id,
+        list_transform(dtoks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hv
+        FROM ${p}t0),
+      ${p}sh AS (SELECT doc_id, ${(0 until 60).map(bitSql).mkString(" + ")} AS sh FROM ${p}h)"""
+  }
+
   val qSimhashNearDup = GraftQuery(
     "dd_simhash_neardup",
     (s, d) => {
@@ -959,23 +977,10 @@ object Dedup {
           org.apache.spark.sql.graft.SimHash60.of($"text").as("sh")),
         nBands = 4, bandBits = 15, cap = 256, theta = 3)
     },
-    Some {
-      def bitSql(i: Int): String =
-        s"""(CASE WHEN list_sum(list_transform(hv, v ->
-           CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
-           THEN ${1L << i} ELSE 0 END)"""
-      s"""
-      WITH t0 AS (
-        SELECT doc_id,
-          list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS dtoks
-        FROM documents),
-      h AS (SELECT doc_id,
-        list_transform(dtoks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hv
-        FROM t0),
-      sh AS (SELECT doc_id, ${(0 until 60).map(bitSql).mkString(" + ")} AS sh FROM h),
+    Some(s"""
+      WITH ${simhashShCtes()},
       ${graft.operators.HammingBands.oracleSqlTail(
-        nBands = 4, bandBits = 15, cap = 256, theta = 3)}"""
-    },
+        nBands = 4, bandBits = 15, cap = 256, theta = 3)}"""),
     bench = true)
 
   /** The pipeline's final answer — one keep/drop decision per

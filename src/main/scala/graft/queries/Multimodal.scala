@@ -108,14 +108,16 @@ object Multimodal {
         nBands = 4, bandBits = 15, cap = 256, theta = 3)
     },
     Some(s"""
-      WITH $phashShCtes,
+      WITH ${phashShCtes()},
       ${graft.operators.HammingBands.oracleSqlTail(
         nBands = 4, bandBits = 15, cap = 256, theta = 3)}"""))
 
-  /** DuckDB replay of the BlockHash60 sketch — CTEs `cps`, `wsums`,
-    * `grid`, `med`, `sh` (sh has doc_id, sh); shared by the near-dup
-    * and keep-list oracles (a def, so object-init order can't bite). */
-  private def phashShCtes = """cps AS (
+  /** DuckDB replay of the BlockHash60 sketch — CTEs `${p}cps`,
+    * `${p}wsums`, `${p}grid`, `${p}med`, `${p}sh` (sh has doc_id,
+    * sh); shared by the near-dup, keep-list and cross-modal oracles
+    * (a def, so object-init order can't bite; the prefix lets it
+    * share a WITH chain with the caption SimHash family). */
+  private def phashShCtes(p: String = "") = s"""${p}cps AS (
         SELECT doc_id, len(cps0) AS n,
           CAST(generate_subscripts(cps0, 1) - 1 AS BIGINT) AS j,
           unnest(cps0) AS cp
@@ -123,24 +125,24 @@ object Multimodal {
                 list_transform(regexp_extract_all(text, '.'),
                   c -> unicode(c)) AS cps0
               FROM documents)),
-      wsums AS (
+      ${p}wsums AS (
         SELECT doc_id, (j * 60) // n AS w,
           CAST(SUM(cp) AS BIGINT) AS s, COUNT(*) AS width
-        FROM cps GROUP BY 1, 2),
-      grid AS (
+        FROM ${p}cps GROUP BY 1, 2),
+      ${p}grid AS (
         SELECT d.doc_id, gw.w,
           coalesce((ws.s * 1000) // ws.width, 0) AS q
         FROM (SELECT doc_id FROM documents) d
         CROSS JOIN (SELECT unnest(range(0, 60)) AS w) gw
-        LEFT JOIN wsums ws ON ws.doc_id = d.doc_id AND ws.w = gw.w),
-      med AS (
+        LEFT JOIN ${p}wsums ws ON ws.doc_id = d.doc_id AND ws.w = gw.w),
+      ${p}med AS (
         SELECT doc_id, list_sort(list(q))[30] AS med
-        FROM grid GROUP BY 1),
-      sh AS (
+        FROM ${p}grid GROUP BY 1),
+      ${p}sh AS (
         SELECT g.doc_id,
           CAST(coalesce(SUM(CASE WHEN g.q > m.med
             THEN 1::BIGINT << g.w ELSE 0 END), 0) AS BIGINT) AS sh
-        FROM grid g JOIN med m USING (doc_id) GROUP BY 1)"""
+        FROM ${p}grid g JOIN ${p}med m USING (doc_id) GROUP BY 1)"""
 
   /** The multimodal pipeline's final answer — one keep/drop decision
     * per ASSET, completing the family's parity with the text
@@ -175,7 +177,7 @@ object Multimodal {
           when($"label" =!= $"doc_id", $"label").as("dup_of"))
     },
     Some(s"""
-      WITH RECURSIVE $phashShCtes,
+      WITH RECURSIVE ${phashShCtes()},
       ${graft.operators.HammingBands.oracleBandCtes(
         nBands = 4, bandBits = 15, cap = 256)},
       dup_pairs AS (
@@ -199,6 +201,99 @@ object Multimodal {
         CASE WHEN c.cluster_id <> d.doc_id THEN c.cluster_id END AS dup_of
       FROM documents d LEFT JOIN clusters c USING (doc_id)"""))
 
+  /** Cross-modal dedup — the decision an image-text training pipeline
+    * actually ships: an asset is dropped if it clusters with a kept
+    * asset on EITHER signal — its visual perceptual hash
+    * ([[org.apache.spark.sql.graft.BlockHash60]]) OR its caption's
+    * SimHash ([[org.apache.spark.sql.graft.SimHash60]]). Re-encoded
+    * images with rewritten captions and caption-copies over different
+    * crops both collapse into one cluster, which neither single-modal
+    * keep list achieves.
+    *
+    * Both signals run the SAME banded-Hamming machinery
+    * ([[graft.operators.HammingBands]], 4 × 15-bit bands, cap 256,
+    * θ = 3), their verified pair sets union into one graph, and the
+    * SAME [[Dedup.connectedComponents]] labels it — so the operator
+    * is pure composition; nothing new to trust. Per-asset `vis_dup` /
+    * `txt_dup` flags report which signal(s) put the asset in play.
+    *
+    * Scale shape: two sketch scans (each one map-side codegen pass),
+    * two (band, value) shuffles, clustering over id-pair tables only,
+    * one id-keyed assembly join — the union at most doubles the edge
+    * table, everything else inherits the single-modal contracts. */
+  private[graft] def crossmodalKeepList(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def dups(sketch: org.apache.spark.sql.Column) =
+      graft.operators.HammingBands.nearDupPairs(
+        docs.select(col("doc_id"), sketch.as("sh")),
+        nBands = 4, bandBits = 15, cap = 256, theta = 3)
+        .filter(col("is_dup")).select(col("doc_a"), col("doc_b"))
+    val vis = dups(org.apache.spark.sql.graft.BlockHash60.of(col("text")))
+      .localCheckpoint(true)
+    val txt = dups(org.apache.spark.sql.graft.SimHash60.of(col("text")))
+      .localCheckpoint(true)
+    val labels = Dedup.connectedComponents(
+      vis.unionByName(txt).distinct())
+      .withColumnRenamed("node", "doc_id")
+    def touched(pairs: org.apache.spark.sql.DataFrame, flag: String) =
+      pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct().withColumn(flag, lit(true))
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .join(touched(vis, "vis0"), Seq("doc_id"), "left")
+      .join(touched(txt, "txt0"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("label").isNull || col("label") === col("doc_id")).as("keep"),
+        when(col("label") =!= col("doc_id"), col("label")).as("dup_of"),
+        coalesce(col("vis0"), lit(false)).as("vis_dup"),
+        coalesce(col("txt0"), lit(false)).as("txt_dup"))
+  }
+
+  val qCrossmodalKeepList = GraftQuery(
+    "mm_crossmodal_keep_list",
+    (s, d) => crossmodalKeepList(Tables.documents(s, d)),
+    Some(s"""
+      WITH RECURSIVE ${phashShCtes("v_")},
+      ${graft.operators.HammingBands.oracleBandCtes(
+        nBands = 4, bandBits = 15, cap = 256, p = "v_")},
+      ${graft.operators.HammingBands.oracleDupCte(theta = 3, p = "v_")},
+      ${Dedup.simhashShCtes("t_")},
+      ${graft.operators.HammingBands.oracleBandCtes(
+        nBands = 4, bandBits = 15, cap = 256, p = "t_")},
+      ${graft.operators.HammingBands.oracleDupCte(theta = 3, p = "t_")},
+      edges0 AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT doc_a, doc_b FROM v_dup
+          UNION ALL SELECT doc_a, doc_b FROM t_dup)),
+      dedges AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT doc_a AS src, doc_b AS dst FROM edges0
+          UNION ALL SELECT doc_b, doc_a FROM edges0)),
+      reach AS (
+        SELECT src, dst FROM dedges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src),
+      clusters AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      vd AS (SELECT DISTINCT doc_id FROM (
+               SELECT doc_a AS doc_id FROM v_dup
+               UNION ALL SELECT doc_b FROM v_dup)),
+      td AS (SELECT DISTINCT doc_id FROM (
+               SELECT doc_a AS doc_id FROM t_dup
+               UNION ALL SELECT doc_b FROM t_dup))
+      SELECT d.doc_id,
+        (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS keep,
+        CASE WHEN c.cluster_id <> d.doc_id THEN c.cluster_id END AS dup_of,
+        (vd.doc_id IS NOT NULL) AS vis_dup,
+        (td.doc_id IS NOT NULL) AS txt_dup
+      FROM documents d
+      LEFT JOIN clusters c USING (doc_id)
+      LEFT JOIN vd USING (doc_id)
+      LEFT JOIN td USING (doc_id)"""))
+
   val all: Seq[GraftQuery] =
-    Seq(qMediaFeatures, qFrameSample, qPhashNearDup, qPhashKeepList)
+    Seq(qMediaFeatures, qFrameSample, qPhashNearDup, qPhashKeepList,
+      qCrossmodalKeepList)
 }
