@@ -1228,7 +1228,11 @@ object Dedup {
     * deduped on (name_a, name_b); only surviving pairs carry a
     * distance. */
   private[graft] def fuzzyJoin(s: org.apache.spark.sql.SparkSession,
-      names: DataFrame, tau: Int): DataFrame = {
+      names0: DataFrame, tau: Int): DataFrame = {
+    // the deduped catalog is read by the gram path, both sidecar sides
+    // and nothing else — materialize it once (the persisted-artifact
+    // shape, same as HammingBands' sketch table)
+    val names = names0.localCheckpoint(true)
     val minLong = 3 * tau + 3
     val longNames = names.filter(length(col("name")) >= minLong)
     val grams = longNames.select(col("name"),
