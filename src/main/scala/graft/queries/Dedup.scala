@@ -1268,10 +1268,60 @@ object Dedup {
       FROM n a JOIN n b ON a.name < b.name
       WHERE levenshtein(a.name, b.name) <= 1"""))
 
+  /** Catalog canonicalization — the entity-resolution END ANSWER the
+    * fuzzy join feeds: tau-edit pairs become an undirected graph,
+    * [[connectedComponents]] labels it (min-label propagation is
+    * type-generic — least()/min() work on strings exactly as on ids),
+    * and every catalog name maps to its cluster's lexicographic min
+    * as `canonical_name`. Transitive chains resolve: A~B and B~C
+    * canonicalize C to A even when lev(A, C) > tau — the master-data
+    * behavior a pairwise join alone cannot deliver. Names in no pair
+    * are their own canonical. Scale shape: blocking inherits
+    * [[fuzzyJoin]]'s contract; clustering moves only (name, label)
+    * tables for O(diameter) rounds; assembly is one name-keyed left
+    * join. Oracle: naive-quadratic pairs + the dd_dup_clusters
+    * recursive-closure shape over them. */
+  val qFuzzyCanonical = GraftQuery(
+    "dd_fuzzy_canonical",
+    (s, d) => {
+      val names = Tables.part(s, d)
+        .select(col("p_name").as("name")).distinct().localCheckpoint(true)
+      val pairs = fuzzyJoin(s, names, tau = 1)
+        .select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
+      val labels = connectedComponents(pairs)
+        .withColumnRenamed("node", "name")
+      names.join(labels, Seq("name"), "left")
+        .select(col("name"),
+          coalesce(col("label"), col("name")).as("canonical_name"),
+          (coalesce(col("label"), col("name")) === col("name"))
+            .as("is_canonical"))
+    },
+    Some("""
+      WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
+      p0 AS (
+        SELECT a.name AS name_a, b.name AS name_b
+        FROM n a JOIN n b ON a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 1),
+      dedges AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT name_a AS src, name_b AS dst FROM p0
+          UNION ALL SELECT name_b, name_a FROM p0)),
+      reach AS (
+        SELECT src, dst FROM dedges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src),
+      clusters AS (
+        SELECT src AS name, least(src, min(dst)) AS label
+        FROM reach GROUP BY src)
+      SELECT n.name,
+        coalesce(c.label, n.name) AS canonical_name,
+        (coalesce(c.label, n.name) = n.name) AS is_canonical
+      FROM n LEFT JOIN clusters c USING (name)"""))
+
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
       qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
       qBloomContamination, qVerifiedPairs, qIncremental, qKeepList,
       qSimhashNearDup, qContainment, qClusterStats, qSemanticDedup,
-      qFuzzyJoin)
+      qFuzzyJoin, qFuzzyCanonical)
 }

@@ -71,6 +71,30 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(blocked(names, tau) == naive(names, tau), s"tau=$tau")
   }
 
+  test("canonicalization resolves transitive chains past tau") {
+    // aaaa ~1~ aaab ~1~ aabb, but lev(aaaa, aabb) = 2 > tau: only the
+    // cluster closure maps all three to one canonical
+    val names = Seq("aaaa", "aaab", "aabb", "zzzz").toDF("name")
+    val labels = queries.Dedup.connectedComponents(
+      queries.Dedup.fuzzyJoin(spark, names, 1)
+        .select($"name_a".as("doc_a"), $"name_b".as("doc_b")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("aaaa" -> "aaaa", "aaab" -> "aaaa",
+      "aabb" -> "aaaa"), s"got $labels")
+
+    val out = queries.Dedup.qFuzzyCanonical.run(spark, sf("sf0.001"))
+      .cache()
+    val n = Tables.part(spark, sf("sf0.001"))
+      .select($"p_name").distinct().count()
+    assert(out.count() == n, "one decision per catalog name")
+    // every canonical_name is itself canonical (one-hop resolution)
+    val canon = out.filter($"is_canonical")
+      .select($"name").as[String].collect().toSet
+    val targets = out.select($"canonical_name").as[String].collect()
+    assert(targets.forall(canon.contains))
+    assert(out.filter(!$"is_canonical").count() > 0, "the gate bites")
+  }
+
   test("registry query: pairs are ordered, deduped, within tau") {
     val out = queries.Dedup.qFuzzyJoin.run(spark, sf("sf0.001")).cache()
     val rows = out.as[(String, String, Long)].collect()
