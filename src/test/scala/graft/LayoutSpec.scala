@@ -1,0 +1,77 @@
+package graft
+
+import graft.tools.Layout
+import org.apache.spark.sql.functions._
+
+/** Layout writes are graded on their own product: the per-file min/max
+  * stats the written parquet carries — the exact information a
+  * filtered scan prunes with. A probe predicate must overlap few
+  * files on a clustered column and (for Z-order) few files on BOTH
+  * columns, while a foreign-column probe on a single-key layout
+  * overlaps nearly all. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nFiles = 16
+
+  // two independent uniform columns over a full power-of-two domain
+  // (8192 = 2^13), so z-curve blocks are even and the file boundaries
+  // the range exchange samples align with bit blocks
+  private lazy val data = spark.range(0, 200000)
+    .select(
+      pmod(hash($"id"), lit(8192)).as("user_id"),
+      pmod(hash($"id" * 7 + 1), lit(8192)).as("value"))
+    .filter($"user_id" >= 0 && $"value" >= 0)
+
+  /** Number of written files whose [min, max] of `col` overlaps
+    * [lo, hi]. */
+  private def overlapping(dir: String, c: String, lo: Int, hi: Int)
+      : (Int, Int) = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    val hits = files.count { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col(c)), max(col(c))).head()
+      r.getInt(0) <= hi && r.getInt(1) >= lo
+    }
+    (hits, files.length)
+  }
+
+  test("range layout: clustered probes touch few files, foreign probes all") {
+    val dir = java.nio.file.Files.createTempDirectory("layout_range").toString
+    Layout.rangeLayout(data, "user_id", nFiles, dir)
+    val (uHits, n) = overlapping(dir, "user_id", 4000, 4099)
+    assert(n == nFiles)
+    assert(uHits <= 2, s"clustered probe should prune: $uHits/$n")
+    val (vHits, _) = overlapping(dir, "value", 4000, 4099)
+    assert(vHits >= n - 2, s"foreign probe can't prune a 1-key layout: $vHits/$n")
+  }
+
+  test("z-order layout: probes on EITHER column prune most files") {
+    val dir = java.nio.file.Files.createTempDirectory("layout_z").toString
+    Layout.zorderLayout(data, "user_id", "value", nFiles, dir, bits = 13)
+    // probe inside one top-level bit block (3000-3099 ⊂ [2048, 4096));
+    // a slab STRADDLING a top bit boundary (e.g. 4000-4099 over 4096)
+    // legitimately touches two block columns — not the common case
+    val (uHits, n) = overlapping(dir, "user_id", 3000, 3099)
+    val (vHits, _) = overlapping(dir, "value", 3000, 3099)
+    assert(n == nFiles)
+    // a thin slab through a z-curve of 16 blocks crosses ~sqrt(16),
+    // plus quantile-boundary fragmentation
+    assert(uHits <= 8, s"user probe should prune half or more: $uHits/$n")
+    assert(vHits <= 8, s"value probe should prune half or more: $vHits/$n")
+  }
+
+  test("zValue is monotone in block structure and bijective on bit pairs") {
+    // spot-pin the interleave arithmetic
+    val rows = Seq((0, 0), (1, 0), (0, 1), (1, 1), (2, 3), (1023, 4095))
+      .toDF("a", "b")
+      .select(Layout.zValue($"a", $"b", 14).as("z")).as[Long].collect()
+    assert(rows.take(4).toSeq == Seq(0L, 1L, 2L, 3L))
+    // z(2,3) = interleave(a=10, b=11) = b1 a1 b0 a0 = 1 1 1 0 = 14
+    assert(rows(4) == 14L)
+    // distinct inputs -> distinct z (bijection on the bit domain)
+    assert(rows.distinct.length == rows.length)
+  }
+}
