@@ -1226,7 +1226,17 @@ object Dedup {
     * Verification uses the banded levenshtein(_, _, tau) kernel
     * (O(tau·n) per pair with early exit, Spark 3.5+) on candidates
     * deduped on (name_a, name_b); only surviving pairs carry a
-    * distance. */
+    * distance.
+    *
+    * Skew note: a gram shared by df names contributes df² candidate
+    * rows, and no per-bucket cap is admissible here (unlike
+    * HammingBands, the oracle equality IS the completeness proof —
+    * dropping candidates would break it). The known refinement when a
+    * catalog has pathological hot grams is ED-Join's rarest-gram
+    * prefix selection (join each name only through its 3·tau + 1
+    * lowest-df grams), which subsets this candidate set; it is not
+    * applied because the input contract is a deduped DIMENSION
+    * catalog, where even a hot gram's df is dimension-bounded. */
   private[graft] def fuzzyJoin(s: org.apache.spark.sql.SparkSession,
       names0: DataFrame, tau: Int): DataFrame = {
     // the deduped catalog is read by the gram path, both sidecar sides
