@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet fixtures (TESTDATA.md) plus
   * shared numeric helpers used to keep Spark results bit-identical to
@@ -19,16 +19,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read it as a long (legacy conf) and truncate to
-    * a microsecond TimestampType — same floor DuckDB applies when
-    * casting TIMESTAMP_NS → TIMESTAMP.
+  /** events.ts has shipped in two on-disk layouts across driver data
+    * generations; normalize both to a microsecond TimestampType:
+    *  - TIMESTAMP(NANOS), which Spark's vectorized reader rejects:
+    *    read as a long (legacy conf) and floor-divide to micros — the
+    *    same floor DuckDB applies casting TIMESTAMP_NS → TIMESTAMP;
+    *  - plain timestamp[us] (no UTC adjustment), which Spark infers as
+    *    TIMESTAMP_NTZ: reinterpret in the UTC session zone — a no-op
+    *    on the stored micros, matching DuckDB's TIMESTAMP read.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(load(s, d, "events"))
   }
+
+  /** Schema-adaptive ts normalization shared by the batch loader and
+    * the streaming specs (which must pass an explicit schema). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *    fan-out (orders→customer, lineitem→orders/part/supplier);
   *  - events keep their time range (10× event density, 10× users —
   *    growth in users, not duration, so window counts hold and
-  *    per-user sessions stay realistic); ts is written as raw
-  *    nanosecond longs, which Tables.events reads identically;
+  *    per-user sessions stay realistic); ts passes through in its
+  *    source layout, which Tables.events normalizes either way;
   *  - documents get a per-replica suffix token so replicas are
   *    NEAR-duplicates (a dedup-heavy corpus), not byte-identical;
   *  - embeddings replicate exactly (identical vectors collide in the
@@ -46,8 +46,9 @@ object ScaleUp {
 
   def run(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
-    // events.ts is TIMESTAMP(NANOS); read it as raw longs exactly like
-    // Tables.events (runtime-settable legacy conf)
+    // events.ts may be TIMESTAMP(NANOS) (older data generations): read
+    // as raw longs so replication passes the column through unchanged;
+    // timestamp[us] generations need no conf and also pass through
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -15,17 +15,15 @@ class EventsStreamingSpec extends SparkSpec {
   import spark.implicits._
 
   test("streaming tumbling windows over events == batch result") {
-    // events.ts is TIMESTAMP(NANOS) parquet: stream it as long
-    // (nanosAsLong) and convert exactly like Tables.events
+    // events.ts layout varies by data generation (TIMESTAMP(NANOS) vs
+    // timestamp[us]): take the stream schema from the batch reader and
+    // normalize exactly like Tables.events
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf("sf0.001"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = Tables.load(spark, sf("sf0.001"), "events").schema
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf("sf0.001")))
       .withWatermark("ts", "1 minute")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
