@@ -709,6 +709,80 @@ object TextAnalysis {
       FROM tok JOIN idf USING (tok)
       GROUP BY doc_id"""))
 
+  /** Bigram-LM perplexity proxy — the KenLM-style quality filter: the
+    * corpus trains a bigram language model over itself (CCNet trains on
+    * a held-out reference corpus; the dataflow is identical — the LM
+    * table would simply arrive as a persisted artifact instead of the
+    * first two aggregates), and every document is scored by the mean
+    * negative log-likelihood of its bigrams. High mean-NLL = the doc's
+    * word transitions are rare in the corpus = boilerplate/garbled;
+    * the standard perplexity cut in C4/CCNet-shaped pipelines.
+    *
+    * Determinism contract (same scheme as [[qIdfRarity]], validated
+    * there): nll(a→b) = ln(c(a·)/c(ab)) ≥ 0 is computed once per
+    * DISTINCT bigram in 1e-6 fixed point — `floor(ln(ca/cab)·10⁶)` as
+    * a BIGINT — so per-doc totals are exact integer sums and the mean
+    * is integer floor-division in micro-nats. Formulating NLL (not
+    * log-prob) keeps every fixed-point value non-negative, sidestepping
+    * the Spark-`div`-vs-DuckDB-`//` negative-division asymmetry
+    * entirely. MLE needs no smoothing: the model is trained on the
+    * corpus it scores, so every probe bigram has count ≥ 1.
+    *
+    * Scale shape: bigram counts are one hash-aggregate with map-side
+    * partials; c(a·) derives from c(ab) (no second corpus pass for the
+    * marginal); the LM join keys on the bigram VOCABULARY — a key
+    * space that grows with the corpus — and each LM key is one row, so
+    * hot function-word bigrams skew only the probe side, which AQE's
+    * skew split handles. The per-doc rollup shuffles on doc_id.
+    * Nothing global, nothing collected. */
+  val qBigramNll = GraftQuery(
+    "t_bigram_nll",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", tokens($"text").as("toks"))
+        .where(size($"toks") >= 2)
+      val bg = docs.select($"doc_id",
+        explode(zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+        .select($"doc_id", $"bg.a".as("a"), $"bg.b".as("b"))
+      val cab = bg.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+      val ca = cab.groupBy($"a").agg(sum($"cab").as("ca"))
+      val lm = cab.join(ca, "a")
+        .select($"a", $"b",
+          floor(log($"ca".cast("double") / $"cab".cast("double")) * 1e6)
+            .cast("long").as("nll_fp"))
+      bg.join(lm, Seq("a", "b"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"nll_fp").as("nll_sum"))
+        .select($"doc_id", $"n_bigrams", $"nll_sum",
+          expr("nll_sum div n_bigrams").as("mean_nll_micro"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      b0 AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, length(toks)),
+            i -> {'a': toks[i], 'b': toks[i + 1]})) AS bg
+        FROM t WHERE length(toks) >= 2),
+      big AS (SELECT doc_id, bg['a'] AS a, bg['b'] AS b FROM b0),
+      cab AS (SELECT a, b, COUNT(*) AS cab FROM big GROUP BY 1, 2),
+      ca AS (SELECT a, SUM(cab) AS ca FROM cab GROUP BY 1),
+      lm AS (
+        SELECT a, b,
+          CAST(floor(ln(CAST(ca AS DOUBLE) / CAST(cab AS DOUBLE)) * 1e6)
+            AS BIGINT) AS nll_fp
+        FROM cab JOIN ca USING (a))
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        CAST(SUM(nll_fp) AS BIGINT) AS nll_sum,
+        CAST(SUM(nll_fp) // COUNT(*) AS BIGINT) AS mean_nll_micro
+      FROM big JOIN lm USING (a, b)
+      GROUP BY doc_id"""))
+
   /** Deterministic per-group "reservoir" sample: exactly k = 20 docs
     * per language, selected by ranking on a 48-bit md5 hash of the
     * doc id — uniform-ish like a reservoir, but reproducible across
@@ -757,5 +831,5 @@ object TextAnalysis {
       qApproxDistinct, qExactDistinct, qTrainValSplit, qSequencePack,
       qSkewSaltedAgg,
       qRepetition, qTopTerms, qMixSample, qCorpusYield, qIdfRarity,
-      qReservoirSample)
+      qReservoirSample, qBigramNll)
 }

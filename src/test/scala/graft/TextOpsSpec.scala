@@ -258,4 +258,53 @@ class TextOpsSpec extends SparkSpec {
         s"source $src: approx $ap vs exact $ex exceeds 5% relative error")
     }
   }
+
+  private def bigramNllOn(texts: Seq[(Long, String)]) = {
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.TextAnalysis.qBigramNll.run(spark, dir)
+      .orderBy($"doc_id").collect()
+  }
+
+  test("t_bigram_nll: hand-computed micro-nats, single-token exclusion") {
+    // corpus: doc0 "a b a b", doc1 "a b c", doc2 "c" (no bigrams).
+    // cab: (a,b)=3 (b,a)=1 (b,c)=1; ca: a=3 b=2.
+    // nll(a,b)=ln(3/3)=0; nll(b,a)=nll(b,c)=floor(ln 2 ·1e6)=693147.
+    val rows = bigramNllOn(Seq(
+      (0L, "a b a b"), (1L, "a b c"), (2L, "c")))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L),
+      "single-token docs have no bigrams and no row")
+    // doc0: 3 bigrams, sum 693147, mean 693147 div 3 = 231049
+    assert(rows(0).getLong(1) == 3L && rows(0).getLong(2) == 693147L &&
+      rows(0).getLong(3) == 231049L)
+    // doc1: 2 bigrams, sum 693147, mean floor(693147/2) = 346573
+    assert(rows(1).getLong(1) == 2L && rows(1).getLong(2) == 693147L &&
+      rows(1).getLong(3) == 346573L)
+    // the ordering signal: the doc with the corpus-rare transition
+    // scores a HIGHER mean NLL than the one built of common ones
+    assert(rows(1).getLong(3) > rows(0).getLong(3))
+  }
+
+  test("t_bigram_nll: bounds and bigram-count invariant on sf0.001") {
+    val d = sf("sf0.001")
+    val r = queries.TextAnalysis.qBigramNll.run(spark, d).cache()
+    val docs = Tables.documents(spark, d)
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).as("n_tok"))
+    val eligible = docs.filter($"n_tok" >= 2)
+    assert(r.count() === eligible.count(), "one row per doc with >= 2 tokens")
+    // n_bigrams = n_tokens - 1, always
+    val badCount = r.join(docs, "doc_id")
+      .filter($"n_bigrams" =!= $"n_tok" - 1).count()
+    assert(badCount === 0, "n_bigrams must equal n_tokens - 1")
+    // MLE on the training corpus: every probe bigram is in the LM, so
+    // 0 <= mean_nll <= ln(total bigram instances)
+    val totalBigrams = eligible.agg(sum($"n_tok" - 1)).head().getLong(0)
+    val maxNll = (math.log(totalBigrams.toDouble) * 1e6).toLong + 1
+    val oob = r.filter($"mean_nll_micro" < 0L || $"mean_nll_micro" > maxNll)
+      .count()
+    assert(oob === 0, s"mean_nll_micro must lie in [0, 1e6·ln($totalBigrams)]")
+  }
 }
