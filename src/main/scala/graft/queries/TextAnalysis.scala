@@ -728,13 +728,20 @@ object TextAnalysis {
     * entirely. MLE needs no smoothing: the model is trained on the
     * corpus it scores, so every probe bigram has count ≥ 1.
     *
-    * Scale shape: bigram counts are one hash-aggregate with map-side
-    * partials; c(a·) derives from c(ab) (no second corpus pass for the
-    * marginal); the LM join keys on the bigram VOCABULARY — a key
-    * space that grows with the corpus — and each LM key is one row, so
-    * hot function-word bigrams skew only the probe side, which AQE's
-    * skew split handles. The per-doc rollup shuffles on doc_id.
-    * Nothing global, nothing collected. */
+    * Scale shape: ONE corpus pass — bigrams aggregate straight to
+    * per-doc counts (doc_id, a, b) → c_doc, materialized once
+    * (localCheckpoint, the same artifact discipline as the dedup
+    * signature tables — column pruning would otherwise specialize the
+    * explode per consumer and rescan the corpus for each), and
+    * everything downstream (corpus counts, the marginal, the LM, the
+    * probe join) runs over aggregated tables — the vocab-sized c(ab)
+    * is checkpointed too since both the LM and its marginal read it.
+    * c(a·) derives from c(ab) (no second
+    * corpus pass for the marginal); the LM join keys on the bigram
+    * VOCABULARY — a key space that grows with the corpus — and each LM
+    * key is one row, so hot function-word bigrams skew only the probe
+    * side, which AQE's skew split handles. The per-doc rollup shuffles
+    * on doc_id. Nothing global, nothing collected. */
   val qBigramNll = GraftQuery(
     "t_bigram_nll",
     (s, d) => {
@@ -748,15 +755,20 @@ object TextAnalysis {
           slice($"toks", lit(2), size($"toks") - 1),
           (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
         .select($"doc_id", $"bg.a".as("a"), $"bg.b".as("b"))
-      val cab = bg.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+      val cdoc = bg.groupBy($"doc_id", $"a", $"b")
+        .agg(count(lit(1)).as("c_doc"))
+        .localCheckpoint(true)
+      val cab = cdoc.groupBy($"a", $"b").agg(sum($"c_doc").as("cab"))
+        .localCheckpoint(true)
       val ca = cab.groupBy($"a").agg(sum($"cab").as("ca"))
       val lm = cab.join(ca, "a")
         .select($"a", $"b",
           floor(log($"ca".cast("double") / $"cab".cast("double")) * 1e6)
             .cast("long").as("nll_fp"))
-      bg.join(lm, Seq("a", "b"))
+      cdoc.join(lm, Seq("a", "b"))
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum($"nll_fp").as("nll_sum"))
+        .agg(sum($"c_doc").as("n_bigrams"),
+          sum($"nll_fp" * $"c_doc").as("nll_sum"))
         .select($"doc_id", $"n_bigrams", $"nll_sum",
           expr("nll_sum div n_bigrams").as("mean_nll_micro"))
     },
