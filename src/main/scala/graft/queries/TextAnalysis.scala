@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -709,6 +709,40 @@ object TextAnalysis {
       FROM tok JOIN idf USING (tok)
       GROUP BY doc_id"""))
 
+  /** Per-doc distinct-bigram counts (doc_id, a, b) → c_doc over
+    * whitespace tokens: the one corpus-sized pass of the bigram-LM
+    * family, shared by [[qBigramNll]] and the streaming scorer
+    * ([[graft.streaming.StreamingQuality]]) so their tokenization and
+    * bigram extraction cannot drift. Docs with < 2 tokens contribute
+    * no rows. */
+  def docBigramCounts(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+    tok.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c_doc"))
+  }
+
+  /** MLE bigram LM from per-doc counts: (a, b, nll_fp) with
+    * nll_fp = floor(ln(c(a·)/c(ab))·10⁶) ≥ 0 in 1e-6 fixed point.
+    * The vocab-sized c(ab) is checkpointed since both the LM join and
+    * its marginal read it. */
+  def bigramLm(cdoc: DataFrame): DataFrame = {
+    val cab = cdoc.groupBy(col("a"), col("b"))
+      .agg(sum(col("c_doc")).as("cab"))
+      .localCheckpoint(true)
+    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    cab.join(ca, "a")
+      .select(col("a"), col("b"),
+        floor(log(col("ca").cast("double") / col("cab").cast("double")) * 1e6)
+          .cast("long").as("nll_fp"))
+  }
+
   /** Bigram-LM perplexity proxy — the KenLM-style quality filter: the
     * corpus trains a bigram language model over itself (CCNet trains on
     * a held-out reference corpus; the dataflow is identical — the LM
@@ -746,26 +780,10 @@ object TextAnalysis {
     "t_bigram_nll",
     (s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d)
-        .select($"doc_id", tokens($"text").as("toks"))
-        .where(size($"toks") >= 2)
-      val bg = docs.select($"doc_id",
-        explode(zip_with(
-          slice($"toks", lit(1), size($"toks") - 1),
-          slice($"toks", lit(2), size($"toks") - 1),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
-        .select($"doc_id", $"bg.a".as("a"), $"bg.b".as("b"))
-      val cdoc = bg.groupBy($"doc_id", $"a", $"b")
-        .agg(count(lit(1)).as("c_doc"))
+      val cdoc = docBigramCounts(
+        Tables.documents(s, d).select($"doc_id", $"text"))
         .localCheckpoint(true)
-      val cab = cdoc.groupBy($"a", $"b").agg(sum($"c_doc").as("cab"))
-        .localCheckpoint(true)
-      val ca = cab.groupBy($"a").agg(sum($"cab").as("ca"))
-      val lm = cab.join(ca, "a")
-        .select($"a", $"b",
-          floor(log($"ca".cast("double") / $"cab".cast("double")) * 1e6)
-            .cast("long").as("nll_fp"))
-      cdoc.join(lm, Seq("a", "b"))
+      cdoc.join(bigramLm(cdoc), Seq("a", "b"))
         .groupBy($"doc_id")
         .agg(sum($"c_doc").as("n_bigrams"),
           sum($"nll_fp" * $"c_doc").as("nll_sum"))
