@@ -1328,10 +1328,74 @@ object Dedup {
         (coalesce(c.label, n.name) = n.name) AS is_canonical
       FROM n LEFT JOIN clusters c USING (name)"""))
 
+  /** Cross-source duplication matrix — the corpus-governance rollup of
+    * [[qVerifiedPairs]]: every verified LSH candidate pair attributed
+    * to its (source, source) cell, with candidate and confirmed-dup
+    * counts per cell. This is the report a curation team reads to see
+    * WHICH feeds copy from which (mirror sites, syndication, scraped
+    * re-posts) before deciding per-source keep policies; source pairs
+    * are unordered (least/greatest) so A→B and B→A land in one cell.
+    *
+    * Outputs stay exact integers — a dup RATE is one division away
+    * downstream, but n_pairs can exceed 2·10⁶ per cell at scale, where
+    * round(i/n, 6) half-millionth ties become possible cross-engine.
+    *
+    * Scale shape: candidate-sized work end to end — the pair table
+    * joins the (doc_id, source) projection twice by id, then one
+    * hash-aggregate on a source²-bounded key space. No corpus pass
+    * beyond the shared signature/shingle artifacts. */
+  val qCrossSourceMatrix = GraftQuery(
+    "dd_cross_source_matrix",
+    (s, d) => {
+      import s.implicits._
+      val cand = pairsFromSignatures(cachedSignatures(s, d))
+        .select($"doc_a", $"doc_b")
+      val hs = cachedShingleSets(s, d)
+      val a = hs.select($"doc_id".as("doc_a"), $"hsh".as("hs_a"))
+      val b = hs.select($"doc_id".as("doc_b"), $"hsh".as("hs_b"))
+      val jac = round(
+        size(array_intersect($"hs_a", $"hs_b")).cast("double") /
+          nullif(size(array_union($"hs_a", $"hs_b")), lit(0)), 6)
+      val src = Tables.documents(s, d).select($"doc_id", $"source")
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .select($"doc_a", $"doc_b", (jac >= 0.8).as("is_dup"))
+        .join(src.select($"doc_id".as("doc_a"), $"source".as("src_a")), "doc_a")
+        .join(src.select($"doc_id".as("doc_b"), $"source".as("src_b")), "doc_b")
+        .groupBy(least($"src_a", $"src_b").as("src_lo"),
+          greatest($"src_a", $"src_b").as("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when($"is_dup", 1L).otherwise(0L)).as("n_dups"))
+    },
+    Some(s"""$sigCte, $bandsCte,
+      cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+      hs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(sh, v -> $polyHashSql)) AS hsh
+        FROM s),
+      vp AS (
+        SELECT c.doc_a, c.doc_b,
+          round(CAST(length(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+            nullif(length(list_distinct(list_concat(a.hsh, b.hsh))), 0),
+            6) >= 0.8 AS is_dup
+        FROM cand c
+        JOIN hs a ON a.doc_id = c.doc_a
+        JOIN hs b ON b.doc_id = c.doc_b)
+      SELECT least(da.source, db.source) AS src_lo,
+        greatest(da.source, db.source) AS src_hi,
+        COUNT(*) AS n_pairs,
+        CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+      FROM vp
+      JOIN documents da ON da.doc_id = vp.doc_a
+      JOIN documents db ON db.doc_id = vp.doc_b
+      GROUP BY 1, 2"""))
+
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
       qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
       qBloomContamination, qVerifiedPairs, qIncremental, qKeepList,
       qSimhashNearDup, qContainment, qClusterStats, qSemanticDedup,
-      qFuzzyJoin, qFuzzyCanonical)
+      qFuzzyJoin, qFuzzyCanonical, qCrossSourceMatrix)
 }

@@ -259,6 +259,21 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("cross-source matrix conserves the verified-pair totals") {
+    val d = sf("sf0.001")
+    val vp = queries.Dedup.qVerifiedPairs.run(spark, d).cache()
+    val m = queries.Dedup.qCrossSourceMatrix.run(spark, d).collect()
+    assert(m.nonEmpty)
+    // unordered source pairs: one cell per pair, lo <= hi
+    m.foreach(r => assert(r.getString(0) <= r.getString(1)))
+    assert(m.map(r => (r.getString(0), r.getString(1))).distinct.length
+      == m.length)
+    // every candidate pair lands in exactly one cell; dups conserved
+    assert(m.map(_.getLong(2)).sum == vp.count())
+    assert(m.map(_.getLong(3)).sum == vp.filter($"is_dup").count())
+    vp.unpersist()
+  }
+
   private def bigramNllOn(texts: Seq[(Long, String)]) = {
     val df = texts.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
