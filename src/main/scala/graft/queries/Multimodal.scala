@@ -293,7 +293,93 @@ object Multimodal {
       LEFT JOIN vd USING (doc_id)
       LEFT JOIN td USING (doc_id)"""))
 
+  /** Scene-change detection / keyframe extraction — the temporal
+    * dedup WITHIN a video that [[qPhashNearDup]]'s cross-asset dedup
+    * doesn't cover: consecutive frames whose perceptual hashes differ
+    * by more than θ Hamming bits start a new scene, and each scene's
+    * first frame is the keyframe a downstream embedder would actually
+    * decode (frames within a scene are near-identical — embedding
+    * them all is the classic video-pipeline waste).
+    *
+    * The stub codec boundary sits in the per-frame hash, same
+    * discipline as [[qPhashNearDup]]: a real decoder would emit each
+    * frame's block-mean pHash; here frames inherit a 60-bit md5 base
+    * per (asset, scene-number) — scene length s = n_chars % 5 + 3
+    * frames, geometry derived from the same stub as
+    * [[qMediaFeatures]] — with the low bits wobbled by frame_idx % 4,
+    * so within-scene consecutive Hamming is ≤ 2 and cross-boundary
+    * Hamming is ~30 (independent md5 draws). The DETECTOR — lag
+    * window, XOR popcount, θ-cut, cumulative scene numbering — is the
+    * real tested surface and never sees the ground truth.
+    *
+    * Scale shape: frame fan-out is corpus · n_frames with n_frames
+    * bounded by the stub geometry (≤ 30); the only window is
+    * partitioned by doc_id — a key space that grows with the corpus —
+    * and ordered by the ≤ 30 in-partition frames. One shuffle, no
+    * global sort, nothing collected. */
+  val qSceneKeyframes = GraftQuery(
+    "mm_scene_keyframes",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val nf = ($"n_chars" % 30 + 1).cast("int")
+      val sceneLen = ($"n_chars" % 5 + 3).cast("int")
+      val frames = Tables.documents(s, d)
+        .select($"doc_id", nf.as("n_frames"), sceneLen.as("s"))
+        .select($"doc_id", $"s",
+          explode(sequence(lit(0), $"n_frames" - 1)).as("frame_idx"))
+      // STUB decode: 60-bit per-frame hash = md5 of (asset, scene) +
+      // a ≤2-bit within-scene wobble
+      val fh = conv(substring(md5(concat($"doc_id", lit("_s_"),
+          expr("CAST(frame_idx div s AS BIGINT)"))), 1, 15), 16, 10)
+        .cast("long").bitwiseXOR(($"frame_idx" % 4).cast("long"))
+      val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+      val scored = frames.select($"doc_id", $"frame_idx", fh.as("fh"))
+        .withColumn("ham",
+          expr("bit_count(fh ^ lag(fh) OVER (PARTITION BY doc_id ORDER BY frame_idx))")
+            .cast("int"))
+        .withColumn("is_keyframe", $"ham".isNull || $"ham" > 5)
+      scored
+        .withColumn("scene_id",
+          (sum(when($"is_keyframe", 1L).otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)) - 1L))
+        .select($"doc_id", $"frame_idx", $"ham".as("hamming_prev"),
+          $"is_keyframe", $"scene_id")
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id,
+          CAST(n_chars % 30 + 1 AS INT) AS n_frames,
+          CAST(n_chars % 5 + 3 AS INT) AS s
+        FROM documents),
+      f AS (
+        SELECT doc_id, s,
+          CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx
+        FROM a),
+      fh AS (
+        SELECT doc_id, frame_idx,
+          xor(CAST('0x' || substr(md5(doc_id || '_s_' ||
+                CAST(frame_idx // s AS BIGINT)), 1, 15) AS BIGINT),
+            CAST(frame_idx % 4 AS BIGINT)) AS fh
+        FROM f),
+      sc AS (
+        SELECT doc_id, frame_idx,
+          CAST(bit_count(xor(fh,
+            lag(fh) OVER (PARTITION BY doc_id ORDER BY frame_idx)))
+            AS INT) AS hamming_prev
+        FROM fh),
+      k AS (
+        SELECT doc_id, frame_idx, hamming_prev,
+          (hamming_prev IS NULL OR hamming_prev > 5) AS is_keyframe
+        FROM sc)
+      SELECT doc_id, frame_idx, hamming_prev, is_keyframe,
+        CAST(SUM(CASE WHEN is_keyframe THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY frame_idx
+                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS scene_id
+      FROM k"""))
+
   val all: Seq[GraftQuery] =
     Seq(qMediaFeatures, qFrameSample, qPhashNearDup, qPhashKeepList,
-      qCrossmodalKeepList)
+      qCrossmodalKeepList, qSceneKeyframes)
 }

@@ -143,4 +143,32 @@ class MultimodalPhashSpec extends SparkSpec {
       assert(r.getBoolean(3) == (h <= 3))
     }
   }
+
+  test("mm_scene_keyframes: detector recovers the stub scene structure blind") {
+    val d = sf("sf0.001")
+    val rows = Multimodal.qSceneKeyframes.run(spark, d)
+      .join(Tables.documents(spark, d)
+        .select($"doc_id", ($"n_chars" % 30 + 1).cast("int").as("n_frames"),
+          ($"n_chars" % 5 + 3).cast("int").as("s")), "doc_id")
+      .collect()
+    assert(rows.nonEmpty)
+    // one row per (asset, frame) of the shared stub geometry
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    perDoc.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("frame_idx")).sorted.toSeq ==
+        (0 until rs.head.getAs[Int]("n_frames")))
+    }
+    rows.foreach { r =>
+      val (i, s) = (r.getAs[Int]("frame_idx"), r.getAs[Int]("s"))
+      // the detector never sees s, yet must recover exactly the
+      // frame_idx % s == 0 boundaries and number scenes as i div s
+      assert(r.getAs[Boolean]("is_keyframe") == (i % s == 0),
+        s"frame $i of scene length $s misclassified")
+      assert(r.getAs[Long]("scene_id") == i / s)
+      if (i == 0) assert(r.isNullAt(r.fieldIndex("hamming_prev")))
+      else if (i % s == 0)
+        assert(r.getAs[Int]("hamming_prev") > 5, "boundary jump")
+      else assert(r.getAs[Int]("hamming_prev") <= 2, "within-scene wobble")
+    }
+  }
 }
