@@ -790,8 +790,15 @@ object TextAnalysis {
         .select($"doc_id", $"n_bigrams", $"nll_sum",
           expr("nll_sum div n_bigrams").as("mean_nll_micro"))
     },
-    Some("""
-      WITH t AS (
+    Some(s"""WITH $bigramScoreCtes
+      SELECT doc_id, n_bigrams, nll_sum, mean_nll_micro FROM scores"""))
+
+  /** Oracle CTE chain ending in `scores` (doc_id, n_bigrams, nll_sum,
+    * mean_nll_micro) — shared by [[qBigramNll]] and
+    * [[qNllYieldCurve]] so the two oracles replay ONE scoring
+    * definition (a def: object-init order can't bite, same as the
+    * phash CTEs). */
+  private def bigramScoreCtes = """t AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
         FROM documents),
       b0 AS (
@@ -806,12 +813,58 @@ object TextAnalysis {
         SELECT a, b,
           CAST(floor(ln(CAST(ca AS DOUBLE) / CAST(cab AS DOUBLE)) * 1e6)
             AS BIGINT) AS nll_fp
-        FROM cab JOIN ca USING (a))
-      SELECT doc_id, COUNT(*) AS n_bigrams,
-        CAST(SUM(nll_fp) AS BIGINT) AS nll_sum,
-        CAST(SUM(nll_fp) // COUNT(*) AS BIGINT) AS mean_nll_micro
-      FROM big JOIN lm USING (a, b)
-      GROUP BY doc_id"""))
+        FROM cab JOIN ca USING (a)),
+      scores AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(nll_fp) AS BIGINT) AS nll_sum,
+          CAST(SUM(nll_fp) // COUNT(*) AS BIGINT) AS mean_nll_micro
+        FROM big JOIN lm USING (a, b)
+        GROUP BY doc_id)"""
+
+  /** Yield curve over the perplexity scores — the report a curation
+    * team reads to PICK the quality threshold: docs bucketed by
+    * mean NLL in fixed 0.5-nat steps, with per-bucket and cumulative
+    * doc/token volume. "Cut at 3.5 nats" then reads directly off
+    * `cum_docs`/`cum_tokens` at that bucket edge — the
+    * threshold-sweep C4/CCNet-style pipelines run before committing a
+    * perplexity cut. Token volume counts n_bigrams + 1 = the doc's
+    * token count (only ≥ 2-token docs are scorable, same domain as
+    * [[qBigramNll]]).
+    *
+    * Scale shape: rides the scored table (one row per doc), one
+    * hash-aggregate onto the bucket key, then a cumulative window
+    * over the BUCKET table only — bounded by ln(corpus)/0.5 buckets
+    * (≤ ~60 rows at 100 TB), so the unpartitioned window is a
+    * driver-trivial tail, never a corpus sort. */
+  val qNllYieldCurve = GraftQuery(
+    "t_nll_yield_curve",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val bu = qBigramNll.run(s, d)
+        .select(expr("mean_nll_micro div 500000").as("bucket"),
+          ($"n_bigrams" + 1L).as("n_toks"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+      val w = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bu.select($"bucket", ($"bucket" * 500000L).as("nll_lo_micro"),
+        $"n_docs", $"n_tokens",
+        sum($"n_docs").over(w).as("cum_docs"),
+        sum($"n_tokens").over(w).as("cum_tokens"))
+    },
+    Some(s"""WITH $bigramScoreCtes,
+      bu AS (
+        SELECT mean_nll_micro // 500000 AS bucket,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_bigrams + 1) AS BIGINT) AS n_tokens
+        FROM scores GROUP BY 1)
+      SELECT bucket, CAST(bucket * 500000 AS BIGINT) AS nll_lo_micro,
+        n_docs, n_tokens,
+        CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+        CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens
+      FROM bu
+      WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)"""))
 
   /** Deterministic per-group "reservoir" sample: exactly k = 20 docs
     * per language, selected by ranking on a 48-bit md5 hash of the
@@ -861,5 +914,5 @@ object TextAnalysis {
       qApproxDistinct, qExactDistinct, qTrainValSplit, qSequencePack,
       qSkewSaltedAgg,
       qRepetition, qTopTerms, qMixSample, qCorpusYield, qIdfRarity,
-      qReservoirSample, qBigramNll)
+      qReservoirSample, qBigramNll, qNllYieldCurve)
 }

@@ -259,6 +259,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("nll yield curve conserves the scored corpus and is cumulative-monotone") {
+    val d = sf("sf0.001")
+    val scores = queries.TextAnalysis.qBigramNll.run(spark, d).cache()
+    val rows = queries.TextAnalysis.qNllYieldCurve.run(spark, d)
+      .orderBy($"bucket").collect()
+    assert(rows.nonEmpty)
+    // final cumulative row = the whole scorable corpus
+    assert(rows.last.getLong(4) == scores.count())
+    assert(rows.last.getLong(5) ==
+      scores.agg(sum($"n_bigrams" + 1L)).head().getLong(0))
+    // cumulative columns are running sums of the per-bucket columns
+    var (cd, ct) = (0L, 0L)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) * 500000L)
+      cd += r.getLong(2); ct += r.getLong(3)
+      assert(r.getLong(4) == cd && r.getLong(5) == ct)
+    }
+    scores.unpersist()
+  }
+
   test("cross-source matrix conserves the verified-pair totals") {
     val d = sf("sf0.001")
     val vp = queries.Dedup.qVerifiedPairs.run(spark, d).cache()
