@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed table layout — the co-located-join story at 100 TB: two
+  * fact tables that join repeatedly on the same key (orders ⋈
+  * lineitem on the order key, every day, in every downstream job)
+  * should not pay a full shuffle of BOTH sides on every run. Writing
+  * them `bucketBy(n, key)` pre-partitions the data ON DISK into the
+  * same hash layout a shuffle would produce, so every subsequent join
+  * on that key reads co-located buckets and plans with ZERO exchange
+  * — the shuffle is paid once at write time and amortized over every
+  * future join. `sortBy` within buckets additionally lets sort-merge
+  * join skip its sorts.
+  *
+  * Sizing rule, same shape as the ANN `bitsFor`: buckets ≈
+  * tableBytes / targetBucketBytes, rounded to a power of two so two
+  * tables bucketed independently still co-locate (Spark requires
+  * equal — or multiple — bucket counts to avoid the shuffle; powers
+  * of two keep every pair in the multiple relation as tables grow).
+  * At local test scale 8 buckets stands in for the cluster's
+  * thousands.
+  *
+  * Bucketed tables live in the session catalog (`saveAsTable` — the
+  * bucketing metadata IS catalog state; a path write has nowhere to
+  * record it), which at cluster scale is the metastore every job
+  * already shares. BucketLayoutSpec proves the contract: the bucketed
+  * join plans with no Exchange on either side and returns
+  * row-identical results to the shuffled join.
+  */
+object BucketLayout {
+
+  /** Round up to the next power of two (≥ 1). */
+  def bucketsFor(tableBytes: Long, targetBucketBytes: Long): Int = {
+    val raw = math.max(1L, (tableBytes + targetBucketBytes - 1) / targetBucketBytes)
+    Integer.highestOneBit(math.min(raw, 1 << 20).toInt) match {
+      case b if b.toLong >= raw => b
+      case b => b << 1
+    }
+  }
+
+  /** Write `df` as a bucketed (and in-bucket sorted) catalog table. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: BucketLayout <srcDir> <table> <key> [buckets]")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val df = spark.read.parquet(args(0))
+    writeBucketed(df, args(1), args(2),
+      args.lift(3).map(_.toInt).getOrElse(8))
+    println(s"[bucket] wrote ${args(1)} bucketed by ${args(2)}")
+    spark.stop()
+  }
+}
