@@ -259,6 +259,32 @@ class ScaleLayoutSpec extends SparkSpec {
       s"the 1-row N frame must broadcast, not cartesian:\n$plan")
   }
 
+  test("round-7 additions prune their documents scans to the needed columns") {
+    def formatted(name: String): String = {
+      val df = Registry.byName(name).run(spark, sf("sf0.001"))
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // t_bigram_nll touches only (doc_id, text) of documents' 5 columns.
+    // Its probe side reads the checkpointed count artifact, so the plan
+    // shows the artifact scan; the pruning contract shows up on the
+    // pre-checkpoint pass, asserted via the builder directly.
+    val cnt = queries.TextAnalysis.docBigramCounts(
+      Tables.documents(spark, sf("sf0.001")).select($"doc_id", $"text"))
+    val pc = cnt.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(pc.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"bigram count pass must prune documents to (doc_id, text):\n$pc")
+    // mm_scene_keyframes derives everything from (doc_id, n_chars)
+    val pk = formatted("mm_scene_keyframes")
+    assert(pk.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"keyframes scan must prune documents to (doc_id, n_chars):\n$pk")
+    // the scene window is keyed on doc_id (grows with the corpus),
+    // never a global sort
+    assert(!pk.contains("partitionBy=[]") && pk.contains("doc_id"),
+      s"scene window must partition by doc_id:\n$pk")
+  }
+
   test("q3 broadcasts bounded dims; threshold off degrades to SMJ, same rows") {
     // broadcast-threshold sensitivity: the dimension joins in q3 must
     // be BroadcastHashJoin under the default threshold (no fact-side
