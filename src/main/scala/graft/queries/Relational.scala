@@ -747,10 +747,57 @@ object Relational {
       FROM orders
       GROUP BY o_orderpriority"""))
 
+  /** Column profile — the ANALYZE-shaped data-quality report a
+    * pipeline runs before trusting a new drop: per-column row, null,
+    * and exact distinct counts over lineitem, ONE table pass. Exact
+    * integers only — min/max/mean are deliberately absent because
+    * their cross-engine string/float formatting is where profile
+    * tools silently disagree; cardinality and completeness are the
+    * columns a loader actually gates on.
+    *
+    * Scale shape: a single aggregate over the scan. The multi-column
+    * exact distincts make Catalyst plan one Expand (×11 row fan-out,
+    * map-side) into one shuffle by grouping-set id — the standard
+    * one-pass multi-distinct plan, NOT 11 scans of the table (plan
+    * asserted in the spec: exactly one parquet scan of lineitem). At
+    * 100 TB the same report would swap exact distincts for HLL
+    * sketches query-side (t_approx_distinct_tokens is that shape);
+    * the exact formulation is what the oracle can hash. */
+  val qTableProfile = GraftQuery(
+    "q_table_profile",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"cnt_$c"),
+          countDistinct(col(c)).as(s"nd_$c"))
+      }
+      val wide = li.agg(count(lit(1)).as("n_rows"),
+        aggs: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', n_rows, n_rows - cnt_$c, nd_$c").mkString(", ")
+      wide.select(expr(
+        s"stack(${cols.length}, $stackArgs) AS (col, n_rows, n_nulls, n_distinct)"))
+    },
+    Some {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map(c =>
+        s"""SELECT '$c' AS col, COUNT(*) AS n_rows,
+          COUNT(*) - COUNT($c) AS n_nulls,
+          CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+        FROM lineitem""").mkString("\nUNION ALL\n")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,
     q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q9PartStats,
     q10ReturnedRevenue, qAggCollect, qAggNested, qOuterBalance, qSetOps,
     qRollup, qCube, qWindowFuncs, qPercentiles, qCorrelatedSubquery,
-    q18LargeOrders, qGroupingSets, qPivotStatus, qApproxPercentiles)
+    q18LargeOrders, qGroupingSets, qPivotStatus, qApproxPercentiles,
+    qTableProfile)
 }

@@ -285,6 +285,22 @@ class ScaleLayoutSpec extends SparkSpec {
       s"scene window must partition by doc_id:\n$pk")
   }
 
+  test("q_table_profile: one expanded scan, not one scan per column") {
+    val df = Registry.byName("q_table_profile").run(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    val nScans = "Scan parquet".r.findAllIn(plan).length
+    assert(nScans == 1, s"profile must read lineitem once, saw $nScans:\n$plan")
+    assert(plan.contains("Expand"),
+      s"multi-distinct must plan the one-pass Expand:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 11, "one profile row per lineitem column")
+    val n = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, "n_rows identical across columns")
+      assert(r.getLong(2) >= 0 && r.getLong(3) <= n)
+    }
+  }
+
   test("q3 broadcasts bounded dims; threshold off degrades to SMJ, same rows") {
     // broadcast-threshold sensitivity: the dimension joins in q3 must
     // be BroadcastHashJoin under the default threshold (no fact-side
