@@ -325,7 +325,82 @@ object Cdc {
         MAX(o_orderdate) AS last_date
       FROM orders GROUP BY 1, 2"""))
 
+  /** PageRank over the customer–supplier graph — iterative graph
+    * analytics on the property-graph family (the reference's graph is
+    * a MERGE-maintained node/edge store, database_ops.py:11-92; once
+    * a pipeline HAS a graph, centrality is the first analytic run on
+    * it). Nodes are namespaced customers/suppliers ('c…'/'s…'), edges
+    * are the distinct cust–supp trade relations from orders ⋈
+    * lineitem, walked undirected (both directions materialized);
+    * 3 synchronous rounds of pr ← 0.15 + 0.85·Σ pr(u)/deg(u).
+    *
+    * Determinism contract: PR mass lives in 1e-6 fixed point
+    * (BIGINT). Per-edge contribution is pr div deg (integer floor,
+    * identical to DuckDB `//` on non-negatives), inbox sums are exact
+    * integer sums, and the damping step is (850000·inbox) div 10⁶ —
+    * no float touches the iteration, so round count (not
+    * convergence-to-epsilon) defines the result identically on both
+    * engines. Headroom: 850000·inbox needs inbox < ~10¹³ micro-PR —
+    * total mass is nodes·10⁶, so fine through ~10⁷ nodes; beyond
+    * that, rescale to 1e-3 fixed point or promote the product to
+    * DECIMAL(38,0) (same two-long trick as I128Sum).
+    *
+    * Scale shape: Pregel-lite — k rounds = k (join + aggregate)
+    * passes over the EDGE table, each keyed on node ids (a key space
+    * that grows with the graph); the edge list and degree table are
+    * built once and checkpointed; no driver-side state beyond the
+    * fixed round count, nothing collected. Hot nodes (celebrity
+    * suppliers) skew the inbox aggregate exactly like any hot
+    * groupBy key — AQE skew handling applies, and the map-side
+    * partial sums absorb most of it. */
+  val qGraphPagerank = GraftQuery(
+    "q_graph_pagerank",
+    (s, d) => {
+      import s.implicits._
+      val e0 = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("a"),
+          concat(lit("s"), $"l_suppkey").as("b"))
+        .distinct()
+      val edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      var pr = deg.select($"a".as("node"), lit(1000000L).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = pr.join(deg, pr("node") === deg("a"))
+          .select(pr("node").as("src"), expr("pr div deg").as("c"))
+        pr = edges.join(contrib, edges("a") === contrib("src"))
+          .groupBy(edges("b")).agg(sum($"c").as("inbox"))
+          .select($"b".as("node"),
+            (lit(150000L) + expr("(850000 * inbox) div 1000000"))
+              .as("pr"))
+      }
+      pr.select($"node", $"pr".as("pr_micro"))
+    },
+    Some {
+      def round(prev: String, out: String) =
+        s"""$out AS (
+          SELECT e.b AS node,
+            CAST(150000 + (850000 * SUM(p.pr // d.deg)) // 1000000
+              AS BIGINT) AS pr
+          FROM e JOIN $prev p ON p.node = e.a JOIN deg d ON d.a = e.a
+          GROUP BY e.b)"""
+      s"""
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      deg AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY 1),
+      p0 AS (SELECT a AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+      ${round("p0", "p1")},
+      ${round("p1", "p2")},
+      ${round("p2", "p3")}
+      SELECT node, pr AS pr_micro FROM p3"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin,
-      qMvMerge)
+      qMvMerge, qGraphPagerank)
 }

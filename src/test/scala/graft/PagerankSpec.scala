@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q_graph_pagerank: the distributed 3-round fixed-point iteration
+  * must equal an in-memory replay of the same integer arithmetic on
+  * the same edge list — same floor divisions, same damping, same
+  * round count — and respect the PR bounds. */
+class PagerankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributed fixed-point pagerank == driver replay at sf0.001") {
+    val d = sf("sf0.001")
+    val e0 = Tables.orders(spark, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("a"),
+        concat(lit("s"), $"l_suppkey").as("b"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = e0 ++ e0.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    var pr = deg.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to 3) {
+      val inbox = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / deg(u) }.sum
+      }
+      pr = inbox.map { case (v, in) =>
+        v -> (150000L + (850000L * in) / 1000000L)
+      }
+    }
+    val got = queries.Cdc.qGraphPagerank.run(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == pr.keySet, "one PR row per graph node")
+    val diff = got.collect { case (n, v) if pr(n) != v => (n, v, pr(n)) }
+    assert(diff.isEmpty, s"fixed-point mismatch on ${diff.take(5)}")
+    // bounds: damping floor, and mass can only leak downward (floors)
+    assert(got.values.forall(_ >= 150000L))
+    assert(got.values.sum <= got.size * 1000000L)
+    assert(got.nonEmpty)
+  }
+}
