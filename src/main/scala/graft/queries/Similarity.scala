@@ -459,6 +459,132 @@ object Similarity {
       ${assignSql("a3", "c2")}"""
   }
 
+  /** Product-quantization codes (spherical PQ) — the COMPRESSION
+    * pillar of a 100 TB embedding store: each 64-d vector splits into
+    * m = 4 16-d subvectors, each subspace trains its own k = 16
+    * codebook (one Lloyd iteration, same deterministic recipe as
+    * [[qKmeansCells]]), and a vector's code is its 4 per-subspace
+    * centroid ids — 4 × 4 bits, a 65,536-cell product space from 64
+    * trained directions, packed into one small int. 256 bytes of
+    * float32 become 2 bytes; the compressed-domain scan (ADC) and the
+    * persisted codebooks are what make billion-vector search fit in
+    * memory at all.
+    *
+    * Determinism: identical machinery to the kmeans family — exact
+    * int64 subvector dots, sum-vector centroids (cos(v, S/n) =
+    * cos(v, S), so no float centroid exists), round(·, 6) + lowest-
+    * cell tie-break. A subvector (or centroid) with zero norm has no
+    * cosine; both engines score those pairings a literal −2.0 — below
+    * every real cosine — so degenerate slices deterministically fall
+    * to the lowest cell instead of riding NaN ordering differences.
+    *
+    * Scale shape: per subspace, assignment is a broadcast of 16
+    * sum-vectors + a map-side argmax hash-aggregate (no window), and
+    * recentering is a posexplode sum keyed on (cell, pos) — the
+    * subspaces are independent, so the 4 trainings parallelize as
+    * separate stages over the one checkpointed quantized table; the
+    * final code table is 4 id-keyed joins. Nothing global, nothing
+    * collected. */
+  val qPqCodes = GraftQuery(
+    "sim_pq_codes",
+    (s, d) => {
+      import s.implicits._
+      val m = 4; val sub = 16; val k = 16
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", quant($"embedding").as("qf"))
+        .withColumn("qfn", sqrt(idot($"qf", $"qf").cast("double")))
+        .filter($"qfn" > 0) // family zero-norm policy on the FULL vector
+        .localCheckpoint(true)
+      val codes = (0 until m).map { j =>
+        val ej = e.select($"vec_id", slice($"qf", j * sub + 1, sub).as("q"))
+          .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
+        def assignTo(cent: org.apache.spark.sql.DataFrame) = {
+          val cn = sqrt(idot($"cv", $"cv").cast("double"))
+          val ccos = when($"qn" > 0 && cn > 0,
+            round(idot($"q", $"cv").cast("double") / ($"qn" * cn), 6))
+            .otherwise(-2.0)
+          ej.crossJoin(broadcast(cent))
+            .select($"vec_id", ccos.as("ccos"), $"cell")
+            .groupBy($"vec_id")
+            .agg(max(struct($"ccos", (-$"cell").as("nc"))).as("m"))
+            .select($"vec_id", (-$"m.nc").cast("int").as("cell"))
+        }
+        def recenter(cent: org.apache.spark.sql.DataFrame,
+            assign: org.apache.spark.sql.DataFrame) = {
+          val sums = ej.join(assign, "vec_id")
+            .select($"cell", posexplode($"q").as(Seq("pos", "v")))
+            .groupBy($"cell", $"pos").agg(sum($"v").as("sv"))
+            .groupBy($"cell")
+            .agg(transform(array_sort(collect_list(struct($"pos", $"sv"))),
+              x => x("sv")).as("ncv"))
+          cent.select($"cell", $"cv".as("ocv"))
+            .join(sums, Seq("cell"), "left")
+            .select($"cell", coalesce($"ncv", $"ocv").as("cv"))
+            .localCheckpoint(true)
+        }
+        val seeds = ej.filter($"vec_id" < k)
+          .select($"vec_id".cast("int").as("cell"), $"q".as("cv"))
+          .localCheckpoint(true)
+        assignTo(recenter(seeds, assignTo(seeds)))
+          .withColumnRenamed("cell", s"code_$j")
+      }
+      codes.reduce(_.join(_, "vec_id"))
+        .select($"vec_id", $"code_0", $"code_1", $"code_2", $"code_3",
+          ($"code_0" + $"code_1" * 16 + $"code_2" * 256 +
+            $"code_3" * 4096).as("packed"))
+    },
+    Some {
+      def subCtes(j: Int): String = {
+        val p = s"s$j"; val lo = j * 16 + 1; val hi = lo + 15
+        def dot(a: String, b: String) =
+          s"list_sum(list_transform(range(1, 17), i -> $a.q[i] * $b.cv[i]))"
+        def vn(a: String) =
+          s"sqrt(CAST(list_sum(list_transform(range(1, 17), i -> $a.q[i] * $a.q[i])) AS DOUBLE))"
+        def cn(c: String) =
+          s"sqrt(CAST(list_sum(list_transform(range(1, 17), i -> $c.cv[i] * $c.cv[i])) AS DOUBLE))"
+        def assignSql(name: String, cents: String) = s"""
+          $name AS (
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, c.cell,
+                ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                  CASE WHEN ${vn("v")} > 0 AND ${cn("c")} > 0
+                       THEN round(CAST(${dot("v", "c")} AS DOUBLE) /
+                         (${vn("v")} * ${cn("c")}), 6)
+                       ELSE -2.0 END DESC, c.cell ASC) AS rn
+              FROM ${p}q v CROSS JOIN $cents c)
+            WHERE rn = 1)"""
+        s"""${p}q AS (SELECT vec_id, q[$lo:$hi] AS q FROM q),
+          ${p}seeds AS (
+            SELECT CAST(vec_id AS INT) AS cell, q AS cv
+            FROM ${p}q WHERE vec_id < 16),
+          ${assignSql(s"${p}a1", s"${p}seeds")},
+          ${p}c1_s AS (
+            SELECT a.cell, i, CAST(SUM(v.q[i]) AS BIGINT) AS sv
+            FROM ${p}q v JOIN ${p}a1 a USING (vec_id),
+                 (SELECT unnest(range(1, 17)) AS i) idx
+            GROUP BY a.cell, i),
+          ${p}c1_l AS (
+            SELECT cell, list(sv ORDER BY i) AS cv FROM ${p}c1_s GROUP BY cell),
+          ${p}c1 AS (
+            SELECT s.cell, coalesce(l.cv, s.cv) AS cv
+            FROM ${p}seeds s LEFT JOIN ${p}c1_l l USING (cell)),
+          ${assignSql(s"${p}a2", s"${p}c1")}"""
+      }
+      s"""
+      WITH ${quantNormCte()},
+      ${subCtes(0)}, ${subCtes(1)}, ${subCtes(2)}, ${subCtes(3)}
+      SELECT q.vec_id,
+        a0.cell AS code_0, a1.cell AS code_1,
+        a2.cell AS code_2, a3.cell AS code_3,
+        CAST(a0.cell + 16 * a1.cell + 256 * a2.cell + 4096 * a3.cell
+          AS INT) AS packed
+      FROM q
+      JOIN s0a2 a0 ON a0.vec_id = q.vec_id
+      JOIN s1a2 a1 ON a1.vec_id = q.vec_id
+      JOIN s2a2 a2 ON a2.vec_id = q.vec_id
+      JOIN s3a2 a3 ON a3.vec_id = q.vec_id"""
+    })
+
   /** IVF search over the TRAINED cells — train → assign → search as
     * one composed pipeline: [[kmeansAssign]]'s partition replaces the
     * borrowed label column of [[qIvfTopK]], probes (vec_id < 20)
@@ -513,5 +639,6 @@ object Similarity {
 
   val all: Seq[GraftQuery] =
     Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK,
-      qIvfMultiprobe, qKnnGraph, qKmeansCells, qIvfTrainedTopK)
+      qIvfMultiprobe, qKnnGraph, qKmeansCells, qIvfTrainedTopK,
+      qPqCodes)
 }
