@@ -485,48 +485,104 @@ object Similarity {
     * separate stages over the one checkpointed quantized table; the
     * final code table is 4 id-keyed joins. Nothing global, nothing
     * collected. */
+  /** Oracle CTE chain replaying one PQ subspace training — for
+    * subspace j produces `s{j}q` (sliced vectors), `s{j}c1` (the
+    * trained codebook) and `s{j}a2` (the final assignment); assumes
+    * the `q` CTE of [[quantNormCte]] is already in front. Shared by
+    * the sim_pq_codes and sim_pq_adc_topk oracles. */
+  private def pqSubCtes(j: Int): String = {
+    val p = s"s$j"; val lo = j * 16 + 1; val hi = lo + 15
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 17), i -> $a.q[i] * $b.cv[i]))"
+    def vn(a: String) =
+      s"sqrt(CAST(list_sum(list_transform(range(1, 17), i -> $a.q[i] * $a.q[i])) AS DOUBLE))"
+    def cn(c: String) =
+      s"sqrt(CAST(list_sum(list_transform(range(1, 17), i -> $c.cv[i] * $c.cv[i])) AS DOUBLE))"
+    def assignSql(name: String, cents: String) = s"""
+      $name AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              CASE WHEN ${vn("v")} > 0 AND ${cn("c")} > 0
+                   THEN round(CAST(${dot("v", "c")} AS DOUBLE) /
+                     (${vn("v")} * ${cn("c")}), 6)
+                   ELSE -2.0 END DESC, c.cell ASC) AS rn
+          FROM ${p}q v CROSS JOIN $cents c)
+        WHERE rn = 1)"""
+    s"""${p}q AS (SELECT vec_id, q[$lo:$hi] AS q FROM q),
+      ${p}seeds AS (
+        SELECT CAST(vec_id AS INT) AS cell, q AS cv
+        FROM ${p}q WHERE vec_id < 16),
+      ${assignSql(s"${p}a1", s"${p}seeds")},
+      ${p}c1_s AS (
+        SELECT a.cell, i, CAST(SUM(v.q[i]) AS BIGINT) AS sv
+        FROM ${p}q v JOIN ${p}a1 a USING (vec_id),
+             (SELECT unnest(range(1, 17)) AS i) idx
+        GROUP BY a.cell, i),
+      ${p}c1_l AS (
+        SELECT cell, list(sv ORDER BY i) AS cv FROM ${p}c1_s GROUP BY cell),
+      ${p}c1 AS (
+        SELECT s.cell, coalesce(l.cv, s.cv) AS cv
+        FROM ${p}seeds s LEFT JOIN ${p}c1_l l USING (cell)),
+      ${assignSql(s"${p}a2", s"${p}c1")}"""
+  }
+
+  /** Shared PQ trainer: per subspace j, the sliced quantized table
+    * `ej`, the trained codebook (cell, cv — sum vectors after one
+    * Lloyd iteration), and the final (vec_id, cell) assignment.
+    * [[qPqCodes]] reads the assignments; [[qPqAdcTopK]] reads
+    * assignments AND codebooks. */
+  private def pqTrain(s: org.apache.spark.sql.SparkSession, d: String):
+      Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)] = {
+    import s.implicits._
+    val m = 4; val sub = 16; val k = 16
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", quant($"embedding").as("qf"))
+      .withColumn("qfn", sqrt(idot($"qf", $"qf").cast("double")))
+      .filter($"qfn" > 0) // family zero-norm policy on the FULL vector
+      .localCheckpoint(true)
+    (0 until m).map { j =>
+      val ej = e.select($"vec_id", slice($"qf", j * sub + 1, sub).as("q"))
+        .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
+      def assignTo(cent: org.apache.spark.sql.DataFrame) = {
+        val cn = sqrt(idot($"cv", $"cv").cast("double"))
+        val ccos = when($"qn" > 0 && cn > 0,
+          round(idot($"q", $"cv").cast("double") / ($"qn" * cn), 6))
+          .otherwise(-2.0)
+        ej.crossJoin(broadcast(cent))
+          .select($"vec_id", ccos.as("ccos"), $"cell")
+          .groupBy($"vec_id")
+          .agg(max(struct($"ccos", (-$"cell").as("nc"))).as("m"))
+          .select($"vec_id", (-$"m.nc").cast("int").as("cell"))
+      }
+      def recenter(cent: org.apache.spark.sql.DataFrame,
+          assign: org.apache.spark.sql.DataFrame) = {
+        val sums = ej.join(assign, "vec_id")
+          .select($"cell", posexplode($"q").as(Seq("pos", "v")))
+          .groupBy($"cell", $"pos").agg(sum($"v").as("sv"))
+          .groupBy($"cell")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"sv"))),
+            x => x("sv")).as("ncv"))
+        cent.select($"cell", $"cv".as("ocv"))
+          .join(sums, Seq("cell"), "left")
+          .select($"cell", coalesce($"ncv", $"ocv").as("cv"))
+          .localCheckpoint(true)
+      }
+      val seeds = ej.filter($"vec_id" < k)
+        .select($"vec_id".cast("int").as("cell"), $"q".as("cv"))
+        .localCheckpoint(true)
+      val book = recenter(seeds, assignTo(seeds))
+      (ej, book, assignTo(book))
+    }
+  }
+
   val qPqCodes = GraftQuery(
     "sim_pq_codes",
     (s, d) => {
       import s.implicits._
-      val m = 4; val sub = 16; val k = 16
-      val e = Tables.embeddings(s, d)
-        .select($"vec_id", quant($"embedding").as("qf"))
-        .withColumn("qfn", sqrt(idot($"qf", $"qf").cast("double")))
-        .filter($"qfn" > 0) // family zero-norm policy on the FULL vector
-        .localCheckpoint(true)
-      val codes = (0 until m).map { j =>
-        val ej = e.select($"vec_id", slice($"qf", j * sub + 1, sub).as("q"))
-          .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
-        def assignTo(cent: org.apache.spark.sql.DataFrame) = {
-          val cn = sqrt(idot($"cv", $"cv").cast("double"))
-          val ccos = when($"qn" > 0 && cn > 0,
-            round(idot($"q", $"cv").cast("double") / ($"qn" * cn), 6))
-            .otherwise(-2.0)
-          ej.crossJoin(broadcast(cent))
-            .select($"vec_id", ccos.as("ccos"), $"cell")
-            .groupBy($"vec_id")
-            .agg(max(struct($"ccos", (-$"cell").as("nc"))).as("m"))
-            .select($"vec_id", (-$"m.nc").cast("int").as("cell"))
-        }
-        def recenter(cent: org.apache.spark.sql.DataFrame,
-            assign: org.apache.spark.sql.DataFrame) = {
-          val sums = ej.join(assign, "vec_id")
-            .select($"cell", posexplode($"q").as(Seq("pos", "v")))
-            .groupBy($"cell", $"pos").agg(sum($"v").as("sv"))
-            .groupBy($"cell")
-            .agg(transform(array_sort(collect_list(struct($"pos", $"sv"))),
-              x => x("sv")).as("ncv"))
-          cent.select($"cell", $"cv".as("ocv"))
-            .join(sums, Seq("cell"), "left")
-            .select($"cell", coalesce($"ncv", $"ocv").as("cv"))
-            .localCheckpoint(true)
-        }
-        val seeds = ej.filter($"vec_id" < k)
-          .select($"vec_id".cast("int").as("cell"), $"q".as("cv"))
-          .localCheckpoint(true)
-        assignTo(recenter(seeds, assignTo(seeds)))
-          .withColumnRenamed("cell", s"code_$j")
+      val codes = pqTrain(s, d).zipWithIndex.map { case ((_, _, a), j) =>
+        a.withColumnRenamed("cell", s"code_$j")
       }
       codes.reduce(_.join(_, "vec_id"))
         .select($"vec_id", $"code_0", $"code_1", $"code_2", $"code_3",
@@ -534,45 +590,9 @@ object Similarity {
             $"code_3" * 4096).as("packed"))
     },
     Some {
-      def subCtes(j: Int): String = {
-        val p = s"s$j"; val lo = j * 16 + 1; val hi = lo + 15
-        def dot(a: String, b: String) =
-          s"list_sum(list_transform(range(1, 17), i -> $a.q[i] * $b.cv[i]))"
-        def vn(a: String) =
-          s"sqrt(CAST(list_sum(list_transform(range(1, 17), i -> $a.q[i] * $a.q[i])) AS DOUBLE))"
-        def cn(c: String) =
-          s"sqrt(CAST(list_sum(list_transform(range(1, 17), i -> $c.cv[i] * $c.cv[i])) AS DOUBLE))"
-        def assignSql(name: String, cents: String) = s"""
-          $name AS (
-            SELECT vec_id, cell FROM (
-              SELECT v.vec_id, c.cell,
-                ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-                  CASE WHEN ${vn("v")} > 0 AND ${cn("c")} > 0
-                       THEN round(CAST(${dot("v", "c")} AS DOUBLE) /
-                         (${vn("v")} * ${cn("c")}), 6)
-                       ELSE -2.0 END DESC, c.cell ASC) AS rn
-              FROM ${p}q v CROSS JOIN $cents c)
-            WHERE rn = 1)"""
-        s"""${p}q AS (SELECT vec_id, q[$lo:$hi] AS q FROM q),
-          ${p}seeds AS (
-            SELECT CAST(vec_id AS INT) AS cell, q AS cv
-            FROM ${p}q WHERE vec_id < 16),
-          ${assignSql(s"${p}a1", s"${p}seeds")},
-          ${p}c1_s AS (
-            SELECT a.cell, i, CAST(SUM(v.q[i]) AS BIGINT) AS sv
-            FROM ${p}q v JOIN ${p}a1 a USING (vec_id),
-                 (SELECT unnest(range(1, 17)) AS i) idx
-            GROUP BY a.cell, i),
-          ${p}c1_l AS (
-            SELECT cell, list(sv ORDER BY i) AS cv FROM ${p}c1_s GROUP BY cell),
-          ${p}c1 AS (
-            SELECT s.cell, coalesce(l.cv, s.cv) AS cv
-            FROM ${p}seeds s LEFT JOIN ${p}c1_l l USING (cell)),
-          ${assignSql(s"${p}a2", s"${p}c1")}"""
-      }
       s"""
       WITH ${quantNormCte()},
-      ${subCtes(0)}, ${subCtes(1)}, ${subCtes(2)}, ${subCtes(3)}
+      ${pqSubCtes(0)}, ${pqSubCtes(1)}, ${pqSubCtes(2)}, ${pqSubCtes(3)}
       SELECT q.vec_id,
         a0.cell AS code_0, a1.cell AS code_1,
         a2.cell AS code_2, a3.cell AS code_3,
@@ -583,6 +603,83 @@ object Similarity {
       JOIN s1a2 a1 ON a1.vec_id = q.vec_id
       JOIN s2a2 a2 ON a2.vec_id = q.vec_id
       JOIN s3a2 a3 ON a3.vec_id = q.vec_id"""
+    })
+
+  /** ADC top-k over the PQ codes — the payoff of [[qPqCodes]]: the
+    * probe never touches a corpus vector, only the CODES. Each probe
+    * precomputes a 16-entry lookup table per subspace (probe
+    * subvector · codebook sum-vector, exact int64), the corpus scan
+    * sums 4 table lookups per coded vector, and top-5 ranks on that
+    * approximate score — the asymmetric-distance scan that makes a
+    * billion-vector search read 2-byte codes instead of 256-byte
+    * floats. Scores stay INTEGER end to end (raw dot against the
+    * sum-vector codebooks — rank-equivalent per subspace to the
+    * trained direction since the member count scales all cells'
+    * dots... deliberately NOT normalized: no float enters the scan,
+    * the tie-break is (score desc, id asc), and both engines rank
+    * identical integers).
+    *
+    * Scale shape: the LUT is probes × 16 × 4 rows — broadcast-sized
+    * by construction, the whole point of ADC — joined to the exploded
+    * (vec_id, subspace, cell) code table map-side; scoring is one
+    * (probe, vec) hash-aggregate; ranking is the native bounded
+    * top-k aggregate, parallelism following the corpus. The corpus-
+    * sized input to all of it is the CODE table, not the vectors. */
+  val qPqAdcTopK = GraftQuery(
+    "sim_pq_adc_topk",
+    (s, d) => {
+      import s.implicits._
+      val trained = pqTrain(s, d)
+      val lut = trained.zipWithIndex.map { case ((ej, book, _), j) =>
+        ej.filter($"vec_id" < 10)
+          .select($"vec_id".as("p_id"), $"q")
+          .crossJoin(broadcast(book))
+          .select($"p_id", lit(j).as("j"), $"cell",
+            idot($"q", $"cv").as("pd"))
+      }.reduce(_ unionByName _)
+      val cells = trained.zipWithIndex.map { case ((_, _, a), j) =>
+        a.select($"vec_id", lit(j).as("j"), $"cell")
+      }.reduce(_ unionByName _)
+      cells.join(broadcast(lut), Seq("j", "cell"))
+        .filter($"vec_id" =!= $"p_id") // self-match excluded pre-rank
+        .groupBy($"p_id", $"vec_id")
+        .agg(sum($"pd").as("score"))
+        .groupBy($"p_id")
+        .agg(TopKAggregate.of($"vec_id", $"score".cast("double"), 5).as("tk"))
+        .select($"p_id", posexplode($"tk").as(Seq("pos", "e")))
+        .select($"p_id", $"e.id".as("vec_id"),
+          $"e.score".cast("long").as("adc_score"),
+          ($"pos" + 1).cast("int").as("rk"))
+    },
+    Some {
+      def probe(j: Int) = s"""
+        lut$j AS (
+          SELECT p.vec_id AS p_id, $j AS j, c.cell,
+            CAST(list_sum(list_transform(range(1, 17),
+              i -> p.q[i] * c.cv[i])) AS BIGINT) AS pd
+          FROM s${j}q p CROSS JOIN s${j}c1 c
+          WHERE p.vec_id < 10),
+        cell$j AS (SELECT vec_id, $j AS j, cell FROM s${j}a2)"""
+      s"""
+      WITH ${quantNormCte()},
+      ${pqSubCtes(0)}, ${pqSubCtes(1)}, ${pqSubCtes(2)}, ${pqSubCtes(3)},
+      ${probe(0)}, ${probe(1)}, ${probe(2)}, ${probe(3)},
+      luts AS (SELECT * FROM lut0 UNION ALL SELECT * FROM lut1
+               UNION ALL SELECT * FROM lut2 UNION ALL SELECT * FROM lut3),
+      cls AS (SELECT * FROM cell0 UNION ALL SELECT * FROM cell1
+              UNION ALL SELECT * FROM cell2 UNION ALL SELECT * FROM cell3),
+      scores AS (
+        SELECT l.p_id, c.vec_id, CAST(SUM(l.pd) AS BIGINT) AS score
+        FROM cls c JOIN luts l ON l.j = c.j AND l.cell = c.cell
+        WHERE c.vec_id <> l.p_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT p_id, vec_id, score,
+          ROW_NUMBER() OVER (PARTITION BY p_id
+            ORDER BY score DESC, vec_id ASC) AS rk
+        FROM scores)
+      SELECT p_id, vec_id, score AS adc_score, CAST(rk AS INT) AS rk
+      FROM ranked WHERE rk <= 5"""
     })
 
   /** IVF search over the TRAINED cells — train → assign → search as
@@ -640,5 +737,5 @@ object Similarity {
   val all: Seq[GraftQuery] =
     Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK,
       qIvfMultiprobe, qKnnGraph, qKmeansCells, qIvfTrainedTopK,
-      qPqCodes)
+      qPqCodes, qPqAdcTopK)
 }

@@ -28,4 +28,19 @@ class PqCodesSpec extends SparkSpec {
     val again = queries.Similarity.qPqCodes.run(spark, d).collect()
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("adc top-k: 5 ranked non-self hits per probe, scores non-increasing") {
+    val d = sf("sf0.001")
+    val rows = queries.Similarity.qPqAdcTopK.run(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.keySet == (0L until 10L).toSet, "every probe answers")
+    byProbe.values.foreach { hits =>
+      assert(hits.map(_._4).sorted.toSeq == (1 to 5), "ranks are 1..5")
+      hits.foreach { case (p, v, _, _) => assert(v != p, "self excluded") }
+      val byRank = hits.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "adc scores non-increasing in rank")
+    }
+  }
 }
