@@ -43,4 +43,37 @@ class PqCodesSpec extends SparkSpec {
         "adc scores non-increasing in rank")
     }
   }
+
+  test("adc recall@5 vs exact cosine clears the compression floor") {
+    val d = sf("sf0.001")
+    // exact top-5 per probe, replayed driver-side on the same
+    // quantized integers (500 vectors — trivial here; the point is an
+    // independent reference, not scale)
+    val vecs = Tables.embeddings(spark, d)
+      .select($"vec_id",
+        graft.functions.VectorExpressions.quantize($"embedding").as("q"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .filter { case (_, v) => v.exists(_ != 0L) }
+    val norms = vecs.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x.toDouble * x).sum) }.toMap
+    def exactTop5(p: Long): Set[Long] = {
+      val pv = vecs.find(_._1 == p).get._2
+      vecs.filter(_._1 != p).map { case (v, vv) =>
+        val dot = pv.zip(vv).map { case (a, b) => a.toDouble * b }.sum
+        (BigDecimal(dot / (norms(p) * norms(v)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP), -v)
+      }.sortBy(t => (t._1, t._2)).reverse.take(5).map(-_._2).toSet
+    }
+    val adc = queries.Similarity.qPqAdcTopK.run(spark, d).collect()
+      .groupBy(_.getLong(0)).map { case (p, rs) =>
+        p -> rs.map(_.getLong(1)).toSet }
+    val recall = adc.map { case (p, got) =>
+      (got & exactTop5(p)).size / 5.0 }.sum / adc.size
+    // measured 0.24 on this fixture vs ~0.01 random chance (5/499);
+    // the gate sits well under the measurement, far over chance —
+    // 2-byte codes keeping ~a quarter of exact top-5 is the
+    // compression trade working, not luck
+    assert(recall >= 0.1, f"adc recall@5 $recall%.3f below the 0.1 floor")
+  }
 }
