@@ -532,50 +532,70 @@ object Similarity {
     * Lloyd iteration), and the final (vec_id, cell) assignment.
     * [[qPqCodes]] reads the assignments; [[qPqAdcTopK]] reads
     * assignments AND codebooks. */
-  private def pqTrain(s: org.apache.spark.sql.SparkSession, d: String):
+  /** The argmax-assignment core shared by training, the code queries
+    * and the streaming encoder: each (vec_id, q, qn) row of `ej` goes
+    * to the codebook cell with the highest rounded cosine (ties to
+    * the lowest cell; zero-norm pairings score −2.0 — see
+    * [[qPqCodes]]). */
+  private[graft] def pqAssignTo(ej: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cn = sqrt(idot(col("cv"), col("cv")).cast("double"))
+    val ccos = when(col("qn") > 0 && cn > 0,
+      round(idot(col("q"), col("cv")).cast("double") / (col("qn") * cn), 6))
+      .otherwise(-2.0)
+    ej.crossJoin(broadcast(cent))
+      .select(col("vec_id"), ccos.as("ccos"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cell")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).cast("int").as("cell"))
+  }
+
+  /** Per-subspace sliced (vec_id, q, qn) tables from raw embeddings —
+    * the one quantize + slice recipe training and encoding share. */
+  private[graft] def pqSubvectors(emb: org.apache.spark.sql.DataFrame):
+      Seq[org.apache.spark.sql.DataFrame] = {
+    val e = emb
+      .select(col("vec_id"), quant(col("embedding")).as("qf"))
+      .withColumn("qfn", sqrt(idot(col("qf"), col("qf")).cast("double")))
+      .filter(col("qfn") > 0) // family zero-norm policy on the FULL vector
+      .localCheckpoint(true)
+    (0 until 4).map { j =>
+      e.select(col("vec_id"), slice(col("qf"), j * 16 + 1, 16).as("q"))
+        .withColumn("qn", sqrt(idot(col("q"), col("q")).cast("double")))
+    }
+  }
+
+  private[graft] def pqTrainOn(emb: org.apache.spark.sql.DataFrame):
       Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame)] = {
-    import s.implicits._
-    val m = 4; val sub = 16; val k = 16
-    val e = Tables.embeddings(s, d)
-      .select($"vec_id", quant($"embedding").as("qf"))
-      .withColumn("qfn", sqrt(idot($"qf", $"qf").cast("double")))
-      .filter($"qfn" > 0) // family zero-norm policy on the FULL vector
-      .localCheckpoint(true)
-    (0 until m).map { j =>
-      val ej = e.select($"vec_id", slice($"qf", j * sub + 1, sub).as("q"))
-        .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
-      def assignTo(cent: org.apache.spark.sql.DataFrame) = {
-        val cn = sqrt(idot($"cv", $"cv").cast("double"))
-        val ccos = when($"qn" > 0 && cn > 0,
-          round(idot($"q", $"cv").cast("double") / ($"qn" * cn), 6))
-          .otherwise(-2.0)
-        ej.crossJoin(broadcast(cent))
-          .select($"vec_id", ccos.as("ccos"), $"cell")
-          .groupBy($"vec_id")
-          .agg(max(struct($"ccos", (-$"cell").as("nc"))).as("m"))
-          .select($"vec_id", (-$"m.nc").cast("int").as("cell"))
-      }
+    val k = 16
+    pqSubvectors(emb).map { ej =>
       def recenter(cent: org.apache.spark.sql.DataFrame,
           assign: org.apache.spark.sql.DataFrame) = {
         val sums = ej.join(assign, "vec_id")
-          .select($"cell", posexplode($"q").as(Seq("pos", "v")))
-          .groupBy($"cell", $"pos").agg(sum($"v").as("sv"))
-          .groupBy($"cell")
-          .agg(transform(array_sort(collect_list(struct($"pos", $"sv"))),
+          .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos")).agg(sum(col("v")).as("sv"))
+          .groupBy(col("cell"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("sv")))),
             x => x("sv")).as("ncv"))
-        cent.select($"cell", $"cv".as("ocv"))
+        cent.select(col("cell"), col("cv").as("ocv"))
           .join(sums, Seq("cell"), "left")
-          .select($"cell", coalesce($"ncv", $"ocv").as("cv"))
+          .select(col("cell"), coalesce(col("ncv"), col("ocv")).as("cv"))
           .localCheckpoint(true)
       }
-      val seeds = ej.filter($"vec_id" < k)
-        .select($"vec_id".cast("int").as("cell"), $"q".as("cv"))
+      val seeds = ej.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cell"), col("q").as("cv"))
         .localCheckpoint(true)
-      val book = recenter(seeds, assignTo(seeds))
-      (ej, book, assignTo(book))
+      val book = recenter(seeds, pqAssignTo(ej, seeds))
+      (ej, book, pqAssignTo(ej, book))
     }
   }
+
+  private def pqTrain(s: org.apache.spark.sql.SparkSession, d: String):
+      Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)] =
+    pqTrainOn(Tables.embeddings(s, d))
 
   val qPqCodes = GraftQuery(
     "sim_pq_codes",
