@@ -76,4 +76,25 @@ class PqCodesSpec extends SparkSpec {
     // compression trade working, not luck
     assert(recall >= 0.1, f"adc recall@5 $recall%.3f below the 0.1 floor")
   }
+
+  test("zero-norm subvector falls deterministically to cell 0") {
+    // vec 100: subspace 0 all-zero (no cosine exists there), subspaces
+    // 1-3 nonzero; the whole vector has positive norm so it IS coded.
+    // The -2.0 fallback must send the degenerate slice to cell 0.
+    val dim = 64
+    def vec(f: Int => Float): Seq[Float] = (0 until dim).map(f)
+    val rows = (0L until 16L).map { i =>
+      (i, vec(p => ((p + i + 1) % 7 + 1).toFloat / 10f))
+    } :+ (100L, vec(p => if (p < 16) 0f else 0.5f))
+    val dir = java.nio.file.Files.createTempDirectory("pqzero").toString
+    rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = queries.Similarity.qPqCodes.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    assert(out.contains(100L), "nonzero full vector must be coded")
+    assert(out(100L).head == 0,
+      s"zero subvector must land in cell 0, got ${out(100L)}")
+    out(100L).tail.foreach(c => assert(c >= 0 && c < 16))
+  }
 }
