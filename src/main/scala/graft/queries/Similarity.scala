@@ -702,6 +702,72 @@ object Similarity {
       FROM ranked WHERE rk <= 5"""
     })
 
+  /** PQ distortion report — the third leg of the family (train →
+    * code → search → HOW GOOD IS THE FIT): for every coded vector,
+    * the rounded cosine between each subvector and its assigned
+    * codebook direction, plus their sum as the one-number quality.
+    * This is the report that justifies (or indicts) the codebook
+    * budget — fit degrading on a new ingest slice is the retraining
+    * signal for the [[graft.streaming.StreamingPq]] pipeline.
+    *
+    * Determinism: each fit is the same round(·, 6) exact-int cosine
+    * the assignment itself ranked (zero-norm slices keep their −2.0
+    * sentinel — visible in the report, not silently dropped); the sum
+    * adds the SAME four doubles left-to-right on both engines, so no
+    * float-order divergence exists to worry about.
+    *
+    * Scale shape: per subspace one broadcast codebook join onto the
+    * assignment, then a 4-way id-keyed join — all corpus passes are
+    * the ones training already made; the report itself is
+    * assignment-sized. */
+  val qPqFit = GraftQuery(
+    "sim_pq_fit",
+    (s, d) => {
+      import s.implicits._
+      val fits = pqTrain(s, d).zipWithIndex.map { case ((ej, book, a), j) =>
+        val cn = sqrt(idot($"cv", $"cv").cast("double"))
+        val fit = when($"qn" > 0 && cn > 0,
+          round(idot($"q", $"cv").cast("double") / ($"qn" * cn), 6))
+          .otherwise(-2.0)
+        ej.join(a, "vec_id").join(broadcast(book), "cell")
+          .select($"vec_id", fit.as(s"fit_$j"))
+      }
+      fits.reduce(_.join(_, "vec_id"))
+        .select($"vec_id", $"fit_0", $"fit_1", $"fit_2", $"fit_3",
+          ($"fit_0" + $"fit_1" + $"fit_2" + $"fit_3").as("fit_sum"))
+    },
+    Some {
+      def fit(j: Int) = s"""
+        fit$j AS (
+          SELECT v.vec_id,
+            CASE WHEN sqrt(CAST(list_sum(list_transform(range(1, 17),
+                     i -> v.q[i] * v.q[i])) AS DOUBLE)) > 0
+                  AND sqrt(CAST(list_sum(list_transform(range(1, 17),
+                     i -> c.cv[i] * c.cv[i])) AS DOUBLE)) > 0
+                 THEN round(
+                   CAST(list_sum(list_transform(range(1, 17),
+                     i -> v.q[i] * c.cv[i])) AS DOUBLE) /
+                   (sqrt(CAST(list_sum(list_transform(range(1, 17),
+                      i -> v.q[i] * v.q[i])) AS DOUBLE)) *
+                    sqrt(CAST(list_sum(list_transform(range(1, 17),
+                      i -> c.cv[i] * c.cv[i])) AS DOUBLE))), 6)
+                 ELSE -2.0 END AS fit
+          FROM s${j}q v
+          JOIN s${j}a2 a USING (vec_id)
+          JOIN s${j}c1 c ON c.cell = a.cell)"""
+      s"""
+      WITH ${quantNormCte()},
+      ${pqSubCtes(0)}, ${pqSubCtes(1)}, ${pqSubCtes(2)}, ${pqSubCtes(3)},
+      ${fit(0)}, ${fit(1)}, ${fit(2)}, ${fit(3)}
+      SELECT f0.vec_id,
+        f0.fit AS fit_0, f1.fit AS fit_1, f2.fit AS fit_2, f3.fit AS fit_3,
+        f0.fit + f1.fit + f2.fit + f3.fit AS fit_sum
+      FROM fit0 f0
+      JOIN fit1 f1 ON f1.vec_id = f0.vec_id
+      JOIN fit2 f2 ON f2.vec_id = f0.vec_id
+      JOIN fit3 f3 ON f3.vec_id = f0.vec_id"""
+    })
+
   /** IVF search over the TRAINED cells — train → assign → search as
     * one composed pipeline: [[kmeansAssign]]'s partition replaces the
     * borrowed label column of [[qIvfTopK]], probes (vec_id < 20)
@@ -757,5 +823,5 @@ object Similarity {
   val all: Seq[GraftQuery] =
     Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK,
       qIvfMultiprobe, qKnnGraph, qKmeansCells, qIvfTrainedTopK,
-      qPqCodes, qPqAdcTopK)
+      qPqCodes, qPqAdcTopK, qPqFit)
 }

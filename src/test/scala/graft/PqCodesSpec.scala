@@ -77,6 +77,21 @@ class PqCodesSpec extends SparkSpec {
     assert(recall >= 0.1, f"adc recall@5 $recall%.3f below the 0.1 floor")
   }
 
+  test("pq fit: one row per coded vector, fits in [-1,1] (or the -2 sentinel)") {
+    val d = sf("sf0.001")
+    val fit = queries.Similarity.qPqFit.run(spark, d).collect()
+    val coded = queries.Similarity.qPqCodes.run(spark, d).count()
+    assert(fit.length == coded, "fit report covers exactly the coded set")
+    fit.foreach { r =>
+      (1 to 4).map(r.getDouble).foreach(f =>
+        assert((f >= -1.0 && f <= 1.0) || f == -2.0, s"fit out of range: $r"))
+    }
+    // a trained codebook fits its own corpus better than orthogonal:
+    // the corpus-mean summed fit is positive
+    val mean = fit.map(_.getDouble(5)).sum / fit.length
+    assert(mean > 0.0, f"mean fit_sum $mean%.4f should be positive")
+  }
+
   test("zero-norm subvector falls deterministically to cell 0") {
     // vec 100: subspace 0 all-zero (no cosine exists there), subspaces
     // 1-3 nonzero; the whole vector has positive norm so it IS coded.
