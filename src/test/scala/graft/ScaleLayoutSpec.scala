@@ -301,6 +301,19 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("sim_pq_adc_topk: the LUT rides a broadcast, ranking is the bounded aggregate") {
+    val df = Registry.byName("sim_pq_adc_topk").run(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // probes × 16 × 4 LUT rows join the corpus-sized code table
+    // map-side — a shuffle there would defeat the ADC design
+    assert(plan.contains("BroadcastHashJoin"),
+      s"LUT join must broadcast:\n$plan")
+    // top-5 ranks through the bounded aggregate, not a probe-count window
+    assert(!plan.contains("Window"),
+      s"no window in the ADC ranking:\n$plan")
+  }
+
   test("q3 broadcasts bounded dims; threshold off degrades to SMJ, same rows") {
     // broadcast-threshold sensitivity: the dimension joins in q3 must
     // be BroadcastHashJoin under the default threshold (no fact-side
