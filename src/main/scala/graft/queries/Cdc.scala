@@ -398,7 +398,8 @@ object Cdc {
       ${round("p1", "p2")},
       ${round("p2", "p3")}
       SELECT node, pr AS pr_micro FROM p3"""
-    })
+    },
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin,

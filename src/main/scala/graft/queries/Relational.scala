@@ -791,7 +791,8 @@ object Relational {
           COUNT(*) - COUNT($c) AS n_nulls,
           CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
         FROM lineitem""").mkString("\nUNION ALL\n")
-    })
+    },
+    bench = true)
 
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,
