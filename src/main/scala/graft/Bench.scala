@@ -7,8 +7,15 @@ import org.apache.spark.sql.SparkSession
   * line. Each query is fully materialized through the noop sink (a
   * bare count() would let Catalyst prune the project away), and the
   * whole set runs once unmeasured first — JIT, codegen cache, parquet
-  * footer cache — then once measured, so numbers reflect the plan,
-  * not JVM warmup.
+  * footer cache — then MEASURED THREE TIMES, pass-interleaved, so a
+  * transient load spike on the shared box lands in at most one of a
+  * query's three samples. The recorded per-query number is the
+  * MEDIAN of the three; the per-query minimum and the system load
+  * average (start/end of the measured window) ride along so a reader
+  * can tell plan cost from box contention. Round 7 proved the need:
+  * a single measured pass recorded 64.95s under end-of-round load
+  * where the identical binary did 21.36s idle — a 3× artifact skew
+  * with zero code difference.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,6 +32,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = Registry.all.filter(_.bench)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
     def exec(q: GraftQuery): Double = {
       val t0 = System.nanoTime()
@@ -36,14 +47,37 @@ object Bench {
       try exec(q)
       catch { case e: Throwable =>
         System.err.println(s"[bench-warm] ${q.name}: ${e.getMessage}") })
-    val results = qs.map { q =>
-      q.name -> (try exec(q) catch { case _: Throwable => -1.0 })
+
+    val loadStart = loadAvg
+    // Pass-interleaved samples: all queries once per pass, repeated.
+    val samples: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      qs.map(q => q.name -> (try exec(q) catch { case _: Throwable => -1.0 }))
+    }
+    val loadEnd = loadAvg
+
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
 
-    val fields = results.map { case (k, v) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$fields,"sf":"$sfDir"}""")
+    val byName = qs.map { q =>
+      val ts = samples.map(_.find(_._1 == q.name).map(_._2).getOrElse(-1.0))
+      (q.name, median(ts), if (ts.exists(_ >= 0)) ts.filter(_ >= 0).min else -1.0)
+    }
+
+    def obj(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => f""""$k":${v}%.4f""" }.mkString("{", ",", "}")
+
+    val medians = obj(byName.map(t => t._1 -> t._2))
+    val mins = obj(byName.map(t => t._1 -> t._3))
+    val total = byName.map(_._2).filter(_ >= 0).sum
+    val totalMin = byName.map(_._3).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,""" +
+      s""""protocol":"median_of_$passes","total_min":$totalMin,"queries_min":$mins,""" +
+      s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
