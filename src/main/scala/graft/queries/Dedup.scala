@@ -1228,29 +1228,45 @@ object Dedup {
     * deduped on (name_a, name_b); only surviving pairs carry a
     * distance.
     *
-    * Skew note: a gram shared by df names contributes df² candidate
-    * rows, and no per-bucket cap is admissible here (unlike
+    * Skew defense — ED-Join rarest-gram PREFIX selection (Xiao et
+    * al., VLDB 2008): a gram shared by df names would contribute df²
+    * candidate rows, and no per-bucket cap is admissible here (unlike
     * HammingBands, the oracle equality IS the completeness proof —
-    * dropping candidates would break it). The known refinement when a
-    * catalog has pathological hot grams is ED-Join's rarest-gram
-    * prefix selection (join each name only through its 3·tau + 1
-    * lowest-df grams), which subsets this candidate set; it is not
-    * applied because the input contract is a deduped DIMENSION
-    * catalog, where even a hot gram's df is dimension-bounded. */
-  private[graft] def fuzzyJoin(s: org.apache.spark.sql.SparkSession,
-      names0: DataFrame, tau: Int): DataFrame = {
-    // the deduped catalog is read by the gram path, both sidecar sides
-    // and nothing else — materialize it once (the persisted-artifact
-    // shape, same as HammingBands' sketch table)
-    val names = names0.localCheckpoint(true)
+    * dropping candidates would break it). Instead each long name is
+    * indexed under only its 3·tau + 1 rarest grams (global order:
+    * catalog df ascending, then gram — one total order shared by both
+    * join sides). Completeness is still provable, not heuristic, via
+    * the prefix-filter lemma: if |Ga ∩ Gb| ≥ α, the (|Ga| − α + 1)-
+    * and (|Gb| − α + 1)-prefixes under any shared total order must
+    * intersect. Here tau edits remove at most 3·tau gram TYPES from a
+    * set (a removed type needs a destroyed occurrence, and each edit
+    * touches ≤ 3 occurrence slots), so α = max(|Ga|, |Gb|) − 3·tau,
+    * giving prefix length 3·tau + 1; when that α ≤ 0 both gram sets
+    * have ≤ 3·tau elements, the prefixes are the full sets, and the
+    * positional pigeonhole above still guarantees a shared gram. A
+    * hot gram (df ≫ k) is displaced from every prefix that has rarer
+    * grams available, so candidate volume tracks the RARE end of the
+    * df distribution; FuzzyJoinSpec pins this with an adversarial
+    * shared-hot-gram vocabulary. */
+  private[graft] def fuzzyCandidates(s: org.apache.spark.sql.SparkSession,
+      names: DataFrame, tau: Int): DataFrame = {
     val minLong = 3 * tau + 3
+    val k = 3 * tau + 1
     val longNames = names.filter(length(col("name")) >= minLong)
     val grams = longNames.select(col("name"),
       explode(expr(
         "array_distinct(transform(sequence(1, length(name) - 2)," +
           " i -> substring(name, i, 3)))")).as("gram"))
-    val candLong = grams.as("a")
-      .join(grams.as("b"),
+    // catalog-wide document frequency = the global prefix order; the
+    // join is gram-keyed (one shuffle, linear in gram rows)
+    val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    val prefix = grams.join(gramDf, Seq("gram"))
+      .groupBy(col("name"))
+      .agg(slice(sort_array(collect_list(struct(col("gram_df"), col("gram")))),
+        1, k).as("pref"))
+      .select(col("name"), explode(col("pref.gram")).as("gram"))
+    val candLong = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct()
@@ -1261,6 +1277,15 @@ object Dedup {
       .filter(least(length(col("a.name")), length(col("b.name"))) < minLong)
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
     candLong.unionByName(candShort)
+  }
+
+  private[graft] def fuzzyJoin(s: org.apache.spark.sql.SparkSession,
+      names0: DataFrame, tau: Int): DataFrame = {
+    // the deduped catalog is read by the gram path, both sidecar sides
+    // and nothing else — materialize it once (the persisted-artifact
+    // shape, same as HammingBands' sketch table)
+    val names = names0.localCheckpoint(true)
+    fuzzyCandidates(s, names, tau)
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= tau)
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b"), tau).cast("long").as("lev"))

@@ -71,6 +71,28 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(blocked(names, tau) == naive(names, tau), s"tau=$tau")
   }
 
+  test("adversarial hot gram: candidates stay bounded, output stays complete") {
+    // every name shares the hot trigram "zzz" — the pre-round-8 full
+    // gram join would route all C(n,2) pairs through that one bucket;
+    // rarest-gram prefix selection (k = 3*tau+1 lowest-df grams per
+    // name) must displace "zzz" from every prefix that has rarer
+    // grams, keeping candidates near-linear WITHOUT losing a pair
+    val rnd = new scala.util.Random(7)
+    val letters = "abcdefghijklmnopqrstuvwxy" // no 'z': hot gram stays unique
+    def tail() = (1 to 9).map(_ => letters(rnd.nextInt(letters.length))).mkString
+    val base = Seq.fill(150)("zzz" + tail()).distinct
+    // plant genuine tau=1 pairs so the completeness assertion bites
+    val names = (base ++ base.take(5).map(n => n.dropRight(1) + "q")).distinct
+
+    val quadratic = names.size.toLong * (names.size - 1) / 2
+    val cands = queries.Dedup.fuzzyCandidates(
+      spark, names.toDF("name").localCheckpoint(true), 1).count()
+    assert(cands < quadratic / 5,
+      s"hot gram not suppressed: $cands candidates vs $quadratic quadratic")
+    assert(blocked(names, 1) == naive(names, 1))
+    assert(naive(names, 1).size >= 5, "planted pairs present")
+  }
+
   test("canonicalization resolves transitive chains past tau") {
     // aaaa ~1~ aaab ~1~ aabb, but lev(aaaa, aabb) = 2 > tau: only the
     // cluster closure maps all three to one canonical
