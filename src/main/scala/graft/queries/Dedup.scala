@@ -686,10 +686,15 @@ object Dedup {
     * confirm join, so the corpus-sized shuffle disappears. False
     * positives are removed by the exact join; false negatives are
     * impossible — the result is bit-identical to the plain join the
-    * oracle runs. The probe is a broadcast UDF by necessity (the
-    * public BloomFilter API); it gates a prefilter, not a result.
-    * Output: contaminated corpus docs only, with their benchmark-hit
-    * shingle count. */
+    * oracle runs. The probe is Spark's codegen'd
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * over the serialized sketch as a binary literal — the exact shape
+    * Spark's own runtime bloom-filter joins inject after subquery
+    * evaluation, and the expression deserializes the sketch once per
+    * task, so the probe stays inside whole-stage codegen (the
+    * pre-round-8 Scala UDF here was the repo's last serialization
+    * wall). Output: contaminated corpus docs only, with their
+    * benchmark-hit shingle count. */
   val qBloomContamination = GraftQuery(
     "dd_bloom_contamination",
     (s, d) => {
@@ -707,10 +712,8 @@ object Dedup {
         .localCheckpoint()
       val nBench = bench.count()
       val bf = bench.stat.bloomFilter("h", math.max(nBench, 1L), 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((x: Long) => bfB.value.mightContainLong(x))
       sh.filter($"doc_id" >= 50)
-        .filter(mightContain($"h"))
+        .filter(org.apache.spark.sql.graft.BloomProbe.mightContain(bf, $"h"))
         .join(bench, Seq("h"), "left_semi")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_hit_shingles"))

@@ -111,6 +111,21 @@ class ScaleLayoutSpec extends SparkSpec {
       s"expected partial top-k aggregation:\n$plan")
   }
 
+  test("dd_bloom_contamination probes via codegen might_contain, not a Scala UDF") {
+    // ADVICE r7: the broadcast-UDF probe was the repo's last per-row
+    // UDF — a serialization wall in an otherwise codegen'd map-side
+    // prefilter. The probe must now be BloomFilterMightContain over
+    // the serialized sketch literal, leaving zero UDF nodes anywhere
+    // in the plan.
+    val df = Registry.byName("dd_bloom_contamination").run(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"bloom probe must not leave codegen:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"expected the native bloom-probe expression:\n$plan")
+  }
+
   test("dd_embedding_neardup best-neighbor is a hash-aggregate, not a window") {
     val df = Registry.byName("dd_embedding_neardup").run(spark, sf("sf0.001"))
     df.collect()
