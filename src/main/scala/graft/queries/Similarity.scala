@@ -637,7 +637,21 @@ object Similarity {
     * trained direction since the member count scales all cells'
     * dots... deliberately NOT normalized: no float enters the scan,
     * the tie-break is (score desc, id asc), and both engines rank
-    * identical integers).
+    * identical integers — within the headroom bound below).
+    *
+    * Integer-headroom bound (the q_graph_pagerank discipline): the
+    * bounded top-k aggregate buffers scores as doubles, so ranking
+    * is exact while |score| < 2^53. A score sums 4 LUT entries;
+    * each is a 16-dim dot of quantized components (|q_i| ≤ 127)
+    * against a codebook SUM-vector whose components grow with cell
+    * membership m as ≈ m·127 — so |score| ≲ 4·16·127²·m ≈ 2^20·m,
+    * leaving headroom to m ≈ 2^33 vectors per cell, far past any
+    * real cell at the billion-vector scale this targets. Past that
+    * (or with wider quantization), the escape hatch mirrors
+    * pagerank's: rescale the codebook fixed point or swap in a
+    * long-score TopKAggregate buffer. The oracle ranks native
+    * BIGINTs, so a breach surfaces as a hash mismatch, not silent
+    * drift.
     *
     * Scale shape: the LUT is probes × 16 × 4 rows — broadcast-sized
     * by construction, the whole point of ADC — joined to the exploded

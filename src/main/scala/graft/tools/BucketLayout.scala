@@ -30,12 +30,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketLayout {
 
-  /** Round up to the next power of two (≥ 1). */
+  /** Round up to the next power of two, clamped to [1, 2^20]. The
+    * clamp applies AFTER the round-up so the cap actually holds
+    * (ADVICE r7: clamping the raw count first let inputs just above
+    * the cap round up to 2^21). */
   def bucketsFor(tableBytes: Long, targetBucketBytes: Long): Int = {
     val raw = math.max(1L, (tableBytes + targetBucketBytes - 1) / targetBucketBytes)
-    Integer.highestOneBit(math.min(raw, 1 << 20).toInt) match {
-      case b if b.toLong >= raw => b
-      case b => b << 1
+    val capped = math.min(raw, 1L << 20).toInt
+    Integer.highestOneBit(capped) match {
+      case b if b >= capped => b
+      case b => b << 1 // capped < 2^20 here, so b << 1 <= 2^20
     }
   }
 
