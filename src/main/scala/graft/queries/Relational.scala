@@ -794,11 +794,46 @@ object Relational {
     },
     bench = true)
 
+  /** The 100 TB profile [[qTableProfile]]'s own header promises: the
+    * same per-column (rows, nulls, distinct) report with HLL++
+    * sketches (`approx_count_distinct`) in place of exact distincts.
+    * The win is plan-shape, not just constants: multi-column EXACT
+    * distincts force the ×11 Expand fan-out before the shuffle, while
+    * 11 HLL buffers ride ONE un-expanded aggregate pass — at 100 TB
+    * that is 11× less shuffle input for a report whose consumers
+    * (loader gates, drift monitors) tolerate ±rsd on cardinality.
+    * n_rows / n_nulls stay EXACT (plain counts, no sketch involved).
+    *
+    * Rows-only in the driver's oracle (DuckDB's approx_count_distinct
+    * is a different sketch — same policy as t_approx_distinct_tokens);
+    * hard-checked instead by ScaleLayoutSpec against the exact twin:
+    * n_rows/n_nulls must MATCH [[qTableProfile]] exactly and
+    * n_distinct must sit within the HLL error envelope per column. */
+  val qTableProfileApprox = GraftQuery(
+    "q_table_profile_approx",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"cnt_$c"),
+          approx_count_distinct(col(c)).as(s"nd_$c"))
+      }
+      val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', n_rows, n_rows - cnt_$c, nd_$c").mkString(", ")
+      wide.select(expr(
+        s"stack(${cols.length}, $stackArgs) AS (col, n_rows, n_nulls, n_distinct)"))
+    },
+    None)
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,
     q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q9PartStats,
     q10ReturnedRevenue, qAggCollect, qAggNested, qOuterBalance, qSetOps,
     qRollup, qCube, qWindowFuncs, qPercentiles, qCorrelatedSubquery,
     q18LargeOrders, qGroupingSets, qPivotStatus, qApproxPercentiles,
-    qTableProfile)
+    qTableProfile, qTableProfileApprox)
 }

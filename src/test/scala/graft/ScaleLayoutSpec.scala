@@ -316,6 +316,41 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("q_table_profile_approx: one un-expanded pass, envelope vs the exact twin") {
+    // the HLL twin's whole point is shedding the ×11 Expand the exact
+    // multi-distinct needs — one scan, NO Expand, one aggregate
+    val df = Registry.byName("q_table_profile_approx").run(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    val nScans = "Scan parquet".r.findAllIn(plan).length
+    assert(nScans == 1, s"approx profile must read lineitem once, saw $nScans:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"HLL buffers must not fan out through Expand:\n$plan")
+
+    // rows-only in the driver's oracle, so the hard gate lives here:
+    // counts exact, cardinalities inside the sketch envelope — at
+    // sf0.01, sf0.1, and (when the round's ScaleUp artifact exists)
+    // the 10× sf1 point
+    val scales = Seq(sf("sf0.01"), sf("sf0.1")) ++
+      Some("/tmp/sf1").filter(p => new java.io.File(p, "lineitem.parquet").exists)
+    for (dir <- scales) {
+      val exact = Registry.byName("q_table_profile").run(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val approx = Registry.byName("q_table_profile_approx").run(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(approx.keySet == exact.keySet)
+      approx.foreach { case (c, (n, nulls, nd)) =>
+        assert((n, nulls) == (exact(c)._1, exact(c)._2),
+          s"$dir $c: n_rows/n_nulls must be exact")
+        val ex = exact(c)._3.toDouble
+        assert(math.abs(nd - ex) / ex <= 0.10,
+          s"$dir $c: approx $nd vs exact $ex exceeds 10% relative error")
+      }
+    }
+  }
+
   test("sim_pq_adc_topk: the LUT rides a broadcast, ranking is the bounded aggregate") {
     val df = Registry.byName("sim_pq_adc_topk").run(spark, sf("sf0.001"))
     df.collect()
