@@ -26,6 +26,7 @@ object SweepCheck {
     * true between sweep queries. */
   def clearSessionArtifacts(spark: SparkSession): Unit = {
     queries.Dedup.clearSignatureCache()
+    queries.Cdc.clearBaseEdgeCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
   }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture semantics (SURVEY §2.9 T2, J2/J3) in batch
@@ -353,55 +354,148 @@ object Cdc {
     * suppliers) skew the inbox aggregate exactly like any hot
     * groupBy key — AQE skew handling applies, and the map-side
     * partial sums absorb most of it. */
+  /** Directed distinct cust–supp trade edges from the orders slice
+    * selected by `pred` (lit(true) = the whole table). The slice
+    * filter lands on the ORDERS scan (PushedFilters — asserted in
+    * PagerankSpec), so deriving a delta slice reads delta-sized
+    * order data, not history. */
+  private[graft] def tradeEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, pred: Column): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).filter(pred).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("a"),
+        concat(lit("s"), $"l_suppkey").as("b"))
+      .distinct()
+  }
+
+  /** The 3-round fixed-point iteration over a directed-distinct edge
+    * list (doubled to undirected here). Shared verbatim by the batch
+    * and incremental queries so "refresh" can never mean "a slightly
+    * different pagerank". */
+  private[graft] def pagerankOver(s: org.apache.spark.sql.SparkSession,
+      e0: DataFrame): DataFrame = {
+    import s.implicits._
+    val edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var pr = deg.select($"a".as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = pr.join(deg, pr("node") === deg("a"))
+        .select(pr("node").as("src"), expr("pr div deg").as("c"))
+      pr = edges.join(contrib, edges("a") === contrib("src"))
+        .groupBy(edges("b")).agg(sum($"c").as("inbox"))
+        .select($"b".as("node"),
+          (lit(150000L) + expr("(850000 * inbox) div 1000000"))
+            .as("pr"))
+    }
+    pr.select($"node", $"pr".as("pr_micro"))
+  }
+
+  private val pagerankOracle: String = {
+    def round(prev: String, out: String) =
+      s"""$out AS (
+        SELECT e.b AS node,
+          CAST(150000 + (850000 * SUM(p.pr // d.deg)) // 1000000
+            AS BIGINT) AS pr
+        FROM e JOIN $prev p ON p.node = e.a JOIN deg d ON d.a = e.a
+        GROUP BY e.b)"""
+    s"""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY 1),
+    p0 AS (SELECT a AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+    ${round("p0", "p1")},
+    ${round("p1", "p2")},
+    ${round("p2", "p3")}
+    SELECT node, pr AS pr_micro FROM p3"""
+  }
+
   val qGraphPagerank = GraftQuery(
     "q_graph_pagerank",
+    (s, d) => pagerankOver(s, tradeEdges(s, d, lit(true))),
+    Some(pagerankOracle),
+    bench = true)
+
+  /** Incremental-maintenance counter for PagerankSpec: how many times
+    * the base edge artifact has actually been DERIVED (vs served from
+    * the session cache). */
+  private[graft] val baseEdgeDerivations =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Session-scoped base-edge artifact, same WeakHashMap shape and
+    * lifetime rules as Dedup's signature caches: the pre-split edge
+    * history is derived once per (session, dataset, split) and every
+    * refresh probes the checkpointed table instead of re-walking
+    * history. */
+  private val baseEdgeCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
+  private[graft] def cachedBaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, split: String): DataFrame = {
+    val perSession = baseEdgeCache.synchronized {
+      var m = baseEdgeCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        baseEdgeCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((d, split), {
+      baseEdgeDerivations.incrementAndGet()
+      tradeEdges(s, d, col("o_orderdate") < lit(split).cast("date"))
+        .localCheckpoint(true)
+    })
+  }
+
+  /** Drop the cached base-edge artifacts (dataset rewritten in place
+    * or a sweep wants cold-artifact timings). */
+  def clearBaseEdgeCache(): Unit =
+    baseEdgeCache.synchronized(baseEdgeCache.clear())
+
+  /** Incremental PageRank — the graph analytic composed with the
+    * dd_incremental / IncrementalAgg philosophy, and the engine-side
+    * mirror of the reference's MERGE-maintained graph store
+    * (database_ops.py:11-92 upserts nodes/edges per scrape cycle; it
+    * never rebuilds the graph from history): edges from the order
+    * HISTORY live in a checkpointed base artifact derived ONCE per
+    * session ([[cachedBaseEdges]]); a refresh derives edges from the
+    * DELTA slice only (filter pushed to the orders scan), MERGEs them
+    * into the artifact with the same distinct-union no-op semantics
+    * as the reference's MERGE (an edge seen in both eras is one
+    * edge), and re-runs the shared [[pagerankOver]] rounds on the
+    * merged list.
+    *
+    * What is and is not incremental, stated honestly: edge
+    * DERIVATION is delta-sized (the expensive orders ⋈ lineitem walk
+    * never re-reads history); the rank ITERATION is graph-sized by
+    * design — PR is a global fixed point, so each refresh pays k
+    * round-joins over the merged edge list, exactly what
+    * q_graph_pagerank pays. Cost per refresh is |delta| derivation +
+    * |graph| iteration, never |history| re-derivation.
+    *
+    * The oracle is the FULL-RECOMPUTE formulation (identical SQL to
+    * q_graph_pagerank), so the hash gate proves the merge path drifts
+    * from re-derivation by nothing; PagerankSpec adds slice
+    * invariance (any split date → identical ranks) and the
+    * derive-once cache contract. */
+  val qGraphPagerankInc = GraftQuery(
+    "q_graph_pagerank_inc",
     (s, d) => {
       import s.implicits._
-      val e0 = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
-        .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
-          $"o_orderkey" === $"l_orderkey")
-        .select(concat(lit("c"), $"o_custkey").as("a"),
-          concat(lit("s"), $"l_suppkey").as("b"))
-        .distinct()
-      val edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
-        .localCheckpoint(true)
-      val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
-      var pr = deg.select($"a".as("node"), lit(1000000L).as("pr"))
-      for (_ <- 1 to 3) {
-        val contrib = pr.join(deg, pr("node") === deg("a"))
-          .select(pr("node").as("src"), expr("pr div deg").as("c"))
-        pr = edges.join(contrib, edges("a") === contrib("src"))
-          .groupBy(edges("b")).agg(sum($"c").as("inbox"))
-          .select($"b".as("node"),
-            (lit(150000L) + expr("(850000 * inbox) div 1000000"))
-              .as("pr"))
-      }
-      pr.select($"node", $"pr".as("pr_micro"))
+      val split = "1996-01-01"
+      val base = cachedBaseEdges(s, d, split)
+      val delta = tradeEdges(s, d,
+        $"o_orderdate" >= lit(split).cast("date"))
+      pagerankOver(s, base.unionByName(delta).distinct())
     },
-    Some {
-      def round(prev: String, out: String) =
-        s"""$out AS (
-          SELECT e.b AS node,
-            CAST(150000 + (850000 * SUM(p.pr // d.deg)) // 1000000
-              AS BIGINT) AS pr
-          FROM e JOIN $prev p ON p.node = e.a JOIN deg d ON d.a = e.a
-          GROUP BY e.b)"""
-      s"""
-      WITH e0 AS (
-        SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
-      deg AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY 1),
-      p0 AS (SELECT a AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
-      ${round("p0", "p1")},
-      ${round("p1", "p2")},
-      ${round("p2", "p3")}
-      SELECT node, pr AS pr_micro FROM p3"""
-    },
-    bench = true)
+    Some(pagerankOracle))
 
   val all: Seq[GraftQuery] =
     Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin,
-      qMvMerge, qGraphPagerank)
+      qMvMerge, qGraphPagerank, qGraphPagerankInc)
 }

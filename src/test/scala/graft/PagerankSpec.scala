@@ -38,4 +38,51 @@ class PagerankSpec extends SparkSpec {
     assert(got.values.sum <= got.size * 1000000L)
     assert(got.nonEmpty)
   }
+
+  test("incremental pagerank: slice invariance — any split date, identical ranks") {
+    // the IncrementalAggSpec contract transplanted to the graph: where
+    // history ends and the delta begins must be invisible in the
+    // result, and the merged artifact must reproduce the batch answer
+    val d = sf("sf0.001")
+    val batch = queries.Cdc.qGraphPagerank.run(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (split <- Seq("1992-06-01", "1995-01-01", "1997-06-01", "1999-01-01")) {
+      val base = queries.Cdc.cachedBaseEdges(spark, d, split)
+      val delta = queries.Cdc.tradeEdges(spark, d,
+        $"o_orderdate" >= lit(split).cast("date"))
+      val inc = queries.Cdc.pagerankOver(spark,
+          base.unionByName(delta).distinct())
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(inc == batch, s"split $split drifted from the batch ranks")
+    }
+  }
+
+  test("incremental pagerank: base artifact derived once, delta scan is filtered") {
+    val d = sf("sf0.001")
+    queries.Cdc.clearBaseEdgeCache()
+    val before = queries.Cdc.baseEdgeDerivations.get()
+    queries.Cdc.qGraphPagerankInc.run(spark, d).collect()
+    val afterFirst = queries.Cdc.baseEdgeDerivations.get()
+    assert(afterFirst == before + 1, "first refresh derives the base artifact")
+    queries.Cdc.qGraphPagerankInc.run(spark, d).collect()
+    assert(queries.Cdc.baseEdgeDerivations.get() == afterFirst,
+      "second refresh must probe the cached artifact, not re-walk history")
+
+    // the delta derivation reads delta-sized order data: the split
+    // predicate must reach the orders parquet scan
+    val deltaPlan = queries.Cdc.tradeEdges(spark, d,
+        $"o_orderdate" >= lit("1996-01-01").cast("date"))
+      .queryExecution.executedPlan.toString
+    assert(deltaPlan.contains("PushedFilters") &&
+      deltaPlan.contains("o_orderdate"),
+      s"split filter must push into the orders scan:\n$deltaPlan")
+
+    // and the registry query hash-equals the batch one (the oracle
+    // re-proves this cross-engine at every SF; here, cross-query)
+    val inc = queries.Cdc.qGraphPagerankInc.run(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = queries.Cdc.qGraphPagerank.run(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inc == batch)
+  }
 }
