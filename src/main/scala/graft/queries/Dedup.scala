@@ -134,6 +134,13 @@ object Dedup {
   private val sigCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]
+
+  /** How many times any of the three artifacts was actually DERIVED
+    * (vs served from the session cache or a persisted table) — the
+    * ArtifactLifecycleSpec contract counter. */
+  private[graft] val artifactDerivations =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private def cachedSignatures(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     val perSession = sigCache.synchronized {
@@ -144,8 +151,22 @@ object Dedup {
       }
       m
     }
-    perSession.getOrElseUpdate(d, signatureTable(Tables.documents(s, d)))
+    perSession.getOrElseUpdate(d,
+      graft.tools.Artifacts.lookup(s, d, "signatures").getOrElse {
+        artifactDerivations.incrementAndGet()
+        signatureTable(Tables.documents(s, d))
+      })
   }
+
+  /** Public artifact accessors — what tools/Artifacts materializes
+    * (same frames the queries consume, so the persisted tables can
+    * never drift from the session derivation). */
+  def sessionSignatures(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = cachedSignatures(s, d)
+  def sessionClusters(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = cachedClusters(s, d)
+  def sessionShingleSets(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = cachedShingleSets(s, d)
 
   /** Drop all cached signature and cluster tables (e.g. after
     * rewriting a dataset path in place); the next consumer recomputes. */
@@ -176,10 +197,13 @@ object Dedup {
       m
     }
     perSession.getOrElseUpdate(d,
-      connectedComponents(
-        pairsFromSignatures(cachedSignatures(s, d))
-          .select(col("doc_a"), col("doc_b")))
-        .select(col("node").as("doc_id"), col("label").as("cluster_id")))
+      graft.tools.Artifacts.lookup(s, d, "clusters").getOrElse {
+        artifactDerivations.incrementAndGet()
+        connectedComponents(
+          pairsFromSignatures(cachedSignatures(s, d))
+            .select(col("doc_a"), col("doc_b")))
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      })
   }
 
   /** Session-scoped per-doc shingle-hash set cache — the third
@@ -204,10 +228,13 @@ object Dedup {
       m
     }
     perSession.getOrElseUpdate(d,
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          org.apache.spark.sql.graft.ShingleHashes.of(col("text")).as("hsh"))
-        .localCheckpoint(true))
+      graft.tools.Artifacts.lookup(s, d, "shingles").getOrElse {
+        artifactDerivations.incrementAndGet()
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            org.apache.spark.sql.graft.ShingleHashes.of(col("text")).as("hsh"))
+          .localCheckpoint(true)
+      })
   }
 
   /** Candidate near-dup pairs via LSH banding (4 bands × 2 rows):

@@ -1,0 +1,143 @@
+package graft.tools
+
+import graft.queries.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dedup-artifact materializer — the production form of the session
+  * caches. The signature / cluster / shingle-set tables that
+  * [[graft.queries.Dedup]] keeps as session-scoped localCheckpoints
+  * are, in a real pipeline, PERSISTED tables written once per corpus
+  * drop and probed by every consumer (the dd_* family, t_corpus_yield,
+  * the incremental/streaming triage) until the next drop. This job
+  * writes them as bucketed parquet tables — bucketed by `doc_id` via
+  * [[BucketLayout]], so the id-keyed verify/keep-list joins read
+  * co-located buckets — plus a manifest recording the source dataset
+  * and bucket counts, and teaches the consumers (via [[attach]]) to
+  * read the persisted form instead of re-deriving.
+  *
+  * Lifecycle: `materialize(spark, srcDir, outDir)` derives and writes;
+  * `attach(spark, outDir)` re-registers the external bucketed tables
+  * in the session catalog (bucket metadata is catalog state — a fresh
+  * session must re-declare it to get co-located reads) and flips the
+  * session to persisted reads; `detach(spark)` flips back to
+  * derive-on-demand. One artifact set is attached per session at a
+  * time, matched to its source dataset — a consumer asking for a
+  * DIFFERENT dataset silently derives as before (the manifest's
+  * `source` is the guard, checked per lookup).
+  *
+  * Scale shape: this is exactly the 100 TB housekeeping layer — the
+  * signature pass is paid once per corpus, not once per consumer per
+  * run; bucket counts size by table bytes through the shared
+  * [[BucketLayout.bucketsFor]] power-of-two rule so artifact and
+  * corpus tables co-locate as they grow.
+  */
+object Artifacts {
+
+  val ConfDir = "spark.graft.artifacts.dir"
+  val ConfSource = "spark.graft.artifacts.source"
+
+  /** Artifact name → deriver (the same session-cached frames the
+    * queries use, so materialize can never drift from the consumers). */
+  private val derivers: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      "signatures" -> ((s, d) => Dedup.sessionSignatures(s, d)),
+      "clusters" -> ((s, d) => Dedup.sessionClusters(s, d)),
+      "shingles" -> ((s, d) => Dedup.sessionShingleSets(s, d)))
+
+  def names: Seq[String] = derivers.map(_._1)
+
+  private def tableName(name: String) = s"graft_art_$name"
+
+  private def manifestPath(outDir: String) =
+    java.nio.file.Paths.get(outDir, "_graft_manifest.json")
+
+  def manifestExists(outDir: String): Boolean =
+    java.nio.file.Files.exists(manifestPath(outDir))
+
+  /** Derive all three artifacts for `srcDir` and write them bucketed
+    * under `outDir`. Returns (name, rows, buckets) per artifact. */
+  def materialize(spark: SparkSession, srcDir: String, outDir: String,
+      targetBucketBytes: Long = 32L << 20): Seq[(String, Long, Int)] = {
+    val written = derivers.map { case (name, derive) =>
+      val df = derive(spark, srcDir)
+      // optimizer stats of the checkpointed frame approximate table
+      // bytes well enough for a power-of-two bucket count
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val n = BucketLayout.bucketsFor(
+        bytes.min(BigInt(Long.MaxValue)).toLong, targetBucketBytes)
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(name)}")
+      BucketLayout.writeBucketed(df, tableName(name), "doc_id", n,
+        Some(s"$outDir/$name"))
+      (name, df.count(), n)
+    }
+    val manifest = written.map { case (n, _, b) => s""""$n":$b""" }
+      .mkString(s"""{"source":"$srcDir","buckets":{""", ",", "}}")
+    java.nio.file.Files.createDirectories(manifestPath(outDir).getParent)
+    java.nio.file.Files.write(manifestPath(outDir),
+      manifest.getBytes("UTF-8"))
+    written
+  }
+
+  private def readManifest(outDir: String): (String, Map[String, Int]) = {
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(manifestPath(outDir)), "UTF-8")
+    val source = """"source":"([^"]+)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1))
+      .getOrElse(sys.error(s"no source in $outDir manifest"))
+    val buckets = """"(\w+)":(\d+)""".r.findAllMatchIn(txt)
+      .collect { case m if m.group(1) != "source" =>
+        m.group(1) -> m.group(2).toInt }
+      .toMap
+    (source, buckets)
+  }
+
+  /** Register the persisted tables (external, with their recorded
+    * bucket spec — catalog state a fresh session must re-declare) and
+    * flip consumers for the manifest's source dataset to read them. */
+  def attach(spark: SparkSession, outDir: String): Unit = {
+    val (source, buckets) = readManifest(outDir)
+    names.foreach { n =>
+      val t = tableName(n)
+      val loc = s"$outDir/$n"
+      val schema = spark.read.parquet(loc).schema.toDDL
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(
+        s"""CREATE TABLE $t ($schema) USING parquet
+           CLUSTERED BY (doc_id) SORTED BY (doc_id)
+           INTO ${buckets(n)} BUCKETS
+           LOCATION '$loc'""")
+    }
+    spark.conf.set(ConfDir, outDir)
+    spark.conf.set(ConfSource, source)
+  }
+
+  /** Drop the registrations and return the session to
+    * derive-on-demand. The files under the materialized dir remain. */
+  def detach(spark: SparkSession): Unit = {
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS ${tableName(n)}"))
+    spark.conf.unset(ConfDir)
+    spark.conf.unset(ConfSource)
+  }
+
+  /** The consumer hook: the persisted artifact `name` for dataset `d`,
+    * if one is attached AND was materialized from exactly `d`. */
+  def lookup(s: SparkSession, d: String, name: String): Option[DataFrame] =
+    for {
+      src <- s.conf.getOption(ConfSource)
+      if src == d && s.catalog.tableExists(tableName(name))
+    } yield s.table(tableName(name))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Artifacts <srcDir> <outDir> [targetBucketBytes]")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val written = materialize(spark, args(0), args(1),
+      args.lift(2).map(_.toLong).getOrElse(32L << 20))
+    written.foreach { case (n, rows, b) =>
+      println(s"[artifacts] $n: $rows rows in $b buckets") }
+    spark.stop()
+  }
+}

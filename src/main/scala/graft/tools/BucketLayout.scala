@@ -43,14 +43,19 @@ object BucketLayout {
     }
   }
 
-  /** Write `df` as a bucketed (and in-bucket sorted) catalog table. */
+  /** Write `df` as a bucketed (and in-bucket sorted) catalog table.
+    * `path` makes it an EXTERNAL table — the bucketed files land at a
+    * caller-owned location that outlives the session catalog (the
+    * Artifacts materializer's shape: a later session re-registers the
+    * location with the recorded bucket spec and reads co-located). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      nBuckets: Int): Unit =
-    df.write.mode("overwrite")
+      nBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(nBuckets, key)
       .sortBy(key)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: BucketLayout <srcDir> <table> <key> [buckets]")

@@ -27,4 +27,58 @@ class ArtifactLifecycleSpec extends SparkSpec {
       "the rebuild should have re-materialized the artifact")
     SweepCheck.clearSessionArtifacts(spark)
   }
+
+  test("materialize → attach → consumers probe persisted tables, derivation paid once") {
+    import graft.tools.Artifacts
+    val d = sf("sf0.001")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_art").toString
+
+    // reference results, derived in-session
+    SweepCheck.clearSessionArtifacts(spark)
+    val wantPairs = Registry.byName("dd_verified_pairs").run(spark, d)
+      .collect().map(_.toSeq).toSet
+    val wantKeep = Registry.byName("dd_keep_list").run(spark, d)
+      .collect().map(_.toSeq).toSet
+
+    // materialize writes all three bucketed tables + manifest
+    SweepCheck.clearSessionArtifacts(spark)
+    val written = Artifacts.materialize(spark, d, outDir)
+    assert(written.map(_._1) == Seq("signatures", "clusters", "shingles"))
+    assert(written.forall(_._2 > 0), s"empty artifact in $written")
+    assert(Artifacts.manifestExists(outDir))
+
+    // attach: cleared caches must now resolve from the persisted
+    // tables with ZERO new derivations — the sweep-against-artifacts
+    // contract ("the derivation paid once")
+    SweepCheck.clearSessionArtifacts(spark)
+    Artifacts.attach(spark, outDir)
+    val derivationsBefore = queries.Dedup.artifactDerivations.get()
+    val gotPairs = Registry.byName("dd_verified_pairs").run(spark, d)
+      .collect().map(_.toSeq).toSet
+    val gotKeep = Registry.byName("dd_keep_list").run(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(queries.Dedup.artifactDerivations.get() == derivationsBefore,
+      "attached consumers must read persisted artifacts, not re-derive")
+    assert(gotPairs == wantPairs, "persisted-artifact pairs must match derived")
+    assert(gotKeep == wantKeep, "persisted-artifact keep list must match derived")
+
+    // the registered tables really are bucketed catalog state
+    val desc = spark.sql("DESCRIBE EXTENDED graft_art_signatures")
+      .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("doc_id"), desc)
+
+    // a DIFFERENT dataset must not read this artifact set
+    assert(Artifacts.lookup(spark, sf("sf0.01"), "signatures").isEmpty,
+      "the manifest source guard must reject other datasets")
+
+    // detach: consumers derive again (counter moves), results identical
+    Artifacts.detach(spark)
+    SweepCheck.clearSessionArtifacts(spark)
+    val gotDetached = Registry.byName("dd_verified_pairs").run(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(queries.Dedup.artifactDerivations.get() > derivationsBefore,
+      "detached consumers must be back to derive-on-demand")
+    assert(gotDetached == wantPairs)
+    SweepCheck.clearSessionArtifacts(spark)
+  }
 }
