@@ -220,7 +220,21 @@ object Multimodal {
     * Scale shape: two sketch scans (each one map-side codegen pass),
     * two (band, value) shuffles, clustering over id-pair tables only,
     * one id-keyed assembly join — the union at most doubles the edge
-    * table, everything else inherits the single-modal contracts. */
+    * table, everything else inherits the single-modal contracts.
+    *
+    * Tiered oracle: the driver-gate SQL below recomputes the keep
+    * list with a recursive PAIR closure — quadratic in component
+    * size, fine at gate scale, but the synthetic sf1 corpus chains a
+    * giant component (~36k of 50k assets → ~1.3e9 closure rows,
+    * >100 min DuckDB; round 7 recorded `pending`). The 10× record
+    * therefore runs scripts/check_crossmodal.py: DuckDB derives the
+    * edge/flag sets with THIS oracle's own CTE chain (text reused,
+    * closure stage cut), then proves the Spark output is the unique
+    * minimal CC labeling — edge-label consistency (no under-merge),
+    * keeper reachability via a linear vertex-frontier fixpoint (no
+    * over-merge), label minimality, flag equality. Pass ⟺
+    * hash-equality with the full recompute, at O(E·diameter);
+    * negative tests confirm each corruption class flips its check. */
   private[graft] def crossmodalKeepList(
       docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
