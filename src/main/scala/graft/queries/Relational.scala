@@ -829,11 +829,310 @@ object Relational {
     },
     None)
 
+  /** TPC-H Q8-shaped market share: one nation's slice of a region's
+    * PROMO-part revenue per order year. The nation dim joins TWICE
+    * (customer side fixes the market region, supplier side names the
+    * competitor) — both bounded, both pinned broadcast. The ratio is a
+    * double quotient of two [[Tables.dsum]] results, so both engines
+    * divide bit-identical numerators/denominators. */
+  val q8MarketShare = GraftQuery(
+    "q8_market_share",
+    (s, d) => {
+      import s.implicits._
+      val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      val cn = Tables.nation(s, d)
+        .select($"n_nationkey".as("cn_key"), $"n_regionkey".as("cn_region"))
+      val sn = Tables.nation(s, d)
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(cn), $"c_nationkey" === $"cn_key")
+        .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+          $"cn_region" === $"r_regionkey")
+        .join(Tables.part(s, d).filter($"p_type" === "PROMO"),
+          $"l_partkey" === $"p_partkey")
+        .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(sn), $"s_nationkey" === $"sn_key")
+        .groupBy(year($"o_orderdate").as("o_year"))
+        .agg(
+          dsum(when($"supp_nation" === "NATION_7", vol).otherwise(lit(0.0)))
+            .as("nation_vol"),
+          dsum(vol).as("total_vol"),
+          count(lit(1)).as("n_items"))
+        .select($"o_year", ($"nation_vol" / $"total_vol").as("mkt_share"),
+          $"n_items")
+    },
+    Some("""
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_7'
+            THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+          AS mkt_share,
+        COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      GROUP BY o_year"""))
+
+  /** TPC-H Q12-shaped shipping-delay split (the fixtures carry no
+    * shipmode/commitdate, so "late" = shipped > 90 days after the
+    * order date): per linestatus, how many late lines belonged to
+    * high- vs low-priority orders. Conditional counts stay BIGINT on
+    * both engines (count(when…) / COUNT(*) FILTER). The only shuffle
+    * is the lineitem⋈orders fact join on orderkey. */
+  val q12LatePriority = GraftQuery(
+    "q12_late_lines_priority",
+    (s, d) => {
+      import s.implicits._
+      val highPrio = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+        .groupBy($"l_linestatus")
+        .agg(
+          count(when(highPrio, 1)).as("high_line_count"),
+          count(when(!highPrio, 1)).as("low_line_count"))
+    },
+    Some("""
+      SELECT l_linestatus,
+        COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+          AS high_line_count,
+        COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+          AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      GROUP BY l_linestatus"""))
+
+  /** TPC-H Q14-shaped promo-revenue share over one quarter: one
+    * filtered fact⋈dim join, one ungrouped aggregate, the percentage
+    * a double quotient of two dsum results scaled by an exact 100. */
+  val q14PromoRevenue = GraftQuery(
+    "q14_promo_revenue",
+    (s, d) => {
+      import s.implicits._
+      val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+        .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
+        .agg(
+          dsum(when($"p_type" === "PROMO", vol).otherwise(lit(0.0)))
+            .as("promo_vol"),
+          dsum(vol).as("total_vol"),
+          count(lit(1)).as("n_items"))
+        .select((lit(100.0) * $"promo_vol" / $"total_vol").as("promo_pct"),
+          $"n_items")
+    },
+    Some("""
+      SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+            THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+          AS promo_pct,
+        COUNT(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'"""))
+
+  /** TPC-H Q15-shaped top supplier: quarterly revenue per supplier,
+    * keep the max. The max is a 1-row aggregate broadcast back over
+    * the (supplier-count-sized) revenue table — no global sort, no
+    * window over all suppliers; ties would surface as extra rows
+    * identically on both engines since the compared doubles are
+    * bit-identical dsum outputs. */
+  val q15TopSupplier = GraftQuery(
+    "q15_top_supplier",
+    (s, d) => {
+      import s.implicits._
+      val rev = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("total_revenue"))
+      val top = rev.agg(max($"total_revenue").as("max_revenue"))
+      Tables.supplier(s, d)
+        .join(rev, $"s_suppkey" === $"l_suppkey")
+        .join(broadcast(top), $"total_revenue" === $"max_revenue")
+        .select($"s_suppkey", $"s_name", $"total_revenue")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+            AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)"""))
+
+  /** TPC-H Q17-shaped small-quantity revenue: lines of one brand below
+    * 20% of their part's average quantity. The correlated per-part
+    * average decorrelates into a per-partkey aggregate joined back on
+    * partkey — the aggregate runs over the brand-restricted lineitem
+    * slice (identical to the correlated form: the average only ever
+    * evaluates for that part's own lines). Threshold = 0.2 · davg in
+    * double on both engines, so the comparison boundary agrees. */
+  val q17SmallQtyRevenue = GraftQuery(
+    "q17_small_qty_revenue",
+    (s, d) => {
+      import s.implicits._
+      val brandParts = Tables.part(s, d)
+        .filter($"p_brand" === "Brand#13").select($"p_partkey")
+      val brandLines = Tables.lineitem(s, d)
+        .join(brandParts, $"l_partkey" === $"p_partkey")
+      val cut = brandLines
+        .groupBy($"l_partkey".as("cut_partkey"))
+        .agg((lit(0.2) * davg($"l_quantity")).as("qty_cut"))
+      brandLines
+        .join(cut, $"l_partkey" === $"cut_partkey")
+        .filter($"l_quantity" < $"qty_cut")
+        .agg((dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""
+      SELECT
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0
+          AS avg_yearly,
+        COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#13' AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                        / COUNT(l2.l_quantity))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""))
+
+  /** TPC-H Q19-shaped disjunctive-predicate revenue: an OR-of-ANDs
+    * over brand/size/quantity. The brand+size legs are part-side and
+    * the quantity legs lineitem-side, so Catalyst pushes the partial
+    * disjunctions (brand IN … / quantity ranges) below the join while
+    * keeping the cross-table conjunctions above it. */
+  val q19DisjunctRevenue = GraftQuery(
+    "q19_disjunct_revenue",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+            $"l_quantity".between(1, 11)) ||
+          ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+            $"l_quantity".between(10, 20)) ||
+          ($"p_brand" === "Brand#21" && $"p_size".between(1, 15) &&
+            $"l_quantity".between(20, 30)))
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""
+      SELECT
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+          AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+              AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 20 AND 30)"""))
+
+  /** TPC-H Q21-shaped sole-blame suppliers (no commit/receipt dates in
+    * the fixtures, so "waiting" = returned lines on finalized orders):
+    * suppliers whose line came back (R) on a finalized multi-supplier
+    * order where NO other supplier's line came back. The EXISTS /
+    * NOT EXISTS pair plans as a left-semi + left-anti self-join of
+    * lineitem, all three legs shuffling on the same orderkey — one
+    * exchange family, reused, no correlated re-scan per row. */
+  val q21WaitingSuppliers = GraftQuery(
+    "q21_waiting_suppliers",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val l1 = li.filter($"l_returnflag" === "R")
+        .join(Tables.orders(s, d).filter($"o_orderstatus" === "F"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+      val others = li.select($"l_orderkey".as("k2"), $"l_suppkey".as("sk2"))
+      val otherReturns = li.filter($"l_returnflag" === "R")
+        .select($"l_orderkey".as("k3"), $"l_suppkey".as("sk3"))
+      l1.join(others, $"l_orderkey" === $"k2" && $"l_suppkey" =!= $"sk2",
+          "left_semi")
+        .join(otherReturns,
+          $"l_orderkey" === $"k3" && $"l_suppkey" =!= $"sk3", "left_anti")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+    },
+    Some("""
+      SELECT s_name, COUNT(*) AS numwait
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s_name"""))
+
+  /** TPC-H Q22-shaped idle rich customers (the fixtures have no phone
+    * country codes, so the cohort keys on mktsegment and "idle" = no
+    * order in the last ~3 fixture years): above the global
+    * positive-balance average AND absent from recent orders. The
+    * average is a 1-row broadcast, the NOT EXISTS a left-anti join on
+    * custkey — customer-sized work, order-side pre-filtered by the
+    * pushed date predicate. */
+  val q22IdleCustomers = GraftQuery(
+    "q22_idle_customers",
+    (s, d) => {
+      import s.implicits._
+      val avgBal = Tables.customer(s, d)
+        .filter($"c_acctbal" > 0.0)
+        .agg(davg($"c_acctbal").as("avg_bal"))
+      val recent = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      Tables.customer(s, d)
+        .join(broadcast(avgBal), $"c_acctbal" > $"avg_bal")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_custs"),
+          dsum($"c_acctbal").as("total_bal"))
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_custs,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+      FROM customer c
+      WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(c2.c_acctbal)
+          FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY c_mktsegment"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,
-    q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q9PartStats,
-    q10ReturnedRevenue, qAggCollect, qAggNested, qOuterBalance, qSetOps,
-    qRollup, qCube, qWindowFuncs, qPercentiles, qCorrelatedSubquery,
-    q18LargeOrders, qGroupingSets, qPivotStatus, qApproxPercentiles,
-    qTableProfile, qTableProfileApprox)
+    q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q8MarketShare,
+    q9PartStats, q10ReturnedRevenue, q12LatePriority, q14PromoRevenue,
+    q15TopSupplier, q17SmallQtyRevenue, q19DisjunctRevenue,
+    q21WaitingSuppliers, q22IdleCustomers, qAggCollect, qAggNested,
+    qOuterBalance, qSetOps, qRollup, qCube, qWindowFuncs, qPercentiles,
+    qCorrelatedSubquery, q18LargeOrders, qGroupingSets, qPivotStatus,
+    qApproxPercentiles, qTableProfile, qTableProfileApprox)
 }
