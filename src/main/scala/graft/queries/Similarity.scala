@@ -834,8 +834,99 @@ object Similarity {
         FROM sims)
       SELECT probe_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5"""))
 
+  /** IVF-PQ search — the two scale pillars composed the way a
+    * billion-vector index actually runs (the FAISS IVFPQ shape): the
+    * TRAINED coarse quantizer ([[kmeansAssign]], 8 cells, 2 Lloyd
+    * iterations) prunes the corpus to the probe's own cell, and
+    * within that cell ranking is the compressed-domain ADC scan of
+    * [[qPqAdcTopK]] — 4 LUT lookups per CODED vector, exact-integer
+    * scores, never a corpus float. Neither ingredient is new; the
+    * composition is the point: candidate volume divides by the cell
+    * count AND per-candidate cost drops to 2-byte codes, which is
+    * the only combination that holds at 10⁹ vectors.
+    *
+    * Determinism: coarse assignment and PQ codes are the exact same
+    * deterministic artifacts their parent queries green-light; the
+    * ADC score inherits [[qPqAdcTopK]]'s integer-headroom bound
+    * (|score| < 2^53 to m ≈ 2^33 members/cell — see that scaladoc).
+    *
+    * Scale shape: the probe sidecar (LUTs ⋈ probe coarse cell —
+    * probes × 64 rows) broadcasts onto the exploded code table; the
+    * coarse filter is one broadcast-joined equality BEFORE the score
+    * aggregate, so the (probe, vec) hash-aggregate only ever sees
+    * candidates from matching cells; ranking is the native bounded
+    * top-k. Corpus-sized inputs: the code table and the coarse
+    * assignment — both artifacts a production index persists. */
+  val qIvfPqTopK = GraftQuery(
+    "sim_ivfpq_topk",
+    (s, d) => {
+      import s.implicits._
+      val coarse = kmeansAssign(s, d)
+      val trained = pqTrain(s, d)
+      val lut = trained.zipWithIndex.map { case ((ej, book, _), j) =>
+        ej.filter($"vec_id" < 10)
+          .select($"vec_id".as("p_id"), $"q")
+          .crossJoin(broadcast(book))
+          .select($"p_id", lit(j).as("j"), $"cell".as("pq_cell"),
+            idot($"q", $"cv").as("pd"))
+      }.reduce(_ unionByName _)
+      val probeCoarse = coarse.filter($"vec_id" < 10)
+        .select($"vec_id".as("p_id"), $"cell".as("pcoarse"))
+      val probeSide = lut.join(probeCoarse, "p_id")
+        .select($"p_id", $"j".as("pj"), $"pq_cell".as("ppq_cell"),
+          $"pd", $"pcoarse")
+      val codes = trained.zipWithIndex.map { case ((_, _, a), j) =>
+        a.select($"vec_id", lit(j).as("j"), $"cell".as("pq_cell"))
+      }.reduce(_ unionByName _)
+      codes.join(coarse, "vec_id")
+        .join(broadcast(probeSide),
+          $"j" === $"pj" && $"pq_cell" === $"ppq_cell" &&
+            $"cell" === $"pcoarse" && $"vec_id" =!= $"p_id")
+        .groupBy($"p_id", $"vec_id")
+        .agg(sum($"pd").as("score"))
+        .groupBy($"p_id")
+        .agg(TopKAggregate.of($"vec_id", $"score".cast("double"), 5).as("tk"))
+        .select($"p_id", posexplode($"tk").as(Seq("pos", "e")))
+        .select($"p_id", $"e.id".as("vec_id"),
+          $"e.score".cast("long").as("adc_score"),
+          ($"pos" + 1).cast("int").as("rk"))
+    },
+    Some {
+      def probe(j: Int) = s"""
+        lut$j AS (
+          SELECT p.vec_id AS p_id, $j AS j, c.cell,
+            CAST(list_sum(list_transform(range(1, 17),
+              i -> p.q[i] * c.cv[i])) AS BIGINT) AS pd
+          FROM s${j}q p CROSS JOIN s${j}c1 c
+          WHERE p.vec_id < 10),
+        cell$j AS (SELECT vec_id, $j AS j, cell FROM s${j}a2)"""
+      s"""$kmeansCtes,
+      ${pqSubCtes(0)}, ${pqSubCtes(1)}, ${pqSubCtes(2)}, ${pqSubCtes(3)},
+      ${probe(0)}, ${probe(1)}, ${probe(2)}, ${probe(3)},
+      luts AS (SELECT * FROM lut0 UNION ALL SELECT * FROM lut1
+               UNION ALL SELECT * FROM lut2 UNION ALL SELECT * FROM lut3),
+      cls AS (SELECT * FROM cell0 UNION ALL SELECT * FROM cell1
+              UNION ALL SELECT * FROM cell2 UNION ALL SELECT * FROM cell3),
+      pc AS (SELECT vec_id AS p_id, cell AS pcoarse FROM a3 WHERE vec_id < 10),
+      scores AS (
+        SELECT l.p_id, c.vec_id, CAST(SUM(l.pd) AS BIGINT) AS score
+        FROM cls c
+        JOIN luts l ON l.j = c.j AND l.cell = c.cell
+        JOIN a3 cc ON cc.vec_id = c.vec_id
+        JOIN pc ON pc.p_id = l.p_id AND pc.pcoarse = cc.cell
+        WHERE c.vec_id <> l.p_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT p_id, vec_id, score,
+          ROW_NUMBER() OVER (PARTITION BY p_id
+            ORDER BY score DESC, vec_id ASC) AS rk
+        FROM scores)
+      SELECT p_id, vec_id, score AS adc_score, CAST(rk AS INT) AS rk
+      FROM ranked WHERE rk <= 5"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK,
       qIvfMultiprobe, qKnnGraph, qKmeansCells, qIvfTrainedTopK,
-      qPqCodes, qPqAdcTopK, qPqFit)
+      qPqCodes, qPqAdcTopK, qPqFit, qIvfPqTopK)
 }
