@@ -40,6 +40,28 @@ object BpeTrainer {
     * weighted pair count that won the round. */
   final case class Merge(rank: Int, left: String, right: String, count: Long)
 
+  /** The one rewrite kernel every consumer applies: left-to-right
+    * non-overlapping replacement of the adjacent pair (l, r) with the
+    * joined symbol — training, vocab derivation and corpus encoding
+    * must agree on this or the learned table means nothing. */
+  private def rewrite(ss: Seq[String], l: String, r: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < ss.length) {
+      if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+        out += (l + r); i += 2 // left-to-right, non-overlapping
+      } else { out += ss(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** A word as its initial symbol sequence: single characters, </w>
+    * marker on the last. */
+  private def initialSymbols(w: String): Seq[String] = {
+    val cs = w.toCharArray.map(_.toString)
+    cs.init.toSeq :+ (cs.last + "</w>")
+  }
+
   /** Train `k` merges from a (doc_id, text) corpus. Words are
     * whitespace tokens; symbols start as single characters with the
     * standard </w> end-of-word marker on the final character. Returns
@@ -52,10 +74,7 @@ object BpeTrainer {
       .groupBy($"w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
     var syms: Dataset[(Seq[String], Long)] = words
-      .map { case (w, n) =>
-        val cs = w.toCharArray.map(_.toString)
-        (cs.init.toSeq :+ (cs.last + "</w>"), n)
-      }
+      .map { case (w, n) => (initialSymbols(w), n) }
       .localCheckpoint(true)
 
     val merges = Seq.newBuilder[Merge]
@@ -72,16 +91,8 @@ object BpeTrainer {
         val row = best.head
         val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += Merge(rank, l, r, c)
-        syms = syms.map { case (ss, n) =>
-          val out = Seq.newBuilder[String]
-          var i = 0
-          while (i < ss.length) {
-            if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
-              out += (l + r); i += 2 // left-to-right, non-overlapping
-            } else { out += ss(i); i += 1 }
-          }
-          (out.result(), n)
-        }.localCheckpoint(true)
+        syms = syms.map { case (ss, n) => (rewrite(ss, l, r), n) }
+          .localCheckpoint(true)
       }
     }
     merges.result()
@@ -98,22 +109,50 @@ object BpeTrainer {
       .groupBy($"w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
     words.map { case (w, n) =>
-      val cs = w.toCharArray.map(_.toString)
-      var ss: Seq[String] = cs.init.toSeq :+ (cs.last + "</w>")
-      ms.foreach { m =>
-        val out = Seq.newBuilder[String]
-        var i = 0
-        while (i < ss.length) {
-          if (i + 1 < ss.length && ss(i) == m.left && ss(i + 1) == m.right) {
-            out += (m.left + m.right); i += 2
-          } else { out += ss(i); i += 1 }
-        }
-        ss = out.result()
-      }
-      (ss, n)
+      (ms.foldLeft(initialSymbols(w))((ss, m) => rewrite(ss, m.left, m.right)), n)
     }
       .flatMap { case (ss, n) => ss.map(s => (s, n)) }
       .toDF("symbol", "n")
       .groupBy($"symbol").agg(sum($"n").as("freq"))
+  }
+
+  /** Encode each distinct word type against a trained merge table:
+    * (word, symbol sequence, symbol count). The merge table rides a
+    * broadcast (it is the hyperparameter-sized artifact a tokenizer
+    * ships); the rewrite applies per WORD TYPE, so encode cost scales
+    * with the vocabulary (Heaps' law), never the corpus — the corpus
+    * only ever pays the hash-join back onto its word counts. */
+  def encodeTypes(spark: SparkSession, words: Dataset[String],
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray)
+    words.map { w =>
+      val ss = bc.value.foldLeft(initialSymbols(w)) {
+        case (acc, (l, r)) => rewrite(acc, l, r)
+      }
+      (w, ss, ss.length.toLong)
+    }.toDF("w", "symbols", "n_sym")
+  }
+
+  /** Corpus encoding report: per document, whitespace token count and
+    * BPE token count under the trained table. Scale shape: one
+    * corpus-sized (doc_id, word) aggregate, a vocabulary-sized typed
+    * map (encodeTypes), one hash-join on the word, one per-doc
+    * aggregate — the imperative rewrite never touches a corpus-sized
+    * row set. */
+  def encode(spark: SparkSession, docs: DataFrame,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    val docWords = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+    val types = encodeTypes(spark, docWords.select($"w").distinct().as[String],
+      merges)
+    docWords.join(types, "w")
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("ws_tokens"),
+        sum($"cnt" * $"n_sym").as("bpe_tokens"))
   }
 }

@@ -236,6 +236,36 @@ object TextAnalysis {
         CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_div4_est
       FROM documents"""))
 
+  /** End-to-end learned tokenization: train 20 BPE merges on the
+    * corpus itself ([[graft.operators.BpeTrainer]]), then encode every
+    * document against the learned table — the full tokenizer-train →
+    * tokenizer-apply loop a data pipeline runs before token-budget
+    * accounting, where [[qTokenBpe]] only approximated the applying
+    * half with a fixed regex. Per doc: whitespace token count and the
+    * true BPE token count under the learned merges.
+    *
+    * Rows-only by design: the learned table is an iterative argmax
+    * artifact no single SQL statement replays (same stance as the
+    * BpeTrainer scaladoc). The encoding is hard-gated instead by
+    * BpeEncodeSpec: zero-merge encoding must equal exact per-doc
+    * character mass (an arithmetic anchor), symbol concatenation must
+    * reconstruct every word (nothing lost or invented), and token
+    * counts must be monotone non-increasing in the merge budget.
+    *
+    * Scale shape: training per BpeTrainer (word-type table, k
+    * argmax rounds); encoding applies the broadcast merge table to
+    * word TYPES only, then one hash-join back onto the per-doc word
+    * counts — the imperative rewrite never sees a corpus-sized row
+    * set. */
+  val qBpeEncode = GraftQuery(
+    "t_bpe_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val merges = graft.operators.BpeTrainer.train(s, docs, 20)
+      graft.operators.BpeTrainer.encode(s, docs, merges)
+    },
+    None)
+
   /** Approximate distinct counts (HLL++) per source — the sketch-based
     * companion to exact countDistinct for 100 TB cardinality work. No
     * SQL oracle: DuckDB's approx_count_distinct uses a different
@@ -911,6 +941,7 @@ object TextAnalysis {
 
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
+      qBpeEncode,
       qApproxDistinct, qExactDistinct, qTrainValSplit, qSequencePack,
       qSkewSaltedAgg,
       qRepetition, qTopTerms, qMixSample, qCorpusYield, qIdfRarity,
