@@ -495,7 +495,106 @@ object Cdc {
     },
     Some(pagerankOracle))
 
+  /** Triangle counting over a bounded-degree supplier co-occurrence
+    * graph — the clustering-structure analytic (community cores,
+    * collusion/ring detection) complementing PageRank's centrality
+    * and connectedComponents' reachability. The trade graph itself is
+    * bipartite (triangle-free by construction), so the graph here is
+    * the classic one-mode projection: suppliers weighted by how many
+    * ORDERS they co-supplied, then each supplier keeps only its 5
+    * strongest partners (weight desc, id asc — the same bounded
+    * top-k recipe as sim_knn_graph, via the native TopKAggregate, no
+    * supplier-count window).
+    *
+    * The top-k step is the scale design, not a convenience: a raw
+    * co-occurrence graph densifies toward complete as data grows (at
+    * sf0.01 every supplier pair already shares ≥ 8 orders), and any
+    * fixed weight threshold flips between complete and empty across
+    * scale factors. Degree-capping makes the graph size n·k and the
+    * wedge join ≤ n·k² AT ANY SCALE — the same reason ANN capped its
+    * buckets. Co-occurrence pair derivation fans out per order
+    * quadratically in that order's supplier count — bounded by lines
+    * per order (single digits), so the one corpus-sized shuffle keys
+    * on orderkey.
+    *
+    * Counting: canonical (x < y) undirected edges, wedges from the
+    * x-keyed self-join (y < y'), closed by one more hash join probing
+    * (y, y') — per-node participation via one explode + aggregate.
+    * All exact integers; oracle replays the projection, the window-
+    * formulated top-k, and the same triple join. */
+  /** The capped co-occurrence graph [[qGraphTriangles]] counts on:
+    * canonical (x < y) undirected supplier edges, each endpoint
+    * having nominated at most its k strongest partners. Shared with
+    * TrianglesSpec so the brute-force reference counts the SAME
+    * graph. */
+  private[graft] def supplierTopKEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): DataFrame = {
+    import s.implicits._
+    val os = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val pairs = os
+      .join(os.select($"l_orderkey".as("k2"), $"l_suppkey".as("s2")),
+        $"l_orderkey" === $"k2" && $"l_suppkey" =!= $"s2")
+      .groupBy($"l_suppkey", $"s2")
+      .agg(count(lit(1)).as("w"))
+      .select($"l_suppkey".as("sa"), $"s2".as("sb"), $"w")
+    pairs
+      .groupBy($"sa")
+      .agg(org.apache.spark.sql.graft.TopKAggregate
+        .of($"sb", $"w".cast("double"), k).as("tk"))
+      .select($"sa", explode($"tk").as("e"))
+      .select($"sa", $"e.id".as("sb"))
+      .select(least($"sa", $"sb").as("x"), greatest($"sa", $"sb").as("y"))
+      .distinct()
+  }
+
+  val qGraphTriangles = GraftQuery(
+    "q_graph_triangles",
+    (s, d) => {
+      import s.implicits._
+      val edges = supplierTopKEdges(s, d, 5)
+        .localCheckpoint(true) // three probe sides of one artifact
+      val wedges = edges
+        .join(edges.select($"x".as("x2"), $"y".as("y2")),
+          $"x" === $"x2" && $"y" < $"y2")
+      val tris = wedges
+        .join(edges.select($"x".as("cx"), $"y".as("cy")),
+          $"y" === $"cx" && $"y2" === $"cy")
+        .select($"x".as("a"), $"y".as("b"), $"y2".as("c"))
+      tris
+        .select(explode(array($"a", $"b", $"c")).as("s_suppkey"))
+        .groupBy($"s_suppkey")
+        .agg(count(lit(1)).as("n_triangles"))
+    },
+    Some("""
+      WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS w
+        FROM os a JOIN os b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2),
+      topk AS (
+        SELECT sa, sb FROM (
+          SELECT sa, sb,
+            ROW_NUMBER() OVER (PARTITION BY sa
+              ORDER BY w DESC, sb ASC) AS rk
+          FROM pairs) WHERE rk <= 5),
+      e AS (
+        SELECT DISTINCT LEAST(sa, sb) AS x, GREATEST(sa, sb) AS y
+        FROM topk),
+      tri AS (
+        SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM e e1
+        JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+        JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y),
+      corners AS (
+        SELECT a AS s_suppkey FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      SELECT s_suppkey, COUNT(*) AS n_triangles
+      FROM corners GROUP BY s_suppkey"""))
+
   val all: Seq[GraftQuery] =
     Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin,
-      qMvMerge, qGraphPagerank, qGraphPagerankInc)
+      qMvMerge, qGraphPagerank, qGraphPagerankInc, qGraphTriangles)
 }
