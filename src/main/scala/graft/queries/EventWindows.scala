@@ -489,8 +489,40 @@ object EventWindows {
       FROM b
       GROUP BY event_type, bucket"""))
 
+  /** Hopping (sliding) windows — 1-hour span every 15 minutes, the
+    * overlapping-window semantics [[qTumbling]] can't express: every
+    * event lands in exactly span/slide = 4 windows. Spark's
+    * window(ts, '1 hour', '15 minutes') expands each row map-side
+    * into its 4 member windows before ONE hash-aggregate — no
+    * self-join of the event table against a window spine. The oracle
+    * replays the same expansion arithmetically: the k-th containing
+    * window starts at time_bucket(15 min, ts) − k·15 min, k ∈ 0..3
+    * (both engines align window starts to the epoch, so containment
+    * needs no extra filter). Fan-out is the fixed span/slide ratio —
+    * a constant ×4 row multiplier at any corpus size, the standard
+    * cost of hopping windows everywhere. */
+  val qHopping = GraftQuery(
+    "w_hopping_1h_15m",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             dsum($"value").as("total_value"))
+        .select($"window.start".as("w_start"), $"event_type",
+                $"n_events", $"total_value")
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - k * INTERVAL '15 minutes' AS w_start,
+        event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      FROM events, (SELECT unnest(range(0, 4)) AS k) hops
+      GROUP BY w_start, event_type"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
       qAsOfPriorView, qIntervalJoin, qFunnel, qRetentionCohorts,
-      qValueOutliers, qVariantProps, qRolling1h, qValueHistogram)
+      qValueOutliers, qVariantProps, qRolling1h, qValueHistogram,
+      qHopping)
 }

@@ -925,8 +925,63 @@ object Similarity {
       FROM ranked WHERE rk <= 5"""
     })
 
+  /** Embedding outlier screen — the curation filter SemDeDup's
+    * sibling papers run before training (mislabeled / off-manifold
+    * vectors): every vector scored by its rounded cosine to its OWN
+    * label's centroid direction, flagged when it falls below θ = 0.2.
+    * The centroid is the exact integer SUM vector (the member count
+    * divides out of cosine — [[qIvfTopK]]'s trick), so no float
+    * centroid exists and the flag boundary is the same rounded double
+    * on both engines.
+    *
+    * Scale shape: one posexplode aggregate keyed on (label, pos)
+    * builds the bounded centroid table; scoring is a broadcast join +
+    * map-side expression over the corpus — no shuffle of the vector
+    * table at all. Corpus-sized output is the point: this is the
+    * per-row verdict column a keep-list consumes. */
+  val qCentroidOutliers = GraftQuery(
+    "sim_centroid_outliers",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"label", quant($"embedding").as("q"))
+        .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
+        .filter($"qn" > 0) // zero-norm policy — see cosineTopK scaladoc
+      val cent = e.select($"label", posexplode($"q").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos").agg(sum($"v").as("sv"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"sv"))),
+          x => x("sv")).as("cv"))
+        .withColumn("cn", sqrt(idot($"cv", $"cv").cast("double")))
+      val ccos = round(
+        idot($"q", $"cv").cast("double") / ($"qn" * $"cn"), 6)
+      e.join(broadcast(cent), "label")
+        .select($"vec_id", $"label", ccos.as("centroid_cos"),
+          (ccos < 0.2).as("is_outlier"))
+    },
+    Some(s"""
+      WITH ${quantNormCte(", label")},
+      cent AS (
+        SELECT label, list(sv ORDER BY i) AS cv FROM (
+          SELECT label, i, CAST(SUM(q[i]) AS BIGINT) AS sv
+          FROM q, (SELECT unnest(range(1, 65)) AS i) idx
+          GROUP BY label, i)
+        GROUP BY label)
+      SELECT q.vec_id, q.label,
+        round(
+          CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * c.cv[i])) AS DOUBLE) /
+          (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * q.q[i])) AS DOUBLE)) *
+           sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])) AS DOUBLE))), 6)
+          AS centroid_cos,
+        round(
+          CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * c.cv[i])) AS DOUBLE) /
+          (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * q.q[i])) AS DOUBLE)) *
+           sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])) AS DOUBLE))), 6)
+          < 0.2 AS is_outlier
+      FROM q JOIN cent c ON c.label = q.label"""))
+
   val all: Seq[GraftQuery] =
     Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK,
       qIvfMultiprobe, qKnnGraph, qKmeansCells, qIvfTrainedTopK,
-      qPqCodes, qPqAdcTopK, qPqFit, qIvfPqTopK)
+      qPqCodes, qPqAdcTopK, qPqFit, qIvfPqTopK, qCentroidOutliers)
 }
