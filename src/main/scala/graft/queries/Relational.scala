@@ -1126,6 +1126,123 @@ object Relational {
             AND o_orderdate >= TIMESTAMP '1999-01-01')
       GROUP BY c_mktsegment"""))
 
+  /** Categorical drift report between ingest eras — the gate a
+    * training-data pipeline runs before admitting a new slice: orders
+    * split at 1998-01-01 into early/late eras, every
+    * (status, priority) cell's population share computed per era in
+    * exact 1e-6 fixed point (integer `div`, the t_idf_rarity
+    * discipline — no float frequency ever exists, so the drift
+    * magnitudes hash bit-identically), and the report emits
+    * early/late counts, shares, and the absolute share shift — the
+    * population-stability-style number a threshold gate consumes.
+    * Cells present in only one era surface with an explicit 0 (full
+    * outer join + coalesce), not silently dropped — appearing and
+    * vanishing categories ARE the drift signal.
+    *
+    * Scale shape: one scan, one (era, cell) hash-aggregate, a
+    * bounded-cardinality (cells × eras) tail — the per-era totals and
+    * the era pivot all run on ≤ |status|·|priority| rows. */
+  val qProfileDrift = GraftQuery(
+    "q_profile_drift",
+    (s, d) => {
+      import s.implicits._
+      val era = when($"o_orderdate" < lit("1998-01-01").cast("timestamp"),
+        "early").otherwise("late")
+      val cells = Tables.orders(s, d)
+        .groupBy(era.as("era"), $"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val withFrac = cells
+        .join(cells.groupBy($"era").agg(sum($"n").as("tot")), "era")
+        .withColumn("frac_micro", expr("(n * 1000000) div tot"))
+      val early = withFrac.filter($"era" === "early")
+        .select($"o_orderstatus", $"o_orderpriority",
+          $"n".as("early_n"), $"frac_micro".as("early_frac_micro"))
+      val late = withFrac.filter($"era" === "late")
+        .select($"o_orderstatus".as("ls"), $"o_orderpriority".as("lp"),
+          $"n".as("late_n"), $"frac_micro".as("late_frac_micro"))
+      early.join(late,
+          $"o_orderstatus" === $"ls" && $"o_orderpriority" === $"lp",
+          "full_outer")
+        .select(
+          coalesce($"o_orderstatus", $"ls").as("o_orderstatus"),
+          coalesce($"o_orderpriority", $"lp").as("o_orderpriority"),
+          coalesce($"early_n", lit(0L)).as("early_n"),
+          coalesce($"late_n", lit(0L)).as("late_n"),
+          coalesce($"early_frac_micro", lit(0L)).as("early_frac_micro"),
+          coalesce($"late_frac_micro", lit(0L)).as("late_frac_micro"),
+          abs(coalesce($"late_frac_micro", lit(0L)) -
+            coalesce($"early_frac_micro", lit(0L))).as("drift_micro"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                 THEN 'early' ELSE 'late' END AS era,
+          o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2, 3),
+      fr AS (
+        SELECT c.*, CAST((c.n * 1000000) // t.tot AS BIGINT) AS frac_micro
+        FROM cells c JOIN (
+          SELECT era, CAST(SUM(n) AS BIGINT) AS tot FROM cells GROUP BY era) t
+          USING (era)),
+      e AS (SELECT o_orderstatus, o_orderpriority, n AS early_n,
+              frac_micro AS early_frac_micro FROM fr WHERE era = 'early'),
+      l AS (SELECT o_orderstatus AS ls, o_orderpriority AS lp, n AS late_n,
+              frac_micro AS late_frac_micro FROM fr WHERE era = 'late')
+      SELECT
+        coalesce(e.o_orderstatus, l.ls) AS o_orderstatus,
+        coalesce(e.o_orderpriority, l.lp) AS o_orderpriority,
+        CAST(coalesce(e.early_n, 0) AS BIGINT) AS early_n,
+        CAST(coalesce(l.late_n, 0) AS BIGINT) AS late_n,
+        CAST(coalesce(e.early_frac_micro, 0) AS BIGINT) AS early_frac_micro,
+        CAST(coalesce(l.late_frac_micro, 0) AS BIGINT) AS late_frac_micro,
+        CAST(abs(coalesce(l.late_frac_micro, 0) - coalesce(e.early_frac_micro, 0))
+          AS BIGINT) AS drift_micro
+      FROM e FULL OUTER JOIN l
+        ON e.o_orderstatus = l.ls AND e.o_orderpriority = l.lp"""))
+
+  /** Join-key skew report — the measurement behind every salting /
+    * AQE-skew-join decision in this repo (operators/Skew applies the
+    * cure; this query shows the diagnosis): for each fact-table join
+    * key, total rows, distinct keys, the heaviest key's row count,
+    * the mean rows-per-key in exact 1e-6 fixed point, and the skew
+    * ratio max/mean in the same fixed point — all integer `div`
+    * arithmetic, so the report hashes identically cross-engine.
+    * skew_micro ≈ 1e6 means uniform; the threshold where a key
+    * explodes a shuffle partition is a consumer policy, not baked in.
+    *
+    * Scale shape: per key column one (key) hash-aggregate + a 1-row
+    * reduction — the same two-phase shape COUNT(DISTINCT) plans, run
+    * once per audited key; the three key audits are independent
+    * stages over independently-pruned single-column scans. */
+  val qJoinSkewReport = GraftQuery(
+    "q_join_skew_report",
+    (s, d) => {
+      import s.implicits._
+      def audit(df: DataFrame, key: String): DataFrame =
+        df.groupBy(col(key)).agg(count(lit(1)).as("kn"))
+          .agg(sum($"kn").as("n_rows"), count(lit(1)).as("n_keys"),
+            max($"kn").as("max_key_rows"))
+          .select(lit(key).as("key"), $"n_rows", $"n_keys", $"max_key_rows",
+            expr("(n_rows * 1000000) div n_keys").as("mean_micro"),
+            // max/mean = max·keys/rows, scaled before the one floor
+            expr("(max_key_rows * n_keys * 1000000) div n_rows")
+              .as("skew_micro"))
+      audit(Tables.lineitem(s, d).select($"l_suppkey"), "l_suppkey")
+        .unionByName(audit(Tables.lineitem(s, d).select($"l_partkey"), "l_partkey"))
+        .unionByName(audit(Tables.orders(s, d).select($"o_custkey"), "o_custkey"))
+    },
+    Some {
+      def audit(table: String, key: String) = s"""
+        SELECT '$key' AS key, CAST(SUM(kn) AS BIGINT) AS n_rows,
+          COUNT(*) AS n_keys, CAST(MAX(kn) AS BIGINT) AS max_key_rows,
+          CAST((SUM(kn) * 1000000) // COUNT(*) AS BIGINT) AS mean_micro,
+          CAST((MAX(kn) * COUNT(*) * 1000000) // SUM(kn) AS BIGINT)
+            AS skew_micro
+        FROM (SELECT $key, COUNT(*) AS kn FROM $table GROUP BY $key)"""
+      Seq(audit("lineitem", "l_suppkey"), audit("lineitem", "l_partkey"),
+        audit("orders", "o_custkey")).mkString("\nUNION ALL\n")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,
     q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q8MarketShare,
@@ -1134,5 +1251,6 @@ object Relational {
     q21WaitingSuppliers, q22IdleCustomers, qAggCollect, qAggNested,
     qOuterBalance, qSetOps, qRollup, qCube, qWindowFuncs, qPercentiles,
     qCorrelatedSubquery, q18LargeOrders, qGroupingSets, qPivotStatus,
-    qApproxPercentiles, qTableProfile, qTableProfileApprox)
+    qApproxPercentiles, qTableProfile, qTableProfileApprox,
+    qProfileDrift, qJoinSkewReport)
 }
