@@ -438,4 +438,80 @@ class ScaleLayoutSpec extends SparkSpec {
     // unseen key stays near zero
     assert(cms.estimate(sketch, "no_such_source") <= (0.05 * n).toLong)
   }
+
+  test("q_join_skew_report: three single-column pruned scans, no wide reads") {
+    val df = Registry.byName("q_join_skew_report").run(spark, sf("sf0.001"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // each audit reads exactly its key column — the whole point of a
+    // profiling query that must survive a 100 TB fact table
+    Seq("struct<l_suppkey:bigint>", "struct<l_partkey:bigint>",
+      "struct<o_custkey:bigint>").foreach { rs =>
+      assert(plan.contains(s"ReadSchema: $rs"),
+        s"skew audit must prune to $rs:\n$plan")
+    }
+    val rows = df.collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (nRows, nKeys, maxK) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (mean, skew) = (r.getLong(4), r.getLong(5))
+      assert(maxK * nKeys >= nRows, "max*keys >= rows by pigeonhole")
+      assert(mean == nRows * 1000000L / nKeys)
+      assert(skew == maxK * nKeys * 1000000L / nRows)
+      assert(skew >= 1000000L, "skew ratio >= 1 by definition")
+    }
+  }
+
+  test("w_hopping_1h_15m: map-side Expand fan-out, no self-join against a spine") {
+    val df = Registry.byName("w_hopping_1h_15m").run(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      s"hopping windows must expand map-side:\n$plan")
+    assert(!plan.contains("Join"),
+      s"hopping windows must not join against a window spine:\n$plan")
+    // every event lands in exactly span/slide = 4 windows
+    val total = df.agg(sum($"n_events")).head().getLong(0)
+    val events = Tables.events(spark, sf("sf0.001")).count()
+    assert(total == 4 * events,
+      s"fan-out conservation: $total != 4 * $events")
+  }
+
+  test("runtime bloom filter prunes the shuffled fact side of a selective dim join") {
+    // the 100 TB shape: a selective filter on one join side should cut
+    // the OTHER side's shuffle before it happens — Spark's runtime
+    // bloom filter (InjectRuntimeFilter) does exactly that once the
+    // size gates are met; this pins the wiring so the capability is
+    // demonstrably available to every shuffled join in the repo
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k =>
+      k -> util.Try(spark.conf.get(k)).toOption).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf("sf0.001"))
+      val o = Tables.orders(spark, sf("sf0.001"))
+        .filter($"o_orderpriority" === "1-URGENT")
+      val j = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"runtime bloom filter must reach the fact side:\n$optimized")
+      // and it must not change results
+      val got = j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      confs.keys.foreach(k => prev(k) match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      })
+      val want = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally confs.keys.foreach(k => prev(k) match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    })
+  }
 }
