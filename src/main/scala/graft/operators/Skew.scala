@@ -27,7 +27,7 @@ object Skew {
     // retries (monotonically_increasing_id is not), still spreads a
     // hot key because non-key columns vary within it
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col) :+ lit(42): _*), lit(buckets)))
+      pmod(hash(df.columns.toIndexedSeq.map(col) :+ lit(42): _*), lit(buckets)))
     salted
       .groupBy(keys :+ col("__salt"): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -45,7 +45,7 @@ object Skew {
       key: String, buckets: Int): DataFrame = {
     // retry-stable salt (see saltedAgg)
     val saltedLeft = skewedLeft.withColumn("__salt",
-      pmod(hash(skewedLeft.columns.map(col) :+ lit(42): _*), lit(buckets)))
+      pmod(hash(skewedLeft.columns.toIndexedSeq.map(col) :+ lit(42): _*), lit(buckets)))
     val replicatedRight = right
       .withColumn("__salt", explode(sequence(lit(0L), lit(buckets - 1L))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")

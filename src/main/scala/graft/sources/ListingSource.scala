@@ -163,8 +163,8 @@ object FileScans {
     val countyCols = raw.schema.fieldNames
     val asMap = raw.select(
       map_from_arrays(
-        array(countyCols.map(lit): _*),
-        array(countyCols.map(c => to_json(col(s"`$c`"))): _*)).as("m"))
+        array(countyCols.toIndexedSeq.map(lit): _*),
+        array(countyCols.toIndexedSeq.map(c => to_json(col(s"`$c`"))): _*)).as("m"))
     val exploded = asMap
       .select(explode(col("m")).as(Seq("county", "cities_json")))
       .select(col("county"),
