@@ -592,7 +592,8 @@ object Cdc {
         UNION ALL SELECT b FROM tri
         UNION ALL SELECT c FROM tri)
       SELECT s_suppkey, COUNT(*) AS n_triangles
-      FROM corners GROUP BY s_suppkey"""))
+      FROM corners GROUP BY s_suppkey"""),
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin,

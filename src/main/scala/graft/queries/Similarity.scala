@@ -923,7 +923,8 @@ object Similarity {
         FROM scores)
       SELECT p_id, vec_id, score AS adc_score, CAST(rk AS INT) AS rk
       FROM ranked WHERE rk <= 5"""
-    })
+    },
+    bench = true)
 
   /** Embedding outlier screen — the curation filter SemDeDup's
     * sibling papers run before training (mislabeled / off-manifold

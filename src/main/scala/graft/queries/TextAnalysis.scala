@@ -264,7 +264,8 @@ object TextAnalysis {
       val merges = graft.operators.BpeTrainer.train(s, docs, 20)
       graft.operators.BpeTrainer.encode(s, docs, merges)
     },
-    None)
+    None,
+    bench = true)
 
   /** Approximate distinct counts (HLL++) per source — the sketch-based
     * companion to exact countDistinct for 100 TB cardinality work. No
@@ -939,11 +940,76 @@ object TextAnalysis {
       SELECT lang, doc_id, CAST(rk AS INT) AS rk
       FROM ranked WHERE rk <= 20"""))
 
+  /** Collocation mining — the phrase-discovery pass tokenizer-vocab
+    * and entity pipelines run over a corpus: adjacent bigrams ranked
+    * by LIFT (observed co-occurrence over the independence
+    * expectation, c_ab·N / (c_a·c_b) — the monotone exp of PMI, so no
+    * logarithm enters the pipeline at all) with a minimum-support cut
+    * (c_ab ≥ 5) killing the hapax noise PMI is notorious for.
+    *
+    * Determinism: the score is SEQUENTIAL integer fixed point —
+    * t = (c_ab·10⁶) div c_a (t ≤ 10⁶ since c_ab ≤ c_a by
+    * construction), then (t·N) div c_b — two floors, identical on
+    * both engines, with every intermediate bounded by 10⁶·N ≪ 2⁶³
+    * at any corpus size (the one-step product c_ab·N·10⁶ would
+    * overflow past N ≈ 3·10⁶). Top-50 ordering ties break on (a, b).
+    *
+    * Scale shape: one bigram hash-aggregate (the t_bigram_nll corpus
+    * pass), one unigram hash-aggregate reused for BOTH marginals off
+    * a single checkpoint, a 1-row N broadcast, two vocabulary-keyed
+    * joins, and a TakeOrdered top-50 (per-partition heaps + a 50-row
+    * driver merge — never a global sort). */
+  val qCollocations = GraftQuery(
+    "t_collocations",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val cab = docBigramCounts(docs)
+        .groupBy($"a", $"b").agg(sum($"c_doc").as("cab"))
+        .filter($"cab" >= 5)
+      val uni = docs.select(explode(tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // both marginals + N read it
+      val n = uni.agg(sum($"c").as("n_tokens"))
+      cab.join(uni.select($"w".as("a"), $"c".as("ca")), "a")
+        .join(uni.select($"w".as("b"), $"c".as("cb")), "b")
+        .crossJoin(broadcast(n))
+        .select($"a", $"b", $"cab",
+          expr("(((cab * 1000000) div ca) * n_tokens) div cb")
+            .as("lift_micro"))
+        .orderBy($"lift_micro".desc, $"a", $"b")
+        .limit(50)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      b0 AS (
+        SELECT unnest(list_transform(range(1, length(toks)),
+          i -> {'a': toks[i], 'b': toks[i + 1]})) AS bg
+        FROM t WHERE length(toks) >= 2),
+      cab AS (
+        SELECT bg['a'] AS a, bg['b'] AS b, COUNT(*) AS cab
+        FROM b0 GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      uni AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+      n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni)
+      SELECT cab.a, cab.b, CAST(cab.cab AS BIGINT) AS cab,
+        CAST((((cab.cab * 1000000) // ua.c) * n.n_tokens) // ub.c
+          AS BIGINT) AS lift_micro
+      FROM cab
+      JOIN uni ua ON ua.w = cab.a
+      JOIN uni ub ON ub.w = cab.b
+      CROSS JOIN n
+      ORDER BY lift_micro DESC, cab.a, cab.b
+      LIMIT 50"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
       qBpeEncode,
       qApproxDistinct, qExactDistinct, qTrainValSplit, qSequencePack,
       qSkewSaltedAgg,
       qRepetition, qTopTerms, qMixSample, qCorpusYield, qIdfRarity,
-      qReservoirSample, qBigramNll, qNllYieldCurve)
+      qReservoirSample, qBigramNll, qNllYieldCurve, qCollocations)
 }
