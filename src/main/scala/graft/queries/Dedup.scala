@@ -1155,7 +1155,7 @@ object Dedup {
       .select($"vec_id", quantize($"embedding").as("q"))
       .withColumn("qn", sqrt(quantizedDot($"q", $"q").cast("double")))
       .filter($"qn" > 0) // zero-norm policy — see cosineTopK scaladoc
-    val cells = sig.join(Similarity.kmeansAssign(s, d), "vec_id")
+    val cells = sig.join(Similarity.sessionCoarseAssign(s, d), "vec_id")
       .localCheckpoint(true) // feeds scope selection, pairing, output
     val scoped = cells.groupBy($"cell")
       .agg(org.apache.spark.sql.graft.TopKAggregate

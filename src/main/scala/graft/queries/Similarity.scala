@@ -402,11 +402,31 @@ object Similarity {
       assignTo(cent)
   }
 
+  /** Derivation counter for ArtifactLifecycleSpec — how many times the
+    * similarity index artifacts (coarse assignment / PQ training) were
+    * actually DERIVED vs served from a persisted artifact set. */
+  private[graft] val indexDerivations =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The coarse (vec_id, cell) assignment, preferring an attached
+    * persisted artifact ([[graft.tools.Artifacts]] `kmeans_cells` —
+    * the table a production index persists once per corpus drop) and
+    * falling back to the in-session [[kmeansAssign]] training. The
+    * artifact IS the deterministic training output, so every consumer
+    * — and every oracle, which always replays the derivation — sees
+    * identical cells either way. */
+  private[graft] def sessionCoarseAssign(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.tools.Artifacts.lookup(s, d, "kmeans_cells").getOrElse {
+      indexDerivations.incrementAndGet()
+      kmeansAssign(s, d)
+    }
+
   val qKmeansCells = GraftQuery(
     "sim_kmeans_cells",
     (s, d) => {
       import s.implicits._
-      kmeansAssign(s, d)
+      sessionCoarseAssign(s, d)
         .groupBy($"cell")
         .agg(count(lit(1)).as("n_vectors"),
           min($"vec_id").as("min_vec_id"),
@@ -592,23 +612,67 @@ object Similarity {
     }
   }
 
-  private def pqTrain(s: org.apache.spark.sql.SparkSession, d: String):
+  private[graft] def pqTrain(s: org.apache.spark.sql.SparkSession, d: String):
       Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame)] =
     pqTrainOn(Tables.embeddings(s, d))
 
+  /** The per-subspace (sliced vectors, codebook, assignment) triples,
+    * preferring an attached persisted artifact set (`pq_books` — the
+    * 4 × 16 trained sum-vectors — and `pq_codes` — the per-vector
+    * 4-bit cells) and falling back to in-session [[pqTrain]]. The
+    * sliced vector tables always derive locally (a cheap quantize +
+    * slice off the corpus read the consumer makes anyway); only the
+    * TRAINING is what the artifact buys out. */
+  private[graft] def pqTrained(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = {
+    val fromArtifacts = for {
+      books <- graft.tools.Artifacts.lookup(s, d, "pq_books")
+      codes <- graft.tools.Artifacts.lookup(s, d, "pq_codes")
+    } yield {
+      val ejs = pqSubvectors(Tables.embeddings(s, d))
+      (0 until 4).map { j =>
+        (ejs(j),
+          books.filter(col("j") === j).select(col("cell"), col("cv")),
+          codes.select(col("vec_id"), col(s"code_$j").as("cell")))
+      }
+    }
+    fromArtifacts.getOrElse {
+      indexDerivations.incrementAndGet()
+      pqTrain(s, d)
+    }
+  }
+
+  /** Code-table construction shared by the query and the artifact
+    * materializer: 4 per-subspace assignments composed into the
+    * (vec_id, code_0..3, packed) table. */
+  private[graft] def pqCodesFrom(
+      trained: Seq[(org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)])
+      : org.apache.spark.sql.DataFrame = {
+    val codes = trained.zipWithIndex.map { case ((_, _, a), j) =>
+      a.withColumnRenamed("cell", s"code_$j")
+    }
+    codes.reduce(_.join(_, "vec_id"))
+      .select(col("vec_id"), col("code_0"), col("code_1"), col("code_2"),
+        col("code_3"),
+        (col("code_0") + col("code_1") * 16 + col("code_2") * 256 +
+          col("code_3") * 4096).as("packed"))
+  }
+
+  /** The (j, cell, cv) codebook union across subspaces — the other
+    * half of the persistable index (always derived fresh here; the
+    * materializer is the one caller). */
+  private[graft] def pqBooksFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    pqTrain(s, d).zipWithIndex.map { case ((_, book, _), j) =>
+      book.select(lit(j).as("j"), col("cell"), col("cv"))
+    }.reduce(_ unionByName _)
+
   val qPqCodes = GraftQuery(
     "sim_pq_codes",
-    (s, d) => {
-      import s.implicits._
-      val codes = pqTrain(s, d).zipWithIndex.map { case ((_, _, a), j) =>
-        a.withColumnRenamed("cell", s"code_$j")
-      }
-      codes.reduce(_.join(_, "vec_id"))
-        .select($"vec_id", $"code_0", $"code_1", $"code_2", $"code_3",
-          ($"code_0" + $"code_1" * 16 + $"code_2" * 256 +
-            $"code_3" * 4096).as("packed"))
-    },
+    (s, d) => pqCodesFrom(pqTrained(s, d)),
     Some {
       s"""
       WITH ${quantNormCte()},
@@ -663,7 +727,7 @@ object Similarity {
     "sim_pq_adc_topk",
     (s, d) => {
       import s.implicits._
-      val trained = pqTrain(s, d)
+      val trained = pqTrained(s, d)
       val lut = trained.zipWithIndex.map { case ((ej, book, _), j) =>
         ej.filter($"vec_id" < 10)
           .select($"vec_id".as("p_id"), $"q")
@@ -738,7 +802,7 @@ object Similarity {
     "sim_pq_fit",
     (s, d) => {
       import s.implicits._
-      val fits = pqTrain(s, d).zipWithIndex.map { case ((ej, book, a), j) =>
+      val fits = pqTrained(s, d).zipWithIndex.map { case ((ej, book, a), j) =>
         val cn = sqrt(idot($"cv", $"cv").cast("double"))
         val fit = when($"qn" > 0 && cn > 0,
           round(idot($"q", $"cv").cast("double") / ($"qn" * cn), 6))
@@ -798,7 +862,7 @@ object Similarity {
         .select($"vec_id", quant($"embedding").as("q"))
         .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
         .filter($"qn" > 0)
-      val cells = e.join(kmeansAssign(s, d), "vec_id")
+      val cells = e.join(sessionCoarseAssign(s, d), "vec_id")
         .select($"vec_id", $"q", $"qn", $"cell")
       val probes = cells.filter($"vec_id" < 20)
         .select($"vec_id".as("probe_id"), $"q".as("pq"),
@@ -861,8 +925,8 @@ object Similarity {
     "sim_ivfpq_topk",
     (s, d) => {
       import s.implicits._
-      val coarse = kmeansAssign(s, d)
-      val trained = pqTrain(s, d)
+      val coarse = sessionCoarseAssign(s, d)
+      val trained = pqTrained(s, d)
       val lut = trained.zipWithIndex.map { case ((ej, book, _), j) =>
         ej.filter($"vec_id" < 10)
           .select($"vec_id".as("p_id"), $"q")

