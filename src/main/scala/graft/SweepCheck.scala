@@ -55,7 +55,8 @@ object SweepCheck {
       }
       graft.tools.Artifacts.attach(spark, dir)
       println(s"[artifacts] attached $dir " +
-        s"(derivations so far: ${queries.Dedup.artifactDerivations.get()})")
+        s"(derivations so far: dedup=${queries.Dedup.artifactDerivations.get()}" +
+        s" sim=${queries.Similarity.indexDerivations.get()})")
     }
     val results = Registry.all
       .filter(q => names.isEmpty || names.contains(q.name))
@@ -78,7 +79,8 @@ object SweepCheck {
     println(f"TOTAL ${results.map(_._2).sum}%.1fs")
     if (sys.env.contains("SPARK_GRAFT_ARTIFACTS_DIR"))
       println(s"[artifacts] total derivations this session: " +
-        s"${queries.Dedup.artifactDerivations.get()}")
+        s"dedup=${queries.Dedup.artifactDerivations.get()}" +
+        s" sim=${queries.Similarity.indexDerivations.get()}")
     spark.stop()
   }
 }

@@ -33,6 +33,20 @@ object StreamingPq {
   def buildIndex(corpus: DataFrame): PqIndex =
     PqIndex(Similarity.pqTrainOn(corpus).map(_._2))
 
+  /** The production variant: read the codebooks from an ATTACHED
+    * [[graft.tools.Artifacts]] set (`pq_books`, materialized from
+    * dataset `d`) instead of retraining — the ingest job opens the
+    * persisted tokenizer-style artifact, it never trains. None when
+    * no matching artifact set is attached. */
+  def attachedIndex(spark: org.apache.spark.sql.SparkSession,
+      d: String): Option[PqIndex] =
+    graft.tools.Artifacts.lookup(spark, d, "pq_books").map { books =>
+      PqIndex((0 until 4).map(j =>
+        books.filter(org.apache.spark.sql.functions.col("j") === j)
+          .select(org.apache.spark.sql.functions.col("cell"),
+            org.apache.spark.sql.functions.col("cv"))))
+    }
+
   /** One micro-batch of encoding: newVecs (vec_id, embedding) →
     * (vec_id, code_0..code_3, packed). Bit-identical to sim_pq_codes
     * when run over the training corpus itself (spec-pinned);

@@ -85,15 +85,20 @@ object Artifacts {
       targetBucketBytes: Long = 32L << 20): Seq[(String, Long, Int)] = {
     val written = derivers.map { case (name, key, derive) =>
       val df = derive(spark, srcDir)
-      // optimizer stats of the checkpointed frame approximate table
-      // bytes well enough for a power-of-two bucket count
-      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      val n = BucketLayout.bucketsFor(
-        bytes.min(BigInt(Long.MaxValue)).toLong, targetBucketBytes)
+      // Size from MEASURED rows × schema default width, never from
+      // optimizer stats: a localCheckpoint'd frame planwalks to a
+      // LogicalRDD whose stats can degrade to the conf default
+      // (effectively +inf), which round 8 caught writing a 2,000-row
+      // code table into 65,536 buckets — thousands of empty-bucket
+      // tasks on every subsequent scan. The count is one cheap pass
+      // over an artifact we are about to write anyway.
+      val rows = df.count()
+      val bytes = rows * math.max(1, df.schema.defaultSize)
+      val n = BucketLayout.bucketsFor(bytes, targetBucketBytes)
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(name)}")
       BucketLayout.writeBucketed(df, tableName(name), key, n,
         Some(s"$outDir/$name"))
-      (name, df.count(), n)
+      (name, rows, n)
     }
     val manifest = written.map { case (n, _, b) => s""""$n":$b""" }
       .mkString(s"""{"source":"$srcDir","buckets":{""", ",", "}}")

@@ -119,8 +119,20 @@ class ArtifactLifecycleSpec extends SparkSpec {
       .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
     assert(desc.contains("Num Buckets") && desc.contains("vec_id"), desc)
 
+    // the streaming encoder opens the persisted codebooks too: codes
+    // from the attached index equal the trained query's codes
+    val idx = graft.streaming.StreamingPq.attachedIndex(spark, d)
+    assert(idx.isDefined, "attachedIndex must resolve while attached")
+    val streamCodes = graft.streaming.StreamingPq
+      .encodeBatch(Tables.embeddings(spark, d), idx.get)
+      .collect().map(_.toSeq).toSet
+    assert(streamCodes == wantCodes,
+      "artifact-fed streaming encoder must equal the trained codes")
+
     // detach: training is back (counter moves), results identical
     Artifacts.detach(spark)
+    assert(graft.streaming.StreamingPq.attachedIndex(spark, d).isEmpty,
+      "attachedIndex must vanish on detach")
     SweepCheck.clearSessionArtifacts(spark)
     val detachedCodes = Registry.byName("sim_pq_codes").run(spark, d)
       .collect().map(_.toSeq).toSet
