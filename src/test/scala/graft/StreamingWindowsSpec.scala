@@ -77,4 +77,45 @@ class StreamingWindowsSpec extends SparkSpec {
         ("2024-01-01 10:30:00.0", 1L)))
     } finally q.stop()
   }
+
+  test("watermarked hopping windows: every event lands in span/slide windows") {
+    // the streaming twin of w_hopping_1h_15m's semantics, at test
+    // scale (4-minute span, 1-minute slide → fan-out 4)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = input.toDS()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "4 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+      .select($"window.start".as("w"), $"n", $"v")
+    val q = agg.writeStream.format("memory").queryName("hop_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Ev(ts(10), "a", 1.0), Ev(ts(11), "b", 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(ts(30), "z", 0.0)) // advance watermark, close all
+      q.processAllAvailable()
+      input.addData(Ev(ts(50), "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("hop_out")
+        .filter($"w" < lit(Timestamp.valueOf("2024-01-01 10:20:00")))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1),
+          r.getDouble(2))).sorted.toSeq
+      // 10:10 event → windows starting 10:07..10:10; 10:11 → 10:08..10:11
+      assert(rows == Seq(
+        ("2024-01-01 10:07:00.0", 1L, 1.0),
+        ("2024-01-01 10:08:00.0", 2L, 3.0),
+        ("2024-01-01 10:09:00.0", 2L, 3.0),
+        ("2024-01-01 10:10:00.0", 2L, 3.0),
+        ("2024-01-01 10:11:00.0", 1L, 2.0)))
+      // batch parity: the same rows from the batch formulation
+      val batch = Seq(Ev(ts(10), "a", 1.0), Ev(ts(11), "b", 2.0)).toDS()
+        .groupBy(window($"ts", "4 minutes", "1 minute"))
+        .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+        .select($"window.start".as("w"), $"n", $"v")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1),
+          r.getDouble(2))).sorted.toSeq
+      assert(batch == rows, "stream must equal the batch hopping result")
+    } finally q.stop()
+  }
 }
