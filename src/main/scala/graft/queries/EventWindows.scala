@@ -520,9 +520,144 @@ object EventWindows {
       FROM events, (SELECT unnest(range(0, 4)) AS k) hops
       GROUP BY w_start, event_type"""))
 
+  /** Time-series resample + forward fill — the gap-filling step every
+    * downstream forecaster/dashboard needs before it can difference or
+    * window a series: the hourly per-type rollup is joined onto a
+    * DENSE hour spine (no missing hours), counts zero-fill, and the
+    * last observed hourly total carries forward across gaps
+    * (`last(..., ignoreNulls)` over the series order).
+    *
+    * Scale shape: the corpus-sized work is ONE hash-aggregate (the
+    * hourly rollup). Everything after runs on the AGGREGATED series —
+    * |hours| × |event types| rows, a size that grows with calendar
+    * time and type cardinality, not data volume — so the forward-fill
+    * window (partitioned by type, ordered by hour) never sees the
+    * corpus. The spine derives from a 1-row min/max aggregate crossed
+    * with the distinct type dim, both broadcast. Values stay in the
+    * 1e4-quantized exact longs of [[qValueOutliers]] until the final
+    * divide, so fill values are bit-identical cross-engine. */
+  val qGapFill = GraftQuery(
+    "w_gap_fill_hourly",
+    (s, d) => {
+      import s.implicits._
+      val hr = expr("unix_timestamp(ts) div 3600L * 3600L")
+      val hourly = Tables.events(s, d)
+        .select(hr.as("hr"), $"event_type",
+          floor($"value" * 1e4 + 0.5).cast("long").as("q"))
+        .groupBy($"hr", $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"q").as("sq"))
+      val bounds = hourly.agg(min($"hr").as("mn"), max($"hr").as("mx"))
+      val spine = bounds
+        .select(explode(sequence($"mn", $"mx", lit(3600L))).as("hr"))
+      val dim = hourly.select($"event_type").distinct()
+      val w = Window.partitionBy($"event_type").orderBy($"hr")
+      spine.crossJoin(broadcast(dim))
+        .join(hourly, Seq("hr", "event_type"), "left")
+        .select(timestamp_seconds($"hr").as("w_start"), $"event_type",
+          coalesce($"n", lit(0L)).as("n_events"),
+          (coalesce(last($"sq", ignoreNulls = true).over(w), lit(0L))
+            .cast("double") / 1e4).as("ffill_value"),
+          $"n".isNull.as("is_gap"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS hr,
+          event_type, CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS q
+        FROM events),
+      h AS (SELECT hr, event_type, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sq
+            FROM ev GROUP BY 1, 2),
+      b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+      spine AS (SELECT unnest(range(mn, mx + 3600, 3600)) AS hr FROM b),
+      dim AS (SELECT DISTINCT event_type FROM ev),
+      g AS (SELECT s.hr, dim.event_type, h.n, h.sq
+            FROM spine s CROSS JOIN dim
+            LEFT JOIN h ON h.hr = s.hr AND h.event_type = dim.event_type)
+      SELECT make_timestamp(hr * 1000000) AS w_start, event_type,
+        COALESCE(n, 0) AS n_events,
+        CAST(COALESCE(last_value(sq IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY hr), 0) AS DOUBLE) / 1e4
+          AS ffill_value,
+        n IS NULL AS is_gap
+      FROM g"""))
+
+  /** Median/MAD robust outliers per event type — the heavy-tail twin
+    * of [[qValueOutliers]]'s z-score: mean/stddev move with the very
+    * outliers they're meant to flag, the median and the median
+    * absolute deviation don't (50% breakdown point). Flag when
+    * |q − med| > 3·1.4826·MAD, the standard consistency-scaled cut.
+    *
+    * Exact medians WITHOUT a corpus sort: both passes aggregate to the
+    * VALUE-DISTRIBUTION table first — (event_type, q) → count — and
+    * take the lower median by cumulative count over that table. The
+    * only windows run over distinct quantized values per type, a space
+    * bounded by the value range (≤ 5·10⁶ rows at 1e-4 quantization)
+    * regardless of corpus size — the same aggregate-then-window shape
+    * as t_nll_yield_curve, vs. the per-type corpus sort a naive
+    * median() would plan over the 5-value type key. The outlier test
+    * compares scaled integers (10⁴·|q−med| > 44478·MAD ⟺
+    * |v−med| > 4.4478·MAD) so no float enters any comparison. */
+  val qMadOutliers = GraftQuery(
+    "w_mad_outliers",
+    (s, d) => {
+      import s.implicits._
+      def lowerMedian(dist: org.apache.spark.sql.DataFrame,
+          valCol: String): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy($"event_type").orderBy(col(valCol))
+        dist
+          .withColumn("cum", sum($"cnt").over(w))
+          .withColumn("tot", sum($"cnt").over(
+            Window.partitionBy($"event_type")))
+          .where($"cum" * 2 >= $"tot")
+          .groupBy($"event_type").agg(min(col(valCol)).as("med"))
+      }
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"event_type",
+          floor($"value" * 1e4 + 0.5).cast("long").as("q"))
+      val med = lowerMedian(
+        ev.groupBy($"event_type", $"q").agg(count(lit(1)).as("cnt")), "q")
+      val dev = ev.join(broadcast(med), "event_type")
+        .select($"event_id", $"event_type", $"q", abs($"q" - $"med").as("dv"))
+      val mad = lowerMedian(
+        dev.groupBy($"event_type", $"dv").agg(count(lit(1)).as("cnt")), "dv")
+        .withColumnRenamed("med", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .join(broadcast(med), "event_type")
+        .select($"event_id", $"event_type",
+          round($"med".cast("double") / 1e4, 6).as("median"),
+          round($"mad".cast("double") / 1e4, 6).as("mad"),
+          ($"dv" * 10000L > $"mad" * 44478L).as("is_outlier"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, event_type,
+          CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS q
+        FROM events),
+      qd AS (SELECT event_type, q, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+      qc AS (SELECT event_type, q,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY q) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS tot
+             FROM qd),
+      med AS (SELECT event_type, min(q) AS med FROM qc
+              WHERE cum * 2 >= tot GROUP BY event_type),
+      dev AS (SELECT ev.event_id, ev.event_type, ev.q,
+                abs(ev.q - med.med) AS dv
+              FROM ev JOIN med USING (event_type)),
+      dd AS (SELECT event_type, dv, COUNT(*) AS cnt FROM dev GROUP BY 1, 2),
+      dc AS (SELECT event_type, dv,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY dv) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS tot
+             FROM dd),
+      mad AS (SELECT event_type, min(dv) AS mad FROM dc
+              WHERE cum * 2 >= tot GROUP BY event_type)
+      SELECT dev.event_id, dev.event_type,
+        round(CAST(med.med AS DOUBLE) / 1e4, 6) AS median,
+        round(CAST(mad.mad AS DOUBLE) / 1e4, 6) AS mad,
+        dev.dv * 10000 > mad.mad * 44478 AS is_outlier
+      FROM dev JOIN mad USING (event_type) JOIN med USING (event_type)"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
       qAsOfPriorView, qIntervalJoin, qFunnel, qRetentionCohorts,
       qValueOutliers, qVariantProps, qRolling1h, qValueHistogram,
-      qHopping)
+      qHopping, qGapFill, qMadOutliers)
 }

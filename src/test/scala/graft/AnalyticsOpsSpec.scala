@@ -133,4 +133,60 @@ class AnalyticsOpsSpec extends SparkSpec {
       .head().getLong(0)
     assert(spread > 100000L, "fixture should separate rare-heavy from common-heavy docs")
   }
+
+  test("w_gap_fill_hourly: dense spine, conservation, and carry-forward") {
+    val g = EventWindows.qGapFill.run(spark, d).cache()
+    val ev = Tables.events(spark, d)
+    // dense spine: every type covers every hour between global min/max
+    val nTypes = ev.select($"event_type").distinct().count()
+    val hours = g.select($"w_start").distinct()
+      .select(unix_timestamp($"w_start").as("s")).cache()
+    val (mn, mx) = {
+      val r = hours.agg(min($"s"), max($"s")).head(); (r.getLong(0), r.getLong(1))
+    }
+    assert(g.count() === ((mx - mn) / 3600 + 1) * nTypes,
+      "spine must be |hours| x |types| with no holes")
+    assert(hours.count() === (mx - mn) / 3600 + 1)
+    // conservation: zero-filled counts still sum to the corpus
+    assert(g.agg(sum($"n_events")).head().getLong(0) === ev.count())
+    // gap semantics + carry-forward: on gap rows the filled value
+    // equals the previous hour's filled value (and counts are 0)
+    assert(g.filter($"is_gap" && $"n_events" =!= 0L).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"w_start")
+    val broken = g
+      .withColumn("prev", lag($"ffill_value", 1).over(w))
+      .filter($"is_gap" && $"prev".isNotNull && $"ffill_value" =!= $"prev")
+      .count()
+    assert(broken === 0, "gap rows must carry the previous filled value")
+  }
+
+  test("w_mad_outliers: lower-median truth and the exact 4.4478-MAD cut") {
+    val out = EventWindows.qMadOutliers.run(spark, d).cache()
+    val ev = Tables.events(spark, d)
+      .select($"event_type", floor($"value" * 1e4 + 0.5).cast("long").as("q"))
+    assert(out.count() === ev.count(), "one verdict per event")
+    // replay median/MAD per type in memory (sf0.001 is small enough)
+    val byType = ev.collect().groupBy(_.getString(0))
+      .map { case (t, rows) => t -> rows.map(_.getLong(1)).sorted }
+    def lowerMedian(xs: Array[Long]): Long = xs((xs.length - 1) / 2)
+    val reported = out.select($"event_type", $"median", $"mad").distinct()
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    byType.foreach { case (t, xs) =>
+      val med = lowerMedian(xs)
+      val mad = lowerMedian(xs.map(x => math.abs(x - med)).sorted)
+      assert(reported(t) === (med / 1e4, mad / 1e4),
+        s"median/MAD for $t must equal the in-memory lower medians")
+    }
+    // direct cut check: recompute dv from the event values
+    val joined = Tables.events(spark, d)
+      .select($"event_id", $"event_type",
+        floor($"value" * 1e4 + 0.5).cast("long").as("q"))
+      .join(out, Seq("event_id", "event_type"))
+    val wrongCut = joined.filter(
+      (abs($"q" - ($"median" * 1e4).cast("long")) * 10000L >
+        ($"mad" * 1e4).cast("long") * 44478L) =!= $"is_outlier").count()
+    assert(wrongCut === 0, "flag must equal the exact integer MAD cut")
+  }
 }
