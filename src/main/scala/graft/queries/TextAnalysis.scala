@@ -1005,11 +1005,219 @@ object TextAnalysis {
       ORDER BY lift_micro DESC, cab.a, cab.b
       LIMIT 50"""))
 
+  /** Token-distribution Shannon entropy per document — the diversity
+    * quality signal the length/stopword heuristics miss: boilerplate,
+    * keyword-stuffed, and template docs repeat a few tokens (low H)
+    * while natural prose spreads mass (H near ln of the distinct
+    * count). H = ln n − (1/n)·Σ c·ln c over per-doc token counts c.
+    *
+    * Fixed-point contract (the [[qIdfRarity]] scheme): ln c and ln n
+    * are floored to micro-nats per DISTINCT (doc, token) pair — both
+    * ln operands are integers, the validated-safe case — so the
+    * weighted sum is exact integer arithmetic and the mean is integer
+    * floor division; entropy_micro = floor(ln n·10⁶) −
+    * (Σ c·floor(ln c·10⁶)) div n. Monotone-equivalent to true H at
+    * 1e-6 resolution, and bit-identical cross-engine.
+    *
+    * Scale shape: one corpus-sized explode → (doc_id, tok)
+    * hash-aggregate (map-side partial on the composite key), then a
+    * doc_id rollup. No joins, no windows, nothing global. */
+  val qTokenEntropy = GraftQuery(
+    "t_token_entropy",
+    (s, d) => {
+      import s.implicits._
+      val cnt = Tables.documents(s, d)
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      cnt.groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum($"c" * floor(log($"c".cast("double")) * 1e6).cast("long"))
+            .as("clnc_sum"))
+        .select($"doc_id", $"n_tokens", $"n_distinct",
+          (floor(log($"n_tokens".cast("double")) * 1e6).cast("long") -
+            expr("clnc_sum div n_tokens")).as("entropy_micro"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          COUNT(*) AS n_distinct,
+          CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
+            AS BIGINT) AS clnc_sum
+        FROM c GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_distinct,
+        CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+          - clnc_sum // n_tokens AS entropy_micro
+      FROM agg"""))
+
+  /** Trigram stupid-backoff LM scoring — the web-scale LM recipe
+    * (Brants et al. 2007: "Large Language Models in Machine
+    * Translation" — no discounting, no normalization, just
+    * count-ratio scores with a fixed 0.4 backoff multiplier, chosen
+    * BECAUSE it trains and serves at corpus scale): the md5-bucket
+    * TRAIN split ([[qTrainValSplit]]'s exact assignment) trains
+    * trigram/bigram/unigram count tables, the VAL split scores
+    * against them — so unseen n-grams genuinely occur and the
+    * backoff chain (trigram → ×0.4 bigram → ×0.4² unigram → OOV
+    * floor) is exercised for real, unlike [[qBigramNll]]'s
+    * self-trained MLE where every probe is seen.
+    *
+    * Fixed point: every count-ratio ln is floored to micro-nats
+    * (integer operands, the validated scheme); each backoff level
+    * ADDS the constant 916290 = floor(ln(1/0.4)·10⁶) — a literal on
+    * both engines, so no cross-engine transcendental ever computes
+    * 0.4. OOV tokens (unseen even as unigrams) score the unigram
+    * floor ln(N/1) plus both backoff penalties. NLL stays ≥ 0
+    * throughout, sidestepping negative floor-division asymmetry.
+    *
+    * Scale shape: counts aggregate straight from one pass over the
+    * train split; context marginals derive from the count tables
+    * (c(ab·) from trigrams, c(b·) from bigrams — no extra corpus
+    * passes); the probe side left-joins three VOCABULARY-keyed LM
+    * tables (key spaces that grow with the corpus, one row per key —
+    * hot-key skew rides the probe side, AQE splits it); N broadcasts
+    * as one row. Per-doc rollup shuffles on doc_id. */
+  val qBackoffNll = GraftQuery(
+    "t_backoff_nll",
+    (s, d) => {
+      import s.implicits._
+      def lnfp(num: org.apache.spark.sql.Column,
+          den: org.apache.spark.sql.Column) =
+        floor(log(num.cast("double") / den.cast("double")) * 1e6)
+          .cast("long")
+      val BO = 916290L // floor(ln(1/0.4)*1e6), literal on both engines
+      val bucket = pmod(
+        conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+          .cast("long"), lit(100L))
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", tokens($"text").as("toks"),
+          (bucket < 90).as("is_train"))
+        .localCheckpoint(true) // train aggregates + probe side read it
+      def tri(t: org.apache.spark.sql.Column) =
+        transform(sequence(lit(1), size(t) - 2), i =>
+          struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"),
+            element_at(t, i + 2).as("c")))
+      val train = toks.where($"is_train")
+      val c3 = train.where(size($"toks") >= 3)
+        .select(explode(tri($"toks")).as("g"))
+        .groupBy($"g.a".as("a"), $"g.b".as("b"), $"g.c".as("c"))
+        .agg(count(lit(1)).as("c3")).localCheckpoint(true)
+      val triLm = c3
+        .join(c3.groupBy($"a", $"b").agg(sum($"c3").as("c2ctx")),
+          Seq("a", "b"))
+        .select($"a", $"b", $"c", lnfp($"c2ctx", $"c3").as("tri_nll"))
+      val c2 = train.where(size($"toks") >= 2)
+        .select(explode(zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (x, y) => struct(x.as("b"), y.as("c")))).as("g"))
+        .groupBy($"g.b".as("b"), $"g.c".as("c"))
+        .agg(count(lit(1)).as("c2")).localCheckpoint(true)
+      val bigLm = c2
+        .join(c2.groupBy($"b").agg(sum($"c2").as("c1ctx")), "b")
+        .select($"b", $"c", lnfp($"c1ctx", $"c2").as("big_nll"))
+      val uni = train.select(explode($"toks").as("c"))
+        .groupBy($"c").agg(count(lit(1)).as("cu")).localCheckpoint(true)
+      val nTok = uni.agg(sum($"cu").as("n"))
+      val uniLm = uni.crossJoin(broadcast(nTok))
+        .select($"c", lnfp($"n", $"cu").as("uni_nll"))
+      val probes = toks.where(!$"is_train" && size($"toks") >= 3)
+        .select($"doc_id", explode(tri($"toks")).as("g"))
+        .groupBy($"doc_id", $"g.a".as("a"), $"g.b".as("b"), $"g.c".as("c"))
+        .agg(count(lit(1)).as("cnt"))
+      probes
+        .join(triLm, Seq("a", "b", "c"), "left")
+        .join(bigLm, Seq("b", "c"), "left")
+        .join(uniLm, Seq("c"), "left")
+        .crossJoin(broadcast(nTok))
+        .select($"doc_id", $"cnt",
+          coalesce($"tri_nll",
+            $"big_nll" + BO,
+            $"uni_nll" + 2 * BO,
+            floor(log($"n".cast("double")) * 1e6).cast("long") + 2 * BO)
+            .as("nll"))
+        .groupBy($"doc_id")
+        .agg(sum($"cnt").as("n_trigrams"),
+          sum($"nll" * $"cnt").as("nll_sum"))
+        .select($"doc_id", $"n_trigrams", $"nll_sum",
+          expr("nll_sum div n_trigrams").as("mean_nll_micro"))
+    },
+    Some("""
+      WITH t0 AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+            AS BIGINT) % 100 < 90 AS is_train
+        FROM documents),
+      tr3 AS (
+        SELECT unnest(list_transform(range(1, length(toks) - 1),
+          i -> {'a': toks[i], 'b': toks[i + 1], 'c': toks[i + 2]})) AS g
+        FROM t0 WHERE is_train AND length(toks) >= 3),
+      c3 AS (SELECT g['a'] AS a, g['b'] AS b, g['c'] AS c, COUNT(*) AS c3
+             FROM tr3 GROUP BY 1, 2, 3),
+      ctx2 AS (SELECT a, b, SUM(c3) AS c2ctx FROM c3 GROUP BY 1, 2),
+      tri_lm AS (
+        SELECT a, b, c,
+          CAST(floor(ln(CAST(c2ctx AS DOUBLE) / CAST(c3 AS DOUBLE)) * 1e6)
+            AS BIGINT) AS tri_nll
+        FROM c3 JOIN ctx2 USING (a, b)),
+      tr2 AS (
+        SELECT unnest(list_transform(range(1, length(toks)),
+          i -> {'b': toks[i], 'c': toks[i + 1]})) AS g
+        FROM t0 WHERE is_train AND length(toks) >= 2),
+      c2 AS (SELECT g['b'] AS b, g['c'] AS c, COUNT(*) AS c2
+             FROM tr2 GROUP BY 1, 2),
+      ctx1 AS (SELECT b, SUM(c2) AS c1ctx FROM c2 GROUP BY 1),
+      big_lm AS (
+        SELECT b, c,
+          CAST(floor(ln(CAST(c1ctx AS DOUBLE) / CAST(c2 AS DOUBLE)) * 1e6)
+            AS BIGINT) AS big_nll
+        FROM c2 JOIN ctx1 USING (b)),
+      uni AS (
+        SELECT c, COUNT(*) AS cu FROM (
+          SELECT unnest(toks) AS c FROM t0 WHERE is_train) GROUP BY 1),
+      n AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
+      uni_lm AS (
+        SELECT c,
+          CAST(floor(ln(CAST(n.n AS DOUBLE) / CAST(cu AS DOUBLE)) * 1e6)
+            AS BIGINT) AS uni_nll
+        FROM uni, n),
+      probes AS (
+        SELECT doc_id, g['a'] AS a, g['b'] AS b, g['c'] AS c,
+          COUNT(*) AS cnt
+        FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, length(toks) - 1),
+              i -> {'a': toks[i], 'b': toks[i + 1], 'c': toks[i + 2]})) AS g
+          FROM t0 WHERE NOT is_train AND length(toks) >= 3)
+        GROUP BY 1, 2, 3, 4),
+      scored AS (
+        SELECT doc_id, cnt,
+          COALESCE(tri_lm.tri_nll,
+            big_lm.big_nll + 916290,
+            uni_lm.uni_nll + 1832580,
+            CAST(floor(ln(CAST(n.n AS DOUBLE)) * 1e6) AS BIGINT) + 1832580)
+            AS nll
+        FROM probes
+        LEFT JOIN tri_lm USING (a, b, c)
+        LEFT JOIN big_lm USING (b, c)
+        LEFT JOIN uni_lm USING (c)
+        CROSS JOIN n)
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+        CAST(SUM(nll * cnt) AS BIGINT) AS nll_sum,
+        CAST(SUM(nll * cnt) // SUM(cnt) AS BIGINT) AS mean_nll_micro
+      FROM scored GROUP BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
       qBpeEncode,
       qApproxDistinct, qExactDistinct, qTrainValSplit, qSequencePack,
       qSkewSaltedAgg,
       qRepetition, qTopTerms, qMixSample, qCorpusYield, qIdfRarity,
-      qReservoirSample, qBigramNll, qNllYieldCurve, qCollocations)
+      qReservoirSample, qBigramNll, qNllYieldCurve, qCollocations,
+      qTokenEntropy, qBackoffNll)
 }

@@ -342,4 +342,94 @@ class TextOpsSpec extends SparkSpec {
       .count()
     assert(oob === 0, s"mean_nll_micro must lie in [0, 1e6·ln($totalBigrams)]")
   }
+
+  test("t_token_entropy: exact micro-nats on constructed distributions") {
+    val dir = java.nio.file.Files.createTempDirectory("entropy").toString
+    Seq((0L, "a a a a"), (1L, "a b c d"), (2L, "a a b b"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = queries.TextAnalysis.qTokenEntropy.run(spark, dir)
+      .orderBy($"doc_id").collect()
+    val ln4 = math.floor(math.log(4.0) * 1e6).toLong // 1386294
+    val ln2 = math.floor(math.log(2.0) * 1e6).toLong // 693147
+    // all-same tokens: H = 0 (ln4 - 4*ln4/4)
+    assert(r(0).getLong(3) === 0L)
+    // all-distinct: H = ln n exactly (every c = 1, ln 1 = 0)
+    assert(r(1).getLong(3) === ln4)
+    // two pairs: H = ln 2
+    assert(r(2).getLong(3) === ln4 - ln2)
+    assert(r.map(_.getLong(1)).toSeq === Seq(4L, 4L, 4L))
+    assert(r.map(_.getLong(2)).toSeq === Seq(1L, 4L, 2L))
+  }
+
+  test("t_token_entropy: bounded by ln(n_distinct) on sf0.001") {
+    val d = sf("sf0.001")
+    val r = queries.TextAnalysis.qTokenEntropy.run(spark, d).cache()
+    assert(r.count() === Tables.documents(spark, d).count())
+    // 0 <= H <= ln(n_distinct); floors shift each side < 1 micro-nat
+    val bad = r.filter($"entropy_micro" < lit(-2L) ||
+      $"entropy_micro" > floor(log($"n_distinct".cast("double")) * 1e6) + 2L)
+      .count()
+    assert(bad === 0, "entropy must lie in [0, ln(n_distinct)] ± 2 micro")
+  }
+
+  test("t_backoff_nll: in-memory stupid-backoff replay matches exactly") {
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d).select($"doc_id", $"text")
+      .collect().map(row => row.getLong(0) -> row.getString(1))
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16) % 100
+    }
+    def toks(t: String): Array[String] = t.trim.split("\\s+")
+    val (train, valDocs) = docs.partition { case (id, _) => bucket(id) < 90 }
+    def lnfp(num: Long, den: Long): Long =
+      math.floor(math.log(num.toDouble / den.toDouble) * 1e6).toLong
+    val c3 = scala.collection.mutable.Map[(String, String, String), Long]()
+    val c2 = scala.collection.mutable.Map[(String, String), Long]()
+    val cu = scala.collection.mutable.Map[String, Long]()
+    train.foreach { case (_, t) =>
+      val w = toks(t)
+      w.foreach(x => cu(x) = cu.getOrElse(x, 0L) + 1)
+      w.sliding(2).filter(_.length == 2).foreach { s =>
+        val k = (s(0), s(1)); c2(k) = c2.getOrElse(k, 0L) + 1 }
+      w.sliding(3).filter(_.length == 3).foreach { s =>
+        val k = (s(0), s(1), s(2)); c3(k) = c3.getOrElse(k, 0L) + 1 }
+    }
+    val ctx2 = c3.groupBy { case ((a, b, _), _) => (a, b) }
+      .map { case (k, m) => k -> m.values.sum }
+    val ctx1 = c2.groupBy { case ((b, _), _) => b }
+      .map { case (k, m) => k -> m.values.sum }
+    val nTok = cu.values.sum
+    val BO = 916290L
+    var nBackoff = 0L
+    val expected = valDocs.flatMap { case (id, t) =>
+      val w = toks(t)
+      if (w.length < 3) None else {
+        val nlls = w.sliding(3).map { s =>
+          if (c3.contains((s(0), s(1), s(2))))
+            lnfp(ctx2((s(0), s(1))), c3((s(0), s(1), s(2))))
+          else { nBackoff += 1
+            if (c2.contains((s(1), s(2))))
+              BO + lnfp(ctx1(s(1)), c2((s(1), s(2))))
+            else if (cu.contains(s(2))) 2 * BO + lnfp(nTok, cu(s(2)))
+            else 2 * BO + math.floor(math.log(nTok.toDouble) * 1e6).toLong }
+        }.toSeq
+        val sumN = nlls.sum
+        Some(id -> (nlls.size.toLong, sumN,
+          Math.floorDiv(sumN, nlls.size.toLong)))
+      }
+    }.toMap
+    val got = queries.TextAnalysis.qBackoffNll.run(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected, "engine must equal the in-memory replay")
+    assert(expected.nonEmpty, "val split must contain scorable docs")
+    assert(nBackoff > 0,
+      "fixture must exercise the backoff chain (else this is qBigramNll)")
+  }
 }
