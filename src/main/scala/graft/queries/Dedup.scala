@@ -1447,10 +1447,102 @@ object Dedup {
       JOIN documents db ON db.doc_id = vp.doc_b
       GROUP BY 1, 2"""))
 
+  /** Corpus-level overlap between SOURCES — the governance question
+    * above [[qCrossSourceMatrix]]'s pair attribution: how much of
+    * source A's shingle vocabulary does source B share, as a whole?
+    * Reports BOTH the exact Jaccard of the per-source shingle-hash
+    * sets and the MinHash estimate from the element-wise-min
+    * per-source signature — so the query doubles as the sketch's own
+    * live error report (the estimate is deterministic: same mins,
+    * same matches, on any engine — granularity 1/8 at 8 perms).
+    *
+    * Scale shape: the corpus-sized work is one distinct
+    * (source, shingle-hash) aggregate over the persisted shingle
+    * artifact; the exact-intersection self-join keys on the shingle
+    * hash, where each key carries ≤ |sources| rows — per-key fan-out
+    * is bounded by the source count, not the corpus. The per-source
+    * signature is an 8-column min aggregate (|sources| rows); the
+    * source-pair frames are |sources|² and ride broadcasts. */
+  val qSourceOverlap = GraftQuery(
+    "dd_source_overlap",
+    (s, d) => {
+      import s.implicits._
+      val srcOf = Tables.documents(s, d).select($"doc_id", $"source")
+      val mem = cachedShingleSets(s, d).join(srcOf, "doc_id")
+        .select($"source", explode($"hsh").as("h"))
+        .distinct()
+        .localCheckpoint(true) // sizes + the intersection both read it
+      val sizes = mem.groupBy($"source").agg(count(lit(1)).as("n"))
+      val inter = mem.select($"source".as("src_a"), $"h")
+        .join(mem.select($"source".as("src_b"), $"h"), "h")
+        .where($"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_inter"))
+      val ssig = cachedSignatures(s, d).join(srcOf, "doc_id")
+        .groupBy($"source")
+        .agg(min(col("mh0")).as("m0"),
+          (1 until 8).map(i => min(col(s"mh$i")).as(s"m$i")): _*)
+      val est = ssig.select($"source".as("src_a") +:
+          (0 until 8).map(i => col(s"m$i").as(s"a$i")): _*)
+        .crossJoin(broadcast(ssig.select($"source".as("src_b") +:
+          (0 until 8).map(i => col(s"m$i").as(s"b$i")): _*)))
+        .where($"src_a" < $"src_b")
+        .select($"src_a", $"src_b",
+          (0 until 8).map(i =>
+            (col(s"a$i") === col(s"b$i")).cast("long"))
+            .reduce(_ + _).as("minhash_matches"))
+      sizes.select($"source".as("src_a"), $"n".as("n_a"))
+        .crossJoin(broadcast(
+          sizes.select($"source".as("src_b"), $"n".as("n_b"))))
+        .where($"src_a" < $"src_b")
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .join(broadcast(est), Seq("src_a", "src_b"))
+        .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_inter",
+          expr("(n_inter * 1000000) div (n_a + n_b - n_inter)")
+            .as("jaccard_micro"),
+          $"minhash_matches",
+          ($"minhash_matches" * 125000L).as("est_jaccard_micro"))
+    },
+    Some(s"""$sigCte,
+      hs AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(sh, v -> $polyHashSql)) AS hsh
+        FROM s),
+      mem AS (
+        SELECT DISTINCT source, h
+        FROM (SELECT source, unnest(hsh) AS h FROM hs)),
+      sizes AS (SELECT source, COUNT(*) AS n FROM mem GROUP BY 1),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+        FROM mem a JOIN mem b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2),
+      ssig AS (
+        SELECT source, ${(0 until 8).map(i => s"min(mh$i) AS m$i").mkString(", ")}
+        FROM sig GROUP BY source),
+      est AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+          ${(0 until 8).map(i =>
+            s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")}
+            AS minhash_matches
+        FROM ssig a JOIN ssig b ON a.source < b.source)
+      SELECT p.src_a, p.src_b,
+        CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+        CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+        CAST((COALESCE(i.n_inter, 0) * 1000000)
+          // (p.n_a + p.n_b - COALESCE(i.n_inter, 0)) AS BIGINT)
+          AS jaccard_micro,
+        CAST(e.minhash_matches AS BIGINT) AS minhash_matches,
+        CAST(e.minhash_matches * 125000 AS BIGINT) AS est_jaccard_micro
+      FROM (SELECT a.source AS src_a, b.source AS src_b,
+              a.n AS n_a, b.n AS n_b
+            FROM sizes a JOIN sizes b ON a.source < b.source) p
+      LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+      JOIN est e ON e.src_a = p.src_a AND e.src_b = p.src_b"""))
+
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
       qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
       qBloomContamination, qVerifiedPairs, qIncremental, qKeepList,
       qSimhashNearDup, qContainment, qClusterStats, qSemanticDedup,
-      qFuzzyJoin, qFuzzyCanonical, qCrossSourceMatrix)
+      qFuzzyJoin, qFuzzyCanonical, qCrossSourceMatrix, qSourceOverlap)
 }

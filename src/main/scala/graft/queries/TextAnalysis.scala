@@ -1212,6 +1212,96 @@ object TextAnalysis {
         CAST(SUM(nll * cnt) // SUM(cnt) AS BIGINT) AS mean_nll_micro
       FROM scored GROUP BY doc_id"""))
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): every document
+    * scored by how much more likely its tokens are under a TARGET
+    * distribution (here the lang='en' slice — in production, the
+    * high-quality reference corpus) than under the full-corpus
+    * PROPOSAL distribution, over a FIXED hashed feature space —
+    * 1024 md5-bucketed unigram features with add-1 smoothing, so both
+    * count tables are bounded 1024-row frames no matter the corpus
+    * size. log-weight(doc) = Σ_b c_doc(b)·ln(p_t(b)/p_p(b)); docs
+    * with positive weight look target-like and survive resampling.
+    *
+    * Fixed point: the per-bucket log-ratio is
+    * floor(ln((ct+1)·(Np+1024) / ((cp+1)·(Nt+1024)))·10⁶) — integer
+    * operands fed bit-identical to both engines' ln; the value CAN be
+    * negative (floor is true floor on both sides), so per-doc output
+    * stays a SUM (exact integer, no division — integer division
+    * truncates toward zero in Spark and floors in DuckDB, so a mean
+    * would diverge on negatives; consumers divide if they want one).
+    * Headroom: the products are < (corpus tokens + 1024)² — exact in
+    * a double below ~9·10⁷ tokens per operand (2^53 product); past
+    * that, compute the two ln's separately and subtract (documented
+    * escape hatch, same discipline as sim_pq_adc_topk's bound).
+    *
+    * Scale shape: ONE corpus tokenize pass aggregates per-doc bucket
+    * counts (checkpointed — target/proposal tables AND the probe side
+    * all derive from it); both smoothed count tables collapse to 1024
+    * rows and the log-ratio table BROADCASTS, so scoring is a
+    * map-side join + doc_id rollup. Nothing global, nothing
+    * collected. */
+  val qDsirLogratio = GraftQuery(
+    "t_dsir_logratio",
+    (s, d) => {
+      import s.implicits._
+      val B = 1024L
+      val bucketOf = (c: org.apache.spark.sql.Column) => pmod(
+        conv(substring(md5(c), 1, 12), 16, 10).cast("long"), lit(B))
+      val docBuckets = Tables.documents(s, d)
+        .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+        .select($"doc_id", $"lang", bucketOf($"tok").as("b"))
+        .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val prop = docBuckets.groupBy($"b").agg(sum($"c").as("cp"))
+      val targ = docBuckets.where($"lang" === "en")
+        .groupBy($"b").agg(sum($"c").as("ct"))
+      val totals = docBuckets.agg(
+        sum($"c").as("np"),
+        sum(when($"lang" === "en", $"c").otherwise(0L)).as("nt"))
+      val lr = prop.join(targ, Seq("b"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(totals))
+        .select($"b",
+          floor(log((($"ct" + 1L) * ($"np" + B)).cast("double") /
+            (($"cp" + 1L) * ($"nt" + B)).cast("double")) * 1e6)
+            .cast("long").as("lr_fp"))
+      docBuckets.join(broadcast(lr), "b")
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"),
+          sum($"c" * $"lr_fp").as("logratio_sum_micro"))
+        .select($"doc_id", $"n_tokens", $"logratio_sum_micro",
+          ($"logratio_sum_micro" > 0L).as("is_target_like"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      db AS (
+        SELECT doc_id, lang,
+          CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 1024 AS b,
+          COUNT(*) AS c
+        FROM t GROUP BY 1, 2, 3),
+      prop AS (SELECT b, SUM(c) AS cp FROM db GROUP BY 1),
+      targ AS (SELECT b, SUM(c) AS ct FROM db WHERE lang = 'en' GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS np,
+          CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS nt
+        FROM db),
+      lr AS (
+        SELECT prop.b,
+          CAST(floor(ln(
+            CAST((COALESCE(targ.ct, 0) + 1) * (tot.np + 1024) AS DOUBLE) /
+            CAST((prop.cp + 1) * (tot.nt + 1024) AS DOUBLE)) * 1e6)
+            AS BIGINT) AS lr_fp
+        FROM prop LEFT JOIN targ USING (b) CROSS JOIN tot)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(SUM(c * lr_fp) AS BIGINT) AS logratio_sum_micro,
+        CAST(SUM(c * lr_fp) AS BIGINT) > 0 AS is_target_like
+      FROM db JOIN lr USING (b)
+      GROUP BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
       qBpeEncode,
@@ -1219,5 +1309,5 @@ object TextAnalysis {
       qSkewSaltedAgg,
       qRepetition, qTopTerms, qMixSample, qCorpusYield, qIdfRarity,
       qReservoirSample, qBigramNll, qNllYieldCurve, qCollocations,
-      qTokenEntropy, qBackoffNll)
+      qTokenEntropy, qBackoffNll, qDsirLogratio)
 }

@@ -432,4 +432,89 @@ class TextOpsSpec extends SparkSpec {
     assert(nBackoff > 0,
       "fixture must exercise the backoff chain (else this is qBigramNll)")
   }
+
+  test("dd_source_overlap: identical sources overlap fully, disjoint not at all") {
+    val dir = java.nio.file.Files.createTempDirectory("srcovl").toString
+    // srcA and srcB share every doc text; srcC is disjoint vocabulary
+    val rows = Seq(
+      (0L, "alpha beta gamma delta epsilon", "srcA"),
+      (1L, "zeta eta theta iota kappa", "srcA"),
+      (2L, "alpha beta gamma delta epsilon", "srcB"),
+      (3L, "zeta eta theta iota kappa", "srcB"),
+      (4L, "uno dos tres cuatro cinco", "srcC"),
+      (5L, "seis siete ocho nueve diez", "srcC"))
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.Dedup.clearSignatureCache()
+    val r = queries.Dedup.qSourceOverlap.run(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(4), x.getLong(5), x.getLong(6))).toMap
+    assert(r.size === 3, "C(3,2) source pairs")
+    val (abInter, abJac, abMatches) = r(("srcA", "srcB"))
+    assert(abJac === 1000000L, "identical shingle sets: Jaccard = 1")
+    assert(abMatches === 8L, "identical sets: all 8 signature mins match")
+    assert(abInter > 0L)
+    val (acInter, acJac, _) = r(("srcA", "srcC"))
+    assert(acInter === 0L && acJac === 0L, "disjoint vocab: zero overlap")
+    queries.Dedup.clearSignatureCache()
+  }
+
+  test("dd_source_overlap: set-algebra invariants on sf0.001") {
+    val d = sf("sf0.001")
+    val r = queries.Dedup.qSourceOverlap.run(spark, d).cache()
+    val nSources = Tables.documents(spark, d)
+      .select($"source").distinct().count()
+    assert(r.count() === nSources * (nSources - 1) / 2,
+      "one row per unordered source pair")
+    val bad = r.filter(
+      $"n_inter" > least($"n_a", $"n_b") ||
+      $"jaccard_micro" < 0L || $"jaccard_micro" > 1000000L ||
+      $"minhash_matches" < 0L || $"minhash_matches" > 8L ||
+      $"est_jaccard_micro" =!= $"minhash_matches" * 125000L).count()
+    assert(bad === 0, "intersection/jaccard/estimate bounds must hold")
+  }
+
+  test("t_dsir_logratio: in-memory importance-weight replay matches exactly") {
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16) % 1024
+    }
+    val cp = scala.collection.mutable.Map[Long, Long]()
+    val ct = scala.collection.mutable.Map[Long, Long]()
+    var np = 0L; var nt = 0L
+    val perDoc = docs.map { case (id, lang, text) =>
+      val bs = text.trim.split("\\s+").map(bucket)
+      bs.foreach { b =>
+        cp(b) = cp.getOrElse(b, 0L) + 1; np += 1
+        if (lang == "en") { ct(b) = ct.getOrElse(b, 0L) + 1; nt += 1 }
+      }
+      (id, lang, bs)
+    }
+    def lrFp(b: Long): Long = math.floor(math.log(
+      ((ct.getOrElse(b, 0L) + 1) * (np + 1024)).toDouble /
+        ((cp(b) + 1) * (nt + 1024)).toDouble) * 1e6).toLong
+    val expected = perDoc.map { case (id, _, bs) =>
+      id -> (bs.length.toLong, bs.map(lrFp).sum)
+    }.toMap
+    val got = queries.TextAnalysis.qDsirLogratio.run(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected, "engine must equal the in-memory DSIR replay")
+    // the target slice itself must skew target-like: en docs' mean
+    // log-weight above the non-en mean (the signal DSIR resamples on)
+    val byLang = perDoc.map { case (id, lang, _) =>
+      (lang == "en", expected(id)._2.toDouble / expected(id)._1) }
+    val enMean = byLang.filter(_._1).map(_._2).sum /
+      byLang.count(_._1)
+    val otherMean = byLang.filterNot(_._1).map(_._2).sum /
+      byLang.count(!_._1)
+    assert(enMean > otherMean,
+      "en docs must score more target-like than non-en docs")
+  }
 }
