@@ -1241,32 +1241,57 @@ object TextAnalysis {
     * rows and the log-ratio table BROADCASTS, so scoring is a
     * map-side join + doc_id rollup. Nothing global, nothing
     * collected. */
+  /** The DSIR hashed-feature bucket: md5's 48-bit prefix mod 1024.
+    * Shared by the batch query and [[graft.streaming.StreamingDsir]]
+    * so corpus training and stream scoring can never hash apart. */
+  def dsirBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(c), 1, 12), 16, 10).cast("long"), lit(1024L))
+
+  /** Per-doc hashed-bucket counts (doc_id [, lang], b, c) — the one
+    * corpus-sized pass of the DSIR family. `keepLang` carries the
+    * lang column for corpus-side training; probe batches don't need
+    * it. */
+  def dsirDocBuckets(docs: DataFrame, keepLang: Boolean): DataFrame = {
+    val keys: Seq[org.apache.spark.sql.Column] =
+      if (keepLang) Seq(col("doc_id"), col("lang")) else Seq(col("doc_id"))
+    docs.select(keys :+ explode(tokens(col("text"))).as("tok"): _*)
+      .select(keys :+ dsirBucket(col("tok")).as("b"): _*)
+      .groupBy(keys :+ col("b"): _*).agg(count(lit(1)).as("c"))
+  }
+
+  /** The 1024-row smoothed log-ratio table (b, lr_fp) over the FULL
+    * bucket spine — buckets no corpus token hashed to score the
+    * neutral prior ln((Np+1024)/(Nt+1024)) via the same add-1 formula
+    * with ct = cp = 0, so a streamed doc with out-of-corpus
+    * vocabulary still gets a total verdict. The batch query's inner
+    * probe join only ever reads observed buckets, where the spine
+    * rows are irrelevant — one artifact serves both. */
+  def dsirLrTable(docBuckets: DataFrame): DataFrame = {
+    val prop = docBuckets.groupBy(col("b")).agg(sum(col("c")).as("cp"))
+    val targ = docBuckets.where(col("lang") === "en")
+      .groupBy(col("b")).agg(sum(col("c")).as("ct"))
+    val totals = docBuckets.agg(
+      sum(col("c")).as("np"),
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("nt"))
+    val spine = totals.select(col("np"), col("nt"),
+      explode(sequence(lit(0L), lit(1023L))).as("b"))
+    spine.join(prop, Seq("b"), "left").na.fill(0L, Seq("cp"))
+      .join(targ, Seq("b"), "left").na.fill(0L, Seq("ct"))
+      .select(col("b"),
+        floor(log(((col("ct") + 1L) * (col("np") + 1024L)).cast("double") /
+          ((col("cp") + 1L) * (col("nt") + 1024L)).cast("double")) * 1e6)
+          .cast("long").as("lr_fp"))
+  }
+
   val qDsirLogratio = GraftQuery(
     "t_dsir_logratio",
     (s, d) => {
       import s.implicits._
-      val B = 1024L
-      val bucketOf = (c: org.apache.spark.sql.Column) => pmod(
-        conv(substring(md5(c), 1, 12), 16, 10).cast("long"), lit(B))
-      val docBuckets = Tables.documents(s, d)
-        .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
-        .select($"doc_id", $"lang", bucketOf($"tok").as("b"))
-        .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
+      val docBuckets = dsirDocBuckets(
+        Tables.documents(s, d).select($"doc_id", $"lang", $"text"),
+        keepLang = true)
         .localCheckpoint(true)
-      val prop = docBuckets.groupBy($"b").agg(sum($"c").as("cp"))
-      val targ = docBuckets.where($"lang" === "en")
-        .groupBy($"b").agg(sum($"c").as("ct"))
-      val totals = docBuckets.agg(
-        sum($"c").as("np"),
-        sum(when($"lang" === "en", $"c").otherwise(0L)).as("nt"))
-      val lr = prop.join(targ, Seq("b"), "left")
-        .na.fill(0L, Seq("ct"))
-        .crossJoin(broadcast(totals))
-        .select($"b",
-          floor(log((($"ct" + 1L) * ($"np" + B)).cast("double") /
-            (($"cp" + 1L) * ($"nt" + B)).cast("double")) * 1e6)
-            .cast("long").as("lr_fp"))
-      docBuckets.join(broadcast(lr), "b")
+      docBuckets.join(broadcast(dsirLrTable(docBuckets)), "b")
         .groupBy($"doc_id")
         .agg(sum($"c").as("n_tokens"),
           sum($"c" * $"lr_fp").as("logratio_sum_micro"))
