@@ -655,9 +655,56 @@ object EventWindows {
         dev.dv * 10000 > mad.mad * 44478 AS is_outlier
       FROM dev JOIN mad USING (event_type) JOIN med USING (event_type)"""))
 
+  /** Hour-of-week seasonality profile per event type — the baseline
+    * every anomaly detector and capacity planner needs before it can
+    * call a spike "unusual": activity share per (type, hour-of-week)
+    * cell. The hour-of-week index is pure integer epoch arithmetic
+    * ((sec div 3600) mod 168 — slot 0 = Thursday 00:00 UTC, the epoch
+    * origin's weekday), identical on both engines with no calendar
+    * functions (Spark's dayofweek starts Sunday=1, DuckDB's Sunday=0 —
+    * a classic cross-engine drift the epoch formulation sidesteps).
+    * share_micro is exact integer fixed point; is_peak flags slots
+    * above 2× the uniform share via an all-integer cross-multiply.
+    *
+    * Scale shape: ONE map-side-partial hash-aggregate over the corpus
+    * onto the bounded (type × 168) key space; the per-type total rides
+    * a window over that 840-row table, never the corpus. */
+  val qSeasonal = GraftQuery(
+    "w_seasonal_hourofweek",
+    (s, d) => {
+      import s.implicits._
+      val cell = Tables.events(s, d)
+        .select($"event_type",
+          expr("(unix_timestamp(ts) div 3600L) % 168L").as("how"),
+          $"value")
+        .groupBy($"event_type", $"how")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+      val w = Window.partitionBy($"event_type")
+      cell
+        .withColumn("n_type", sum($"n_events").over(w))
+        .select($"event_type", $"how", $"n_events", $"total_value",
+          expr("(n_events * 1000000) div n_type").as("share_micro"),
+          ($"n_events" * 168L > $"n_type" * 2L).as("is_peak"))
+    },
+    Some("""
+      WITH cell AS (
+        SELECT event_type,
+          (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 168 AS how,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, how, CAST(n_events AS BIGINT) AS n_events,
+        total_value,
+        CAST((n_events * 1000000) //
+          SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+          AS share_micro,
+        n_events * 168 > SUM(n_events) OVER (PARTITION BY event_type) * 2
+          AS is_peak
+      FROM cell"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
       qAsOfPriorView, qIntervalJoin, qFunnel, qRetentionCohorts,
       qValueOutliers, qVariantProps, qRolling1h, qValueHistogram,
-      qHopping, qGapFill, qMadOutliers)
+      qHopping, qGapFill, qMadOutliers, qSeasonal)
 }

@@ -1045,8 +1045,119 @@ object Similarity {
           < 0.2 AS is_outlier
       FROM q JOIN cent c ON c.label = q.label"""))
 
+  /** Cluster-quality report over the trained coarse cells — the
+    * one-page answer to "is this index partitioning worth probing":
+    * per cell, the mean cosine of members to their OWN cell centroid
+    * (cohesion) vs the best cosine to any OTHER cell centroid
+    * (separation), silhouette-style. `is_separated` = cohesion beats
+    * the nearest-neighbor centroid — cells failing it are merge/
+    * retrain candidates and multiprobe targets.
+    *
+    * Centroids here are derived FROM the final assignment (exact
+    * integer sum-vectors of each cell's members), so the report works
+    * identically off the persisted (vec_id, cell) artifact — no
+    * training internals needed, and it measures the clusters as they
+    * will actually be probed. All cosines land in micro units via
+    * floor(cos·10⁶ + 0.5) on bit-identical doubles (exact int64
+    * operands on both engines); the mean uses the +10⁶ shift so floor
+    * division never sees a negative numerator (truncate-vs-floor
+    * would diverge there). Integer headroom: |centroid|² ≤
+    * 64·(n_cell·10⁴)² < 2⁶³ holds to ~3.8·10⁷ vectors per cell —
+    * past that, rescale the sum-vector (cosine is scale-invariant,
+    * same escape hatch as q_graph_pagerank).
+    *
+    * Scale shape: one id-keyed join to attach cells, one posexplode
+    * aggregate for the k bounded centroids (broadcast everywhere
+    * after), a map-side cosine + per-cell rollup; the centroid
+    * pairwise table is k², driver-trivial. Nothing global. */
+  val qClusterQuality = GraftQuery(
+    "sim_cluster_quality",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", quant($"embedding").as("q"))
+        .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
+        .filter($"qn" > 0) // zero-norm policy — see cosineTopK scaladoc
+      val ea = e.join(sessionCoarseAssign(s, d), "vec_id")
+        .localCheckpoint(true) // centroid sums + intra scoring read it
+      val cent = ea.select($"cell", posexplode($"q").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos").agg(sum($"v").as("sv"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"sv"))),
+          x => x("sv")).as("cv"))
+        .withColumn("cn", sqrt(idot($"cv", $"cv").cast("double")))
+        .localCheckpoint(true) // intra join + the pairwise table
+      val cmicro = floor(
+        idot($"q", $"cv").cast("double") / ($"qn" * $"cn") * 1e6 + 0.5)
+        .cast("long")
+      val intra = ea.join(broadcast(cent), "cell")
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vectors"), sum(cmicro).as("csum"))
+      val pmicro = floor(
+        idot($"cv", $"ocv").cast("double") / ($"cn" * $"ocn") * 1e6 + 0.5)
+        .cast("long")
+      val nn = cent.select($"cell", $"cv", $"cn")
+        .crossJoin(broadcast(cent.select($"cell".as("ocell"),
+          $"cv".as("ocv"), $"cn".as("ocn"))))
+        .where($"cell" =!= $"ocell")
+        .select($"cell", $"ocell", pmicro.as("pmicro"))
+        .groupBy($"cell")
+        .agg(max(struct($"pmicro", (-$"ocell").as("no"))).as("m"))
+        .select($"cell", (-$"m.no").cast("int").as("nn_cell"),
+          $"m.pmicro".as("nn_cos_micro"))
+      intra.join(nn, "cell")
+        .select($"cell", $"n_vectors",
+          expr("(csum + n_vectors * 1000000) div n_vectors - 1000000")
+            .as("mean_intra_micro"),
+          $"nn_cell", $"nn_cos_micro",
+          (expr("(csum + n_vectors * 1000000) div n_vectors - 1000000") >
+            $"nn_cos_micro").as("is_separated"))
+    },
+    Some(s"""$kmeansCtes,
+      c3s AS (
+        SELECT a.cell, i, CAST(SUM(q.q[i]) AS BIGINT) AS sv
+        FROM q JOIN a3 a USING (vec_id),
+             (SELECT unnest(range(1, 65)) AS i) idx
+        GROUP BY a.cell, i),
+      c3 AS (SELECT cell, list(sv ORDER BY i) AS cv FROM c3s GROUP BY cell),
+      intra AS (
+        SELECT a.cell,
+          CAST(floor(
+            CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * c.cv[i])) AS DOUBLE) /
+            (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q.q[i] * q.q[i])) AS DOUBLE)) *
+             sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])) AS DOUBLE)))
+            * 1e6 + 0.5) AS BIGINT) AS cmicro
+        FROM q JOIN a3 a USING (vec_id) JOIN c3 c ON c.cell = a.cell),
+      agg AS (
+        SELECT cell, COUNT(*) AS n_vectors,
+          CAST(SUM(cmicro) AS BIGINT) AS csum
+        FROM intra GROUP BY cell),
+      p AS (
+        SELECT a.cell, b.cell AS ocell,
+          CAST(floor(
+            CAST(list_sum(list_transform(range(1, 65), i -> a.cv[i] * b.cv[i])) AS DOUBLE) /
+            (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.cv[i] * a.cv[i])) AS DOUBLE)) *
+             sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.cv[i] * b.cv[i])) AS DOUBLE)))
+            * 1e6 + 0.5) AS BIGINT) AS pmicro
+        FROM c3 a JOIN c3 b ON a.cell <> b.cell),
+      nn AS (
+        SELECT cell, ocell, pmicro FROM (
+          SELECT cell, ocell, pmicro,
+            ROW_NUMBER() OVER (PARTITION BY cell
+              ORDER BY pmicro DESC, ocell ASC) AS rn
+          FROM p)
+        WHERE rn = 1)
+      SELECT agg.cell, agg.n_vectors,
+        CAST((agg.csum + agg.n_vectors * 1000000) // agg.n_vectors
+          - 1000000 AS BIGINT) AS mean_intra_micro,
+        nn.ocell AS nn_cell, nn.pmicro AS nn_cos_micro,
+        ((agg.csum + agg.n_vectors * 1000000) // agg.n_vectors - 1000000)
+          > nn.pmicro AS is_separated
+      FROM agg JOIN nn USING (cell)"""))
+
   val all: Seq[GraftQuery] =
     Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK,
       qIvfMultiprobe, qKnnGraph, qKmeansCells, qIvfTrainedTopK,
-      qPqCodes, qPqAdcTopK, qPqFit, qIvfPqTopK, qCentroidOutliers)
+      qPqCodes, qPqAdcTopK, qPqFit, qIvfPqTopK, qCentroidOutliers,
+      qClusterQuality)
 }

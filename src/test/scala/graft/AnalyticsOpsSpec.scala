@@ -189,4 +189,61 @@ class AnalyticsOpsSpec extends SparkSpec {
         ($"mad" * 1e4).cast("long") * 44478L) =!= $"is_outlier").count()
     assert(wrongCut === 0, "flag must equal the exact integer MAD cut")
   }
+
+  test("sim_cluster_quality: in-memory cohesion/separation replay matches") {
+    val q = queries.Similarity.qClusterQuality.run(spark, d).cache()
+    // replay from the same trained assignment and raw embeddings
+    val assign = queries.Similarity.sessionCoarseAssign(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 10000 + 0.5).toLong).toArray)
+      .filter { case (_, v) => v.map(x => x * x).sum > 0 }
+      .toMap
+    val cells = vecs.keys.filter(assign.contains)
+      .groupBy(assign).map { case (c, ids) => c -> ids.toSeq.sorted }
+    val cent = cells.map { case (c, ids) =>
+      c -> ids.map(vecs).transpose.map(_.sum).toArray }
+    def cosMicro(a: Array[Long], b: Array[Long]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      math.floor(dot / (na * nb) * 1e6 + 0.5).toLong
+    }
+    val got = q.collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+        r.getBoolean(5))).toMap
+    assert(got.keySet === cells.keySet)
+    cells.foreach { case (c, ids) =>
+      val n = ids.size.toLong
+      val csum = ids.map(id => cosMicro(vecs(id), cent(c))).sum
+      val mean = Math.floorDiv(csum + n * 1000000L, n) - 1000000L
+      val (nnCell, nnCos) = cent.view.filterKeys(_ != c)
+        .map { case (o, cv) => (o, cosMicro(cent(c), cv)) }
+        .maxBy { case (o, p) => (p, -o) }
+      assert(got(c) === ((n, mean, nnCell, nnCos, mean > nnCos)),
+        s"cell $c must match the in-memory replay")
+    }
+  }
+
+  test("w_seasonal_hourofweek: shares partition each type, peaks follow counts") {
+    val r = EventWindows.qSeasonal.run(spark, d).cache()
+    val ev = Tables.events(spark, d)
+    assert(r.agg(sum($"n_events")).head().getLong(0) === ev.count())
+    assert(r.filter($"how" < 0L || $"how" > 167L).count() === 0)
+    // per type: floor-share residue < #slots, and peak flag consistent
+    r.groupBy($"event_type")
+      .agg(sum($"share_micro").as("s"), count(lit(1)).as("k"))
+      .collect().foreach { row =>
+        val (s, k) = (row.getLong(1), row.getLong(2))
+        assert(s <= 1000000L && s > 1000000L - k,
+          s"floor shares must sum to 1e6 minus < $k of residue, got $s")
+      }
+    val totals = r.groupBy($"event_type").agg(sum($"n_events").as("tot"))
+    val badPeak = r.join(totals, "event_type")
+      .filter(($"n_events" * 168L > $"tot" * 2L) =!= $"is_peak").count()
+    assert(badPeak === 0)
+  }
 }
