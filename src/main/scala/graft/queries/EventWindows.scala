@@ -546,6 +546,7 @@ object EventWindows {
           floor($"value" * 1e4 + 0.5).cast("long").as("q"))
         .groupBy($"hr", $"event_type")
         .agg(count(lit(1)).as("n"), sum($"q").as("sq"))
+        .localCheckpoint(true) // bounds + dim + the spine join read it
       val bounds = hourly.agg(min($"hr").as("mn"), max($"hr").as("mx"))
       val spine = bounds
         .select(explode(sequence($"mn", $"mx", lit(3600L))).as("hr"))
@@ -613,6 +614,7 @@ object EventWindows {
       val ev = Tables.events(s, d)
         .select($"event_id", $"event_type",
           floor($"value" * 1e4 + 0.5).cast("long").as("q"))
+        .localCheckpoint(true) // both median passes + the verdict read it
       val med = lowerMedian(
         ev.groupBy($"event_type", $"q").agg(count(lit(1)).as("cnt")), "q")
       val dev = ev.join(broadcast(med), "event_type")
