@@ -595,7 +595,111 @@ object Cdc {
       FROM corners GROUP BY s_suppkey"""),
     bench = true)
 
+  /** Community detection via deterministic weighted label propagation
+    * — the clustering member of the graph family ([[qGraphPagerank]]
+    * ranks, [[qGraphTriangles]] measures cohesion, this PARTITIONS):
+    * 3 synchronous rounds over the weighted undirected trade graph
+    * (edge weight = co-trade count, NOT the distinct edge list — a
+    * customer ordering from a supplier 50 times should bind tighter
+    * than one-off trades). Each node adopts the label with the
+    * largest gathered weight, ties to the LOWEST label; every node
+    * also votes for its own current label with its STRONGEST single
+    * incident edge weight (inertia) — without a self-vote,
+    * synchronous LPA on a BIPARTITE graph (and customer–supplier is
+    * bipartite) oscillates two-colorings instead of converging, and
+    * a TOTAL-incident-weight self-vote overshoots: neighbor votes
+    * sum to exactly that total, so no single label could ever win
+    * and every node would keep its own label forever. The max-edge
+    * vote lets a label through exactly when shared neighbor mass
+    * beats the strongest single tie.
+    *
+    * Determinism: node ids encode to longs (custkey·2 / suppkey·2+1)
+    * so the argmax rides one max(struct(wt, −lab)) hash-aggregate —
+    * weight desc, label asc — with no string ordering and no window;
+    * weights are exact integer counts throughout. The fixed round
+    * count defines the result identically cross-engine (the
+    * q_graph_pagerank discipline).
+    *
+    * Scale shape: Pregel-lite like pagerank — k rounds of one
+    * edge-keyed join + two hash-aggregates over a checkpointed edge
+    * list; the self-vote table is node-sized; community sizes are one
+    * more label-keyed aggregate. Nothing collected, no windows. */
+  val qGraphCommunities = GraftQuery(
+    "q_graph_communities",
+    (s, d) => {
+      import s.implicits._
+      val e0 = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
+      val edges = e0
+        .union(e0.select($"b".as("a"), $"a".as("b"), $"w"))
+        .localCheckpoint(true)
+      val selfW = edges.groupBy($"a").agg(max($"w").as("sw"))
+        .localCheckpoint(true)
+      var lab = selfW.select($"a".as("node"), $"a".as("lab"))
+      for (_ <- 1 to 3) {
+        val fromNeighbors = edges
+          .join(lab.select($"node".as("bn"), $"lab"), $"b" === $"bn")
+          .select($"a".as("node"), $"lab", $"w")
+        val fromSelf = lab.join(selfW, $"node" === selfW("a"))
+          .select($"node", $"lab", $"sw".as("w"))
+        lab = fromNeighbors.union(fromSelf)
+          .groupBy($"node", $"lab").agg(sum($"w").as("wt"))
+          .groupBy($"node")
+          .agg(max(struct($"wt", (-$"lab").as("nl"))).as("m"))
+          .select($"node", (-$"m.nl").as("lab"))
+          // materialize per round: the next round reads lab twice
+          // (neighbor gather + self-vote) and the lazy lineage would
+          // re-execute every prior round once per consumer
+          .localCheckpoint(true)
+      }
+      val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("community_size"))
+      lab.join(sizes, "lab")
+        .select(
+          when($"node" % 2 === 0, concat(lit("c"), expr("node div 2")))
+            .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+            .as("node"),
+          $"lab".as("community"), $"community_size")
+    },
+    Some {
+      def round(prev: String, g: String, l: String) = s"""
+      $g AS (
+        SELECT node, lab, SUM(w) AS wt FROM (
+          SELECT e.a AS node, l.lab AS lab, e.w AS w
+          FROM e JOIN $prev l ON l.node = e.b
+          UNION ALL
+          SELECT l.node, l.lab, sw.sw AS w
+          FROM $prev l JOIN sw ON sw.a = l.node)
+        GROUP BY 1, 2),
+      $l AS MATERIALIZED (
+        SELECT node, lab FROM (
+          SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node
+            ORDER BY wt DESC, lab ASC) AS rn
+          FROM $g)
+        WHERE rn = 1)"""
+      s"""
+      WITH e0 AS (
+        SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b, COUNT(*) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2),
+      e AS MATERIALIZED (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+      sw AS MATERIALIZED (SELECT a, CAST(MAX(w) AS BIGINT) AS sw FROM e GROUP BY 1),
+      l0 AS MATERIALIZED (SELECT a AS node, a AS lab FROM sw),
+      ${round("l0", "g1", "l1")},
+      ${round("l1", "g2", "l2")},
+      ${round("l2", "g3", "l3")},
+      cs AS (SELECT lab, COUNT(*) AS community_size FROM l3 GROUP BY 1)
+      SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                  ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+        lab AS community, community_size
+      FROM l3 JOIN cs USING (lab)"""
+    },
+    bench = true)
+
   val all: Seq[GraftQuery] =
     Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin,
-      qMvMerge, qGraphPagerank, qGraphPagerankInc, qGraphTriangles)
+      qMvMerge, qGraphPagerank, qGraphPagerankInc, qGraphTriangles,
+      qGraphCommunities)
 }

@@ -85,4 +85,41 @@ class PagerankSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(inc == batch)
   }
+
+  test("label-propagation communities == driver replay at sf0.001") {
+    val d = sf("sf0.001")
+    val e0 = Tables.orders(spark, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.length.toLong) }
+      .toSeq
+    val edges = e0 ++ e0.map { case (a, b, w) => (b, a, w) }
+    val selfW = edges.groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._3).max }
+    var lab: Map[Long, Long] = selfW.map { case (n, _) => n -> n }.toMap
+    for (_ <- 1 to 3) {
+      val votes = scala.collection.mutable.Map[(Long, Long), Long]()
+      edges.foreach { case (a, b, w) =>
+        val k = (a, lab(b)); votes(k) = votes.getOrElse(k, 0L) + w }
+      selfW.foreach { case (n, sw) =>
+        val k = (n, lab(n)); votes(k) = votes.getOrElse(k, 0L) + sw }
+      lab = votes.toSeq.groupBy(_._1._1).map { case (n, vs) =>
+        n -> vs.map { case ((_, l), wt) => (wt, -l) }.max._2 * -1
+      }
+    }
+    val sizes = lab.values.groupBy(identity).map { case (l, v) => l -> v.size.toLong }
+    val expected = lab.map { case (n, l) =>
+      val name = if (n % 2 == 0) s"c${n / 2}" else s"s${(n - 1) / 2}"
+      name -> (l, sizes(l))
+    }
+    val got = queries.Cdc.qGraphCommunities.run(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected, "engine must equal the in-memory LPA replay")
+    // communities must be non-trivial: more than one, fewer than nodes
+    val k = sizes.size
+    assert(k > 1 && k < lab.size,
+      s"expected a real partition, got $k communities over ${lab.size} nodes")
+  }
 }
