@@ -186,4 +186,28 @@ class StreamingProbeRecoverySpec extends SparkSpec {
       b1.map(_._1: Any).toSet)
     SweepCheck.clearSessionArtifacts(spark)
   }
+
+  test("StreamingDsir: kill/restart skips the committed batch, weights unchanged") {
+    val corpus = docs.filter($"doc_id" < 400)
+      .select($"doc_id", $"lang", $"text")
+    val arrivals = docs.filter($"doc_id" >= 400)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    val ckpt = Files.createTempDirectory("rec_dsir").toString
+
+    val idx1 = StreamingDsir.buildIndex(corpus)
+    val r1 = runPhase[(Long, String)](
+      _.toDF().toDF("doc_id", "text"), ckpt,
+      StreamingDsir.scoreStream(_, idx1, _)(_), b1)
+    val idx2 = StreamingDsir.buildIndex(corpus)
+    val r2 = runPhase[(Long, String)](
+      _.toDF().toDF("doc_id", "text"), ckpt,
+      StreamingDsir.scoreStream(_, idx2, _)(_), b1, b2)
+    checkRecovery(r1, r2,
+      StreamingDsir.scoreBatch(b1.toDF("doc_id", "text"), idx1).collect().toSeq,
+      StreamingDsir.scoreBatch(b2.toDF("doc_id", "text"), idx2).collect().toSeq,
+      StreamingDsir.scoreBatch(b2.toDF("doc_id", "text"), idx1).collect().toSeq,
+      b1.map(_._1: Any).toSet)
+  }
 }
