@@ -624,46 +624,60 @@ object Cdc {
     * edge-keyed join + two hash-aggregates over a checkpointed edge
     * list; the self-vote table is node-sized; community sizes are one
     * more label-keyed aggregate. Nothing collected, no windows. */
-  val qGraphCommunities = GraftQuery(
-    "q_graph_communities",
-    (s, d) => {
-      import s.implicits._
-      val e0 = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
-        .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
-          $"o_orderkey" === $"l_orderkey")
-        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
-        .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
-      val edges = e0
-        .union(e0.select($"b".as("a"), $"a".as("b"), $"w"))
+  /** Weighted (a, b, w) trade-edge counts over the orders slice
+    * selected by `pred` — the communities analog of [[tradeEdges]]
+    * (which is DISTINCT, pagerank's shape; LPA needs the co-trade
+    * counts). Count aggregates are decomposable, so per-era counts
+    * merged by summation equal the full-history counts — the
+    * IncrementalAgg identity [[qGraphCommunitiesInc]] leans on. */
+  private[graft] def weightedTradeEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, pred: Column): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).filter(pred).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
+  }
+
+  /** The 3-round weighted LPA over a directed-distinct weighted edge
+    * list (doubled to undirected here) — shared verbatim by the batch
+    * and incremental queries, the [[pagerankOver]] discipline. */
+  private[graft] def lpaOver(s: org.apache.spark.sql.SparkSession,
+      e0: DataFrame): DataFrame = {
+    import s.implicits._
+    val edges = e0
+      .union(e0.select($"b".as("a"), $"a".as("b"), $"w"))
+      .localCheckpoint(true)
+    val selfW = edges.groupBy($"a").agg(max($"w").as("sw"))
+      .localCheckpoint(true)
+    var lab = selfW.select($"a".as("node"), $"a".as("lab"))
+    for (_ <- 1 to 3) {
+      val fromNeighbors = edges
+        .join(lab.select($"node".as("bn"), $"lab"), $"b" === $"bn")
+        .select($"a".as("node"), $"lab", $"w")
+      val fromSelf = lab.join(selfW, $"node" === selfW("a"))
+        .select($"node", $"lab", $"sw".as("w"))
+      lab = fromNeighbors.union(fromSelf)
+        .groupBy($"node", $"lab").agg(sum($"w").as("wt"))
+        .groupBy($"node")
+        .agg(max(struct($"wt", (-$"lab").as("nl"))).as("m"))
+        .select($"node", (-$"m.nl").as("lab"))
+        // materialize per round: the next round reads lab twice
+        // (neighbor gather + self-vote) and the lazy lineage would
+        // re-execute every prior round once per consumer
         .localCheckpoint(true)
-      val selfW = edges.groupBy($"a").agg(max($"w").as("sw"))
-        .localCheckpoint(true)
-      var lab = selfW.select($"a".as("node"), $"a".as("lab"))
-      for (_ <- 1 to 3) {
-        val fromNeighbors = edges
-          .join(lab.select($"node".as("bn"), $"lab"), $"b" === $"bn")
-          .select($"a".as("node"), $"lab", $"w")
-        val fromSelf = lab.join(selfW, $"node" === selfW("a"))
-          .select($"node", $"lab", $"sw".as("w"))
-        lab = fromNeighbors.union(fromSelf)
-          .groupBy($"node", $"lab").agg(sum($"w").as("wt"))
-          .groupBy($"node")
-          .agg(max(struct($"wt", (-$"lab").as("nl"))).as("m"))
-          .select($"node", (-$"m.nl").as("lab"))
-          // materialize per round: the next round reads lab twice
-          // (neighbor gather + self-vote) and the lazy lineage would
-          // re-execute every prior round once per consumer
-          .localCheckpoint(true)
-      }
-      val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("community_size"))
-      lab.join(sizes, "lab")
-        .select(
-          when($"node" % 2 === 0, concat(lit("c"), expr("node div 2")))
-            .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
-            .as("node"),
-          $"lab".as("community"), $"community_size")
-    },
-    Some {
+    }
+    val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, "lab")
+      .select(
+        when($"node" % 2 === 0, concat(lit("c"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+          .as("node"),
+        $"lab".as("community"), $"community_size")
+  }
+
+  private val communitiesOracle: String = {
       def round(prev: String, g: String, l: String) = s"""
       $g AS (
         SELECT node, lab, SUM(w) AS wt FROM (
@@ -695,11 +709,76 @@ object Cdc {
                   ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
         lab AS community, community_size
       FROM l3 JOIN cs USING (lab)"""
-    },
+  }
+
+  val qGraphCommunities = GraftQuery(
+    "q_graph_communities",
+    (s, d) => lpaOver(s, weightedTradeEdges(s, d, lit(true))),
+    Some(communitiesOracle),
     bench = true)
+
+  /** Session-scoped weighted base-edge artifact for the incremental
+    * communities refresh — same WeakHashMap lifetime rules as
+    * [[cachedBaseEdges]], but carrying the co-trade COUNTS (the
+    * decomposable aggregate the merge sums). */
+  private val baseWeightedCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
+  private[graft] val baseWeightedDerivations =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def cachedWeightedBaseEdges(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      split: String): DataFrame = {
+    val perSession = baseWeightedCache.synchronized {
+      var m = baseWeightedCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        baseWeightedCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((d, split), {
+      baseWeightedDerivations.incrementAndGet()
+      weightedTradeEdges(s, d,
+        col("o_orderdate") < lit(split).cast("date"))
+        .localCheckpoint(true)
+    })
+  }
+
+  /** Drop the cached weighted base-edge artifacts too. */
+  def clearWeightedBaseEdgeCache(): Unit =
+    baseWeightedCache.synchronized(baseWeightedCache.clear())
+
+  /** Incremental communities — [[qGraphPagerankInc]]'s refresh
+    * contract transplanted to LPA, with one addition: the merged
+    * quantity is a WEIGHTED edge list, and co-trade counts are a
+    * decomposable aggregate, so per-era counts merged by one
+    * (a, b)-keyed SUM equal the full-history counts exactly (the
+    * IncrementalAgg identity — where pagerank's distinct edge set
+    * merges by distinct-union, weights merge by summation). Edge
+    * DERIVATION is delta-sized (the orders ⋈ lineitem walk reads the
+    * delta slice, filter pushed to the scan); the LPA ITERATION is
+    * graph-sized by design, exactly what q_graph_communities pays.
+    * The oracle is the FULL-RECOMPUTE formulation, so the hash gate
+    * proves the merge path drifts from re-derivation by nothing;
+    * PagerankSpec adds slice invariance and the derive-once cache
+    * contract. */
+  val qGraphCommunitiesInc = GraftQuery(
+    "q_graph_communities_inc",
+    (s, d) => {
+      import s.implicits._
+      val split = "1996-01-01"
+      val base = cachedWeightedBaseEdges(s, d, split)
+      val delta = weightedTradeEdges(s, d,
+        $"o_orderdate" >= lit(split).cast("date"))
+      val merged = base.unionByName(delta)
+        .groupBy($"a", $"b").agg(sum($"w").as("w"))
+      lpaOver(s, merged)
+    },
+    Some(communitiesOracle))
 
   val all: Seq[GraftQuery] =
     Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin,
       qMvMerge, qGraphPagerank, qGraphPagerankInc, qGraphTriangles,
-      qGraphCommunities)
+      qGraphCommunities, qGraphCommunitiesInc)
 }

@@ -122,4 +122,32 @@ class PagerankSpec extends SparkSpec {
     assert(k > 1 && k < lab.size,
       s"expected a real partition, got $k communities over ${lab.size} nodes")
   }
+
+  test("incremental communities: slice invariance and derive-once artifact") {
+    val d = sf("sf0.001")
+    val batch = queries.Cdc.qGraphCommunities.run(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // weight merge = summation: any split must reproduce the batch
+    // communities exactly (decomposable-count identity)
+    for (split <- Seq("1992-06-01", "1995-01-01", "1997-06-01")) {
+      val base = queries.Cdc.cachedWeightedBaseEdges(spark, d, split)
+      val delta = queries.Cdc.weightedTradeEdges(spark, d,
+        $"o_orderdate" >= lit(split).cast("date"))
+      val merged = base.unionByName(delta)
+        .groupBy($"a", $"b").agg(sum($"w").as("w"))
+      val inc = queries.Cdc.lpaOver(spark, merged)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(inc == batch, s"split $split drifted from the batch communities")
+    }
+    // the registry query: artifact derived once, then served cached
+    queries.Cdc.clearWeightedBaseEdgeCache()
+    val before = queries.Cdc.baseWeightedDerivations.get()
+    queries.Cdc.qGraphCommunitiesInc.run(spark, d).collect()
+    assert(queries.Cdc.baseWeightedDerivations.get() == before + 1)
+    val got = queries.Cdc.qGraphCommunitiesInc.run(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(queries.Cdc.baseWeightedDerivations.get() == before + 1,
+      "second refresh must probe the cached artifact")
+    assert(got == batch)
+  }
 }
