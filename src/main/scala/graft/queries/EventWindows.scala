@@ -704,9 +704,65 @@ object EventWindows {
           AS is_peak
       FROM cell"""))
 
+  /** RFM feature table — the classic per-entity feature-engineering
+    * rollup (recency / frequency / monetary) every churn or LTV model
+    * starts from: days since last event, event count, exact total
+    * value, an activity flag, and order-of-magnitude bands. "Now" is
+    * the corpus max event time (broadcast 1-row aggregate), so the
+    * table is deterministic and re-derivable. Bands are DIGIT COUNTS
+    * (decimal order of magnitude) rather than data-dependent
+    * quantiles: a quantile band would need a second stats pass and a
+    * global rank; the magnitude band is map-side integer arithmetic
+    * with identical semantics at any scale — and no float ever enters
+    * (value stays in the 1e4-quantized exact longs).
+    *
+    * Scale shape: ONE user-keyed hash-aggregate over the corpus plus
+    * a broadcast scalar; everything else is map-side expression work
+    * on the user-sized table. */
+  val qRfmFeatures = GraftQuery(
+    "w_rfm_features",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").as("sec"),
+          floor($"value" * 1e4 + 0.5).cast("long").as("q"))
+      val now = ev.agg(max($"sec").as("now"))
+      ev.groupBy($"user_id")
+        .agg(max($"sec").as("last_sec"), count(lit(1)).as("frequency"),
+          sum($"q").as("monetary_q"))
+        .crossJoin(broadcast(now))
+        .select($"user_id",
+          expr("(now - last_sec) div 86400").as("recency_days"),
+          $"frequency",
+          ($"monetary_q".cast("double") / 1e4).as("monetary"),
+          (expr("(now - last_sec) div 86400") <= 30L).as("is_active"),
+          length($"frequency".cast("string")).as("f_band"),
+          length(greatest(expr("monetary_q div 10000"), lit(1L))
+            .cast("string")).as("m_band"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+          CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS q
+        FROM events),
+      agg AS (
+        SELECT user_id, max(sec) AS last_sec, COUNT(*) AS frequency,
+          CAST(SUM(q) AS BIGINT) AS monetary_q
+        FROM ev GROUP BY 1),
+      n AS (SELECT max(sec) AS now FROM ev)
+      SELECT user_id,
+        (n.now - last_sec) // 86400 AS recency_days,
+        frequency,
+        CAST(monetary_q AS DOUBLE) / 1e4 AS monetary,
+        (n.now - last_sec) // 86400 <= 30 AS is_active,
+        CAST(length(CAST(frequency AS VARCHAR)) AS INT) AS f_band,
+        CAST(length(CAST(greatest(monetary_q // 10000, 1) AS VARCHAR)) AS INT)
+          AS m_band
+      FROM agg, n"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
       qAsOfPriorView, qIntervalJoin, qFunnel, qRetentionCohorts,
       qValueOutliers, qVariantProps, qRolling1h, qValueHistogram,
-      qHopping, qGapFill, qMadOutliers, qSeasonal)
+      qHopping, qGapFill, qMadOutliers, qSeasonal, qRfmFeatures)
 }

@@ -1327,6 +1327,102 @@ object TextAnalysis {
       FROM db JOIN lr USING (b)
       GROUP BY doc_id"""))
 
+  /** Related-document retrieval over SPARSE tf-idf features — the
+    * token-space complement of the dense-embedding sim_* family: for
+    * each document, the top-3 others sharing the most rare-token
+    * evidence, scored by summed idf over the shared DISTINCT tokens.
+    * This is the "similar articles" / citation-candidate shape, and
+    * the join is the classic df-capped postings trick (prefix
+    * filtering, Bayardo et al. WWW'07) with two scale guards:
+    * (1) "rare" is RELATIVE — 2 ≤ df ≤ max(2, N/10), i.e. tokens in
+    * at most 10% of documents — so the token set carrying evidence is
+    * stable across scale factors (an absolute cap, or even a capped
+    * floor, empties the result as the corpus grows: at 10× every df
+    * grows 10× and nothing stays "rare" — the same cross-SF flip
+    * q_graph_triangles' degree cap exists to prevent);
+    * (2) each token's postings list is capped at the 256 LOWEST
+    * doc_ids (deterministic, oracle-replayed — the LSH per-bucket
+    * cap precedent), so per-token pair fan-out is ≤ 256² no matter
+    * how the df distribution shifts. The stated recall contract: a
+    * pair sharing only ubiquitous tokens, or meeting only beyond a
+    * hot token's 256-doc prefix, is invisible by design — shared
+    * stop-words are not evidence of relatedness, and the idf weight
+    * of a near-cap token is close to zero anyway.
+    *
+    * Determinism: scores are exact integer sums of the same
+    * validated floor(ln(N/df)·10⁶) fixed point as [[qIdfRarity]];
+    * ranking ties break by the smaller related id. The top-3 window
+    * is keyed on doc_id — a key space that grows with the corpus
+    * (the house window discipline). */
+  val qRelatedDocs = GraftQuery(
+    "t_related_docs",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
+        .localCheckpoint(true) // df + the postings join read it
+      val n = toks.select($"doc_id").distinct().agg(count(lit(1)).as("n"))
+      val rare = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .filter($"df" >= 2 &&
+          $"df" <= greatest(lit(2L), expr("n div 10")))
+        .select($"tok",
+          floor(log($"n".cast("double") / $"df".cast("double")) * 1e6)
+            .cast("long").as("idf_fp"))
+      val wTok = org.apache.spark.sql.expressions.Window
+        .partitionBy($"tok").orderBy($"doc_id")
+      val post = toks.join(rare, "tok")
+        .withColumn("prn", row_number().over(wTok))
+        .where($"prn" <= 256).drop("prn")
+        .localCheckpoint(true)
+      val pairs = post.select($"tok", $"doc_id".as("doc_a"), $"idf_fp")
+        .join(post.select($"tok", $"doc_id".as("doc_b")), "tok")
+        .where($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(sum($"idf_fp").as("score"))
+      val sym = pairs.union(
+        pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b"), $"score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_a").orderBy($"score".desc, $"doc_b".asc)
+      sym.withColumn("rank", row_number().over(w))
+        .where($"rank" <= 3)
+        .select($"doc_a".as("doc_id"), $"doc_b".as("related_id"),
+          $"score".as("shared_idf_micro"), $"rank")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+        FROM documents),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM t),
+      rare AS (
+        SELECT tok,
+          CAST(floor(ln(CAST(n.n AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1e6)
+            AS BIGINT) AS idf_fp
+        FROM t, n GROUP BY tok, n.n
+        HAVING COUNT(*) BETWEEN 2 AND greatest(2, n.n // 10)),
+      post AS (
+        SELECT doc_id, tok, idf_fp FROM (
+          SELECT t.doc_id, t.tok, rare.idf_fp,
+            ROW_NUMBER() OVER (PARTITION BY t.tok ORDER BY t.doc_id) AS prn
+          FROM t JOIN rare USING (tok))
+        WHERE prn <= 256),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(SUM(a.idf_fp) AS BIGINT) AS score
+        FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sym AS (
+        SELECT doc_a, doc_b, score FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a, score FROM pairs)
+      SELECT doc_a AS doc_id, doc_b AS related_id,
+        score AS shared_idf_micro, rank FROM (
+        SELECT doc_a, doc_b, score,
+          ROW_NUMBER() OVER (PARTITION BY doc_a
+            ORDER BY score DESC, doc_b ASC) AS rank
+        FROM sym)
+      WHERE rank <= 3"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
       qBpeEncode,
@@ -1334,5 +1430,5 @@ object TextAnalysis {
       qSkewSaltedAgg,
       qRepetition, qTopTerms, qMixSample, qCorpusYield, qIdfRarity,
       qReservoirSample, qBigramNll, qNllYieldCurve, qCollocations,
-      qTokenEntropy, qBackoffNll, qDsirLogratio)
+      qTokenEntropy, qBackoffNll, qDsirLogratio, qRelatedDocs)
 }

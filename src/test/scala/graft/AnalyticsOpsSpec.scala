@@ -228,6 +228,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("w_rfm_features: in-memory replay matches per user") {
+    val ev = Tables.events(spark, d)
+      .select($"user_id", expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)"),
+        floor($"value" * 1e4 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val now = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val last = rows.map(_._2).max
+      val freq = rows.size.toLong
+      val mq = rows.map(_._3).sum
+      val rec = Math.floorDiv(now - last, 86400L)
+      u -> (rec, freq, mq / 1e4, rec <= 30,
+        freq.toString.length, math.max(mq / 10000, 1L).toString.length)
+    }
+    val got = queries.EventWindows.qRfmFeatures.run(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4), r.getInt(5), r.getInt(6))).toMap
+    assert(got === expected, "RFM table must equal the in-memory replay")
+  }
+
   test("w_seasonal_hourofweek: shares partition each type, peaks follow counts") {
     val r = EventWindows.qSeasonal.run(spark, d).cache()
     val ev = Tables.events(spark, d)

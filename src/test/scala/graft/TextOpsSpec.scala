@@ -476,6 +476,44 @@ class TextOpsSpec extends SparkSpec {
     assert(bad === 0, "intersection/jaccard/estimate bounds must hold")
   }
 
+  test("t_related_docs: in-memory postings replay, ranks and no self-pairs") {
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d).select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").distinct.toSet }
+    val n = docs.length.toLong
+    val df = toks.flatMap(_._2).groupBy(identity)
+      .map { case (t, v) => t -> v.size.toLong }
+    val cap = math.max(2L, n / 10)
+    val rare = df.filter { case (_, c) => c >= 2 && c <= cap }
+      .map { case (t, c) =>
+        t -> math.floor(math.log(n.toDouble / c.toDouble) * 1e6).toLong }
+    // per-token postings capped at the 256 lowest doc_ids
+    val postings = rare.keys.map { t =>
+      t -> toks.filter(_._2.contains(t)).map(_._1).sorted.take(256).toSet
+    }.toMap
+    val pairScore = scala.collection.mutable.Map[(Long, Long), Long]()
+    for {
+      (a, ta) <- toks; (b, tb) <- toks if a < b
+      shared = (ta & tb).filter(t =>
+        rare.contains(t) && postings(t)(a) && postings(t)(b))
+      if shared.nonEmpty
+    } pairScore((a, b)) = shared.toSeq.map(rare).sum
+    val sym = pairScore.toSeq.flatMap { case ((a, b), s) =>
+      Seq((a, b, s), (b, a, s)) }
+    val expected = sym.groupBy(_._1).flatMap { case (a, cands) =>
+      cands.sortBy { case (_, b, s) => (-s, b) }.take(3).zipWithIndex
+        .map { case ((_, b, s), i) => (a, b) -> (s, i + 1) }
+    }
+    val got = queries.TextAnalysis.qRelatedDocs.run(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(got === expected, "engine must equal the quadratic in-memory replay")
+    assert(got.nonEmpty, "fixture must produce related pairs")
+    assert(got.keys.forall { case (a, b) => a != b }, "no self-pairs")
+  }
+
   test("t_dsir_logratio: in-memory importance-weight replay matches exactly") {
     val d = sf("sf0.001")
     val docs = Tables.documents(spark, d)
