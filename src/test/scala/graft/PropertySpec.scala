@@ -152,4 +152,61 @@ class PropertySpec extends SparkSpec {
       Cdc.batchEvents(cur, cur, nowEpoch = 1700000000L).isEmpty
     }, trials = 8)
   }
+
+  // --- round-8 fixed-point text scores --------------------------------
+
+  private val wordGen: Gen[String] =
+    Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val docGen: Gen[Seq[String]] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, wordGen))
+  private val corpusGen: Gen[Seq[Seq[String]]] =
+    Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, docGen))
+
+  private def entropyOn(texts: Seq[(Long, String)]) = {
+    val dir = java.nio.file.Files.createTempDirectory("prop_ent").toString
+    texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.TextAnalysis.qTokenEntropy.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+  }
+
+  test("entropy property: invariant under token permutation, bounded by ln") {
+    check(Prop.forAll(corpusGen) { corpus =>
+      val base = corpus.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }
+      val perm = corpus.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.reverse.mkString(" ")) }
+      val h1 = entropyOn(base)
+      val h2 = entropyOn(perm)
+      val bagInvariant = h1 == h2
+      val bounded = corpus.zipWithIndex.forall { case (ws, i) =>
+        val h = h1(i.toLong)
+        h >= -2L &&
+          h <= math.floor(math.log(ws.distinct.length.toDouble) * 1e6) + 2
+      }
+      bagInvariant && bounded
+    }, trials = 6)
+  }
+
+  test("DSIR property: doc scores are additive over the bucket-count split") {
+    // the per-doc weight is a SUM over bucket counts, so splitting any
+    // doc's tokens into two docs (same lang) and re-scoring with the
+    // SAME trained lr table must give w(doc) = w(partA) + w(partB)
+    check(Prop.forAll(corpusGen.suchThat(_.head.length >= 2)) { corpus =>
+      val docs = corpus.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, if (i % 2 == 0) "en" else "xx", ws.mkString(" ")) }
+        .toDF("doc_id", "lang", "text")
+      val idx = streaming.StreamingDsir.buildIndex(docs)
+      val (a, b) = corpus.head.splitAt(corpus.head.length / 2)
+      val probe = Seq((100L, corpus.head.mkString(" ")),
+        (101L, a.mkString(" ")), (102L, b.mkString(" ")))
+        .toDF("doc_id", "text")
+      val w = streaming.StreamingDsir.scoreBatch(probe, idx)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      w(100L) == w(101L) + w(102L)
+    }, trials = 6)
+  }
 }
