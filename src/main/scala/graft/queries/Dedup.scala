@@ -1539,10 +1539,80 @@ object Dedup {
       LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
       JOIN est e ON e.src_a = p.src_a AND e.src_b = p.src_b"""))
 
+  /** Quality-aware keeper selection — [[qKeepList]] keeps each
+    * cluster's LOWEST id (the deterministic default); production
+    * pipelines usually keep the BEST copy instead, because near-dup
+    * clusters mix clean and mangled variants of the same content.
+    * This is that composition: every clustered doc scored by the
+    * SAME quality expression t_quality_score and the corpus-yield
+    * verdict use ([[TextAnalysis.qualityScoreExpr]] — shared builder,
+    * so "best" can never drift from what the quality filter would
+    * keep), keeper = argmax score with ties to the lowest id. Scope
+    * is the cluster table (like dd_cluster_stats): singletons have
+    * no competing copy to choose between.
+    *
+    * Determinism: both engines derive the score double from
+    * identical integer token counts with the identical operand
+    * order, so score equality and ordering are bit-deterministic;
+    * the id tie-break covers exact-copy clusters where every score
+    * ties. Scale shape: the cluster artifact joins the map-side
+    * scored docs id-keyed; the argmax is one cluster-keyed
+    * max(struct) hash-aggregate — no window, no text on the
+    * shuffle after the score projection. */
+  val qQualityKeepList = GraftQuery(
+    "dd_quality_keep_list",
+    (s, d) => {
+      import s.implicits._
+      val scored = Tables.documents(s, d).select($"doc_id",
+        TextAnalysis.qualityScoreExpr($"text").as("score"))
+      val withCl = cachedClusters(s, d).join(scored, "doc_id")
+      val keep = withCl.groupBy($"cluster_id")
+        .agg(max(struct($"score".as("s"), (-$"doc_id").as("nd"))).as("m"))
+        .select($"cluster_id", (-$"m.nd").as("keeper"),
+          round($"m.s", 6).as("keeper_score"))
+      withCl.join(keep, "cluster_id")
+        .select($"doc_id", $"cluster_id",
+          round($"score", 6).as("quality_score"),
+          $"keeper", ($"doc_id" === $"keeper").as("is_kept"),
+          $"keeper_score")
+    },
+    Some(s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $bandsCte,
+      $clusterCtes,
+      qm AS (
+        SELECT doc_id,
+          length(toks) AS n_tokens,
+          length(list_filter(toks, x -> list_contains(
+            ['the','a','and','of','to','in','is','on','for','with'], x)))
+            AS n_stopwords,
+          length(list_distinct(toks)) AS n_distinct
+        FROM t),
+      qsc AS (
+        SELECT doc_id,
+          (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.5 ELSE 0.0 END) +
+          (CASE WHEN CAST(n_stopwords AS DOUBLE) / n_tokens
+                  BETWEEN 0.01 AND 0.5 THEN 0.25 ELSE 0.0 END) +
+          CAST(n_distinct AS DOUBLE) / n_tokens * 0.25 AS score
+        FROM qm),
+      qk AS (
+        SELECT c.doc_id, c.cluster_id, qsc.score
+        FROM clusters c JOIN qsc USING (doc_id)),
+      arg AS (
+        SELECT cluster_id, doc_id AS keeper, score AS keeper_score FROM (
+          SELECT cluster_id, doc_id, score,
+            ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY score DESC, doc_id ASC) AS rn
+          FROM qk)
+        WHERE rn = 1)
+      SELECT qk.doc_id, qk.cluster_id, round(qk.score, 6) AS quality_score,
+        arg.keeper, qk.doc_id = arg.keeper AS is_kept,
+        round(arg.keeper_score, 6) AS keeper_score
+      FROM qk JOIN arg USING (cluster_id)"""))
+
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
       qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
       qBloomContamination, qVerifiedPairs, qIncremental, qKeepList,
       qSimhashNearDup, qContainment, qClusterStats, qSemanticDedup,
-      qFuzzyJoin, qFuzzyCanonical, qCrossSourceMatrix, qSourceOverlap)
+      qFuzzyJoin, qFuzzyCanonical, qCrossSourceMatrix, qSourceOverlap,
+      qQualityKeepList)
 }

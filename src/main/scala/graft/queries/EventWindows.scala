@@ -760,9 +760,54 @@ object EventWindows {
           AS m_band
       FROM agg, n"""))
 
+  /** Behavioral transition matrix — the Markov-chain view of user
+    * journeys ([[qFunnel]] checks ONE prescribed path; this measures
+    * every observed one): consecutive event-type pairs per user,
+    * rolled up to a (from, to) matrix with exact fixed-point
+    * transition shares. The lag window is keyed on user_id (the house
+    * window discipline — parallelism grows with users); the share
+    * division runs over the |types|² matrix, and p_micro is integer
+    * floor division so no float enters the output.
+    *
+    * Ties inside one second order by event_id on both engines, so the
+    * pair sequence — and therefore every count — is deterministic. */
+  val qEventTransitions = GraftQuery(
+    "w_event_transitions",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+      val pairs = Tables.events(s, d)
+        .select($"user_id", $"event_id",
+          expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").as("sec"),
+          $"event_type")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .where($"prev".isNotNull)
+        .select($"prev".as("from_type"), $"event_type".as("to_type"))
+        .groupBy($"from_type", $"to_type")
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy($"from_type").agg(sum($"n").as("n_from"))
+      pairs.join(tot, "from_type")
+        .select($"from_type", $"to_type", $"n",
+          expr("(n * 1000000) div n_from").as("p_micro"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+          LAG(event_type) OVER (PARTITION BY user_id
+            ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+        FROM events),
+      pairs AS (
+        SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY 1)
+      SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+        CAST((p.n * 1000000) // t.n_from AS BIGINT) AS p_micro
+      FROM pairs p JOIN tot t USING (from_type)"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
       qAsOfPriorView, qIntervalJoin, qFunnel, qRetentionCohorts,
       qValueOutliers, qVariantProps, qRolling1h, qValueHistogram,
-      qHopping, qGapFill, qMadOutliers, qSeasonal, qRfmFeatures)
+      qHopping, qGapFill, qMadOutliers, qSeasonal, qRfmFeatures,
+      qEventTransitions)
 }

@@ -31,7 +31,7 @@ object TextAnalysis {
     * threshold can never drift between the report and the per-doc
     * query. Raw ratios feed the score; any rounding happens only at
     * an output edge. */
-  private def qualityScoreExpr(text: Column): Column = {
+  private[queries] def qualityScoreExpr(text: Column): Column = {
     val toks = tokens(text)
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isInCollection(stopWords)))

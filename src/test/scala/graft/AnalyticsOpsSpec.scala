@@ -228,6 +228,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("w_event_transitions: in-memory Markov replay and share algebra") {
+    val ev = Tables.events(spark, d)
+      .select($"user_id", $"event_id",
+        expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").as("sec"),
+        $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }
+    val n = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nFrom = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val expected = n.map { case ((f, t), c) =>
+      (f, t) -> (c, Math.floorDiv(c * 1000000L, nFrom(f))) }
+    val got = queries.EventWindows.qEventTransitions.run(spark, d)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected, "engine must equal the in-memory Markov replay")
+    // pair conservation: one pair per event beyond each user's first
+    val users = ev.map(_._1).distinct.length
+    assert(got.values.map(_._1).sum === ev.length - users)
+    // floor shares per from-type sum to 1e6 minus < |to types| residue
+    got.keys.map(_._1).toSeq.distinct.foreach { f =>
+      val shares = got.filter(_._1._1 == f).values.map(_._2)
+      assert(shares.sum <= 1000000L && shares.sum > 1000000L - shares.size)
+    }
+  }
+
   test("w_rfm_features: in-memory replay matches per user") {
     val ev = Tables.events(spark, d)
       .select($"user_id", expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)"),

@@ -50,4 +50,39 @@ class KeepListSpec extends SparkSpec {
     val yieldDedupDrops = y.agg(sum($"n_drop_dedup")).head().getLong(0)
     assert(yieldDedupDrops == keepListDrops)
   }
+
+  test("dd_quality_keep_list: keeper is the cluster's best-quality copy") {
+    import org.apache.spark.sql.functions._
+    val d = sf("sf0.001")
+    val r = queries.Dedup.qQualityKeepList.run(spark, d).cache()
+    // scope: exactly the cluster table, one keeper per cluster
+    val clusters = queries.Dedup.qDupClusters.run(spark, d).cache()
+    assert(r.count() === clusters.count())
+    assert(r.filter($"is_kept").count() ===
+      clusters.select($"cluster_id").distinct().count())
+    // the keeper really is in its own cluster
+    val foreign = r.filter($"is_kept")
+      .join(clusters.withColumnRenamed("doc_id", "keeper"),
+        Seq("cluster_id", "keeper"), "left_anti").count()
+    assert(foreign === 0, "keeper must be a member of its cluster")
+    // argmax truth: recompute from t_quality_score (shared builder)
+    val scores = queries.TextAnalysis.qQualityScore.run(spark, d)
+      .select($"doc_id", $"quality_score").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val byCluster = r.select($"doc_id", $"cluster_id", $"keeper")
+      .collect().groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      val members = rows.map(_.getLong(0))
+      val keeper = rows.head.getLong(2)
+      val best = members.map(id => (scores(id), -id)).max
+      assert((scores(keeper), -keeper) === best,
+        s"cluster $cid keeper must argmax (score, -id)")
+    }
+    // no member outscores its keeper
+    val outscored = r
+      .join(r.filter($"is_kept").select($"cluster_id",
+        $"keeper_score".as("ks")), "cluster_id")
+      .filter($"quality_score" > $"ks").count()
+    assert(outscored === 0)
+  }
 }
