@@ -1423,6 +1423,135 @@ object TextAnalysis {
         FROM sym)
       WHERE rank <= 3"""))
 
+  /** CCNet-style perplexity tiers — the head/middle/tail split CCNet
+    * cuts each language's corpus into before sampling (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets", the
+    * standard precursor to a perplexity-filtered pretraining mix):
+    * per language, the best-scoring third of documents by LM mean-NLL
+    * is `head`, the next third `middle`, the rest `tail`; the report
+    * is per-(lang, tier) doc and token volume, the table a curation
+    * run reads to decide how much of each tier to keep.
+    *
+    * Tercile semantics are HISTOGRAM-GRANULAR by design: docs bucket
+    * into fixed 0.1-nat NLL steps, and tier edges are the smallest
+    * bucket whose cumulative doc count reaches n/3 (resp. 2n/3) of the
+    * language. A doc-exact NTILE would need a full per-language sort —
+    * with ≤ a handful of languages that is the straggler wall
+    * t_reservoir_sample documents — while the bucket histogram is one
+    * hash-aggregate, and at 0.1-nat granularity the cut differs from
+    * doc-exact terciles only inside the single edge bucket. Everything
+    * is integer (micro-nat fixed point from the shared bigram scorer),
+    * so both engines derive identical edges.
+    *
+    * Scale shape: rides t_bigram_nll's one corpus pass (see its
+    * scaladoc), then one (lang, bucket) hash-aggregate; the cumulative
+    * window and the tercile-edge argmin run over the BUCKET table only
+    * (≤ ~languages · ln(corpus)/0.1 rows — thousands, not corpus);
+    * classification back to tiers is a bucket-table join, never a
+    * second doc pass. */
+  val qPplBuckets = GraftQuery(
+    "t_ppl_buckets",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val hist = qBigramNll.run(s, d)
+        .join(Tables.documents(s, d).select($"doc_id", $"lang"), "doc_id")
+        .select($"lang", expr("mean_nll_micro div 100000").as("bucket"),
+          ($"n_bigrams" + 1L).as("n_toks"))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+        .localCheckpoint(true) // cum window + totals + classify all read it
+      val w = Window.partitionBy($"lang").orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum_docs", sum($"n_docs").over(w))
+      val tot = hist.groupBy($"lang").agg(sum($"n_docs").as("n"))
+      val edges = cum.join(tot, "lang")
+        .groupBy($"lang")
+        .agg(min(when($"cum_docs" * 3 >= $"n", $"bucket")).as("t1"),
+          min(when($"cum_docs" * 3 >= $"n" * 2, $"bucket")).as("t2"))
+      hist.join(edges, "lang")
+        .select($"lang",
+          when($"bucket" <= $"t1", lit("head"))
+            .when($"bucket" <= $"t2", lit("middle"))
+            .otherwise(lit("tail")).as("tier"),
+          $"n_docs", $"n_tokens")
+        .groupBy($"lang", $"tier")
+        .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"))
+    },
+    Some(s"""WITH $bigramScoreCtes,
+      sc AS (
+        SELECT d.lang, s.mean_nll_micro // 100000 AS bucket,
+          s.n_bigrams + 1 AS n_toks
+        FROM scores s JOIN documents d USING (doc_id)),
+      hist AS (
+        SELECT lang, bucket, COUNT(*) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        FROM sc GROUP BY 1, 2),
+      cum AS (
+        SELECT *, SUM(n_docs) OVER (PARTITION BY lang ORDER BY bucket
+          ROWS UNBOUNDED PRECEDING) AS cum_docs FROM hist),
+      tot AS (SELECT lang, SUM(n_docs) AS n FROM hist GROUP BY 1),
+      edges AS (
+        SELECT lang,
+          MIN(CASE WHEN cum_docs * 3 >= n THEN bucket END) AS t1,
+          MIN(CASE WHEN cum_docs * 3 >= n * 2 THEN bucket END) AS t2
+        FROM cum JOIN tot USING (lang) GROUP BY 1)
+      SELECT h.lang,
+        CASE WHEN bucket <= t1 THEN 'head'
+             WHEN bucket <= t2 THEN 'middle' ELSE 'tail' END AS tier,
+        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM hist h JOIN edges USING (lang)
+      GROUP BY 1, 2"""))
+
+  /** Context-window chunking — the split step that turns documents
+    * into fixed-size training windows with overlap (the "stride"
+    * pattern every LM data loader applies before packing): windows of
+    * 64 whitespace tokens starting every 48 tokens (16-token overlap
+    * carries context across the cut), the final window simply short.
+    * Output is one row per chunk with its token coordinates and an
+    * md5 fingerprint of the chunk text — the 16-byte key downstream
+    * chunk-level dedup (dd_chunk_dedup's shape) joins on, so the
+    * chunk text itself never has to shuffle.
+    *
+    * Scale shape: pure map-side — one projection, one bounded
+    * explode (⌈n/48⌉ rows per doc, fan-out proportional to input
+    * size exactly like the token explodes), no join, no aggregate,
+    * no shuffle at all; parallelism follows the corpus scan. */
+  val qChunkSplit = GraftQuery(
+    "t_chunk_split",
+    (s, d) => {
+      import s.implicits._
+      val win = 64
+      val stride = 48
+      val len = least(lit(win), size($"toks") - $"tok_lo" + 1)
+      Tables.documents(s, d)
+        .where(length(trim($"text")) > 0)
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", $"toks",
+          posexplode(sequence(lit(1), size($"toks"), lit(stride)))
+            .as(Seq("ci", "tok_lo")))
+        .select($"doc_id", $"ci".cast("int").as("chunk_idx"),
+          $"tok_lo".cast("long").as("tok_lo"),
+          len.cast("long").as("n_toks"),
+          md5(array_join(slice($"toks", $"tok_lo", len), " ")).as("fp"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0),
+      st AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+          unnest(range(1, len(toks) + 1, 48)) AS tok_lo
+        FROM t)
+      SELECT doc_id,
+        CAST((tok_lo - 1) // 48 AS INT) AS chunk_idx,
+        CAST(tok_lo AS BIGINT) AS tok_lo,
+        CAST(least(64, n - tok_lo + 1) AS BIGINT) AS n_toks,
+        md5(array_to_string(
+          list_slice(toks, tok_lo, least(tok_lo + 63, n)), ' ')) AS fp
+      FROM st"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTokenStats, qQualityScore, qLangId, qFingerprint, qTokenBpe,
       qBpeEncode,
@@ -1430,5 +1559,6 @@ object TextAnalysis {
       qSkewSaltedAgg,
       qRepetition, qTopTerms, qMixSample, qCorpusYield, qIdfRarity,
       qReservoirSample, qBigramNll, qNllYieldCurve, qCollocations,
-      qTokenEntropy, qBackoffNll, qDsirLogratio, qRelatedDocs)
+      qTokenEntropy, qBackoffNll, qDsirLogratio, qRelatedDocs,
+      qPplBuckets, qChunkSplit)
 }

@@ -555,4 +555,61 @@ class TextOpsSpec extends SparkSpec {
     assert(enMean > otherMean,
       "en docs must score more target-like than non-en docs")
   }
+
+  test("t_ppl_buckets: tiers partition each language's scorable docs") {
+    val dir = sf("sf0.001")
+    val tiers = queries.TextAnalysis.qPplBuckets.run(spark, dir).collect()
+    assert(tiers.forall(r =>
+      Set("head", "middle", "tail").contains(r.getAs[String]("tier"))))
+    // Per language, the tier doc counts must sum to the scorable-doc
+    // population (same ≥2-token domain as t_bigram_nll), and the
+    // tercile-edge definition guarantees head ≥ n/3 and
+    // head+middle ≥ 2n/3 (edge buckets round UP into the lower tier).
+    val scorable = queries.TextAnalysis.qBigramNll.run(spark, dir)
+      .join(Tables.documents(spark, dir).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = tiers.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet == scorable.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val n = scorable(lang)
+      def docs(t: String) =
+        rows.filter(_.getAs[String]("tier") == t)
+          .map(_.getAs[Long]("n_docs")).sum
+      assert(docs("head") + docs("middle") + docs("tail") == n, lang)
+      assert(docs("head") * 3 >= n, s"$lang head below tercile")
+      assert((docs("head") + docs("middle")) * 3 >= 2 * n,
+        s"$lang head+middle below 2nd tercile")
+    }
+  }
+
+  test("t_chunk_split: hand-computed windows, stride, and fingerprints") {
+    val toks = (1 to 100).map(i => s"t$i")
+    val df = Seq((0L, toks.mkString(" ")), (1L, "only"), (2L, "  "))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("chunks").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = queries.TextAnalysis.qChunkSplit.run(spark, dir)
+      .orderBy($"doc_id", $"chunk_idx").collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 0: 100 tokens → windows at 1, 49, 97 of 64, 52, 4 tokens.
+    val d0 = rows.filter(_.getLong(0) == 0L)
+    assert(d0.map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0, 1L, 64L), (1, 49L, 52L), (2, 97L, 4L)))
+    assert(d0(1).getAs[String]("fp") ==
+      md5hex(toks.slice(48, 100).mkString(" ")))
+    // doc 1: single token → exactly one 1-token window; doc 2: blank
+    // text is excluded entirely (no [''] phantom token).
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0, 1L, 1L)))
+    assert(d1.head.getAs[String]("fp") == md5hex("only"))
+    assert(!rows.exists(_.getLong(0) == 2L))
+    // Consecutive windows overlap by exactly 64-48=16 tokens.
+    assert(d0(0).getLong(2) + 48 == d0(1).getLong(2))
+  }
 }
