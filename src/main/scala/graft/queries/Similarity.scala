@@ -1155,9 +1155,119 @@ object Similarity {
           > nn.pmicro AS is_separated
       FROM agg JOIN nn USING (cell)"""))
 
+  /** Hard-negative mining — the contrastive-training staple: for each
+    * vector, the most-similar vector carrying a DIFFERENT label (the
+    * "hard" negative a triplet/InfoNCE loss wants, versus the easy
+    * random negative). Candidates come from the same 2-table×8-bit
+    * LSH banding as sim_knn_graph — a hard negative is by definition
+    * nearby, exactly the regime the sign-hyperplane buckets recall —
+    * so the oracle's candidate CTE replays the identical construction
+    * and the hash gate re-proves the pipeline end to end. Output: one
+    * row per anchor that has at least one cross-label candidate, with
+    * the negative's id, both labels, and the exact-integer cosine.
+    *
+    * Scale shape: identical to sim_knn_graph (capped banded buckets,
+    * vocabulary-keyed label joins, bounded top-k hash-aggregate — no
+    * window over the corpus); the label filter only SHRINKS the
+    * candidate set, and the final top-1 carries ≤ 1 row per anchor
+    * into the two label re-joins. */
+  val qHardNegatives = GraftQuery(
+    "sim_hard_negatives",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val sig = e.select($"vec_id", quant($"embedding").as("q"))
+        .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
+        .filter($"qn" > 0) // zero-norm policy — see cosineTopK scaladoc
+        .localCheckpoint(true) // feeds buckets AND both cosine sides
+      val lab = e.select($"vec_id", $"label")
+      val pairs = Dedup.annCandidatePairs(sig, tables = 2, bits = 8, cap = 128)
+      val qa = sig.select($"vec_id".as("a_id"), $"q".as("aq"), $"qn".as("an"))
+      val qb = sig.select($"vec_id".as("b_id"), $"q".as("bq"), $"qn".as("bn"))
+      val cos = round(idot($"aq", $"bq").cast("double") / ($"an" * $"bn"), 6)
+      pairs
+        .join(lab.select($"vec_id".as("a_id"), $"label".as("a_label")), "a_id")
+        .join(lab.select($"vec_id".as("b_id"), $"label".as("b_label")), "b_id")
+        .filter($"a_label" =!= $"b_label")
+        .join(qa, "a_id").join(qb, "b_id")
+        .select($"a_id", $"b_id", cos.as("cosine"))
+        .groupBy($"a_id")
+        .agg(TopKAggregate.of($"b_id", $"cosine", 1).as("tk"))
+        .select($"a_id", $"tk".getItem(0).getField("id").as("hard_neg"),
+          $"tk".getItem(0).getField("score").as("cosine"))
+        .join(lab.select($"vec_id".as("a_id"), $"label"), "a_id")
+        .join(lab.select($"vec_id".as("hard_neg"), $"label".as("neg_label")),
+          "hard_neg")
+        .select($"a_id".as("vec_id"), $"label", $"hard_neg", $"neg_label",
+          $"cosine")
+    },
+    Some(s"""${Dedup.annRankedCtes(tables = 2, cap = 128)},
+      lab AS (SELECT vec_id, label FROM embeddings),
+      xl AS (
+        SELECT s.a_id, la.label AS label, s.b_id, lb.label AS neg_label,
+          s.cosine
+        FROM scored s
+        JOIN lab la ON la.vec_id = s.a_id
+        JOIN lab lb ON lb.vec_id = s.b_id
+        WHERE la.label <> lb.label),
+      hr AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+          ORDER BY cosine DESC, b_id ASC) AS hrk
+        FROM xl)
+      SELECT a_id AS vec_id, label, b_id AS hard_neg, neg_label, cosine
+      FROM hr WHERE hrk = 1"""))
+
+  /** Leave-one-out k-NN evaluation — the standard embedding-quality
+    * probe: each vector is classified by majority vote of its k=3
+    * nearest neighbors' labels (itself excluded — the candidate pairs
+    * never contain self-pairs), and the output is the confusion
+    * matrix (true label, predicted label, count), ≤ |labels|² rows.
+    * The per-class diagonal/off-diagonal read directly gives recall
+    * and the dominant confusions — the report an embedding-model
+    * retrain is judged by. Vote ties break to the SMALLEST label
+    * (spelled identically in both engines).
+    *
+    * Scale shape: rides sim_knn_graph's candidate machinery (banded
+    * buckets, bounded top-k — see its scaladoc); the vote is a
+    * (vec_id, label) hash-aggregate over ≤ 3 rows per anchor, the
+    * argmax a max(struct) aggregate (never a window), and the final
+    * confusion rollup lands on a |labels|²-bounded key space. */
+  val qKnnEval = GraftQuery(
+    "sim_knn_eval",
+    (s, d) => {
+      import s.implicits._
+      val lab = Tables.embeddings(s, d).select($"vec_id", $"label")
+      val votes = qKnnGraph.run(s, d)
+        .join(lab.select($"vec_id".as("neighbor"), $"label".as("nl")),
+          "neighbor")
+        .groupBy($"vec_id", $"nl")
+        .agg(count(lit(1)).as("votes"))
+      votes.groupBy($"vec_id")
+        .agg(max(struct($"votes", (-$"nl").as("neg"))).as("m"))
+        .select($"vec_id", (-$"m.neg").cast("int").as("predicted"))
+        .join(lab, "vec_id")
+        .groupBy($"label", $"predicted")
+        .agg(count(lit(1)).as("n"))
+    },
+    Some(s"""${Dedup.annRankedCtes(tables = 2, cap = 128)},
+      knn AS (SELECT a_id, b_id FROM ranked WHERE rk <= 3),
+      votes AS (
+        SELECT k.a_id, lb.label AS nl, COUNT(*) AS votes
+        FROM knn k JOIN embeddings lb ON lb.vec_id = k.b_id
+        GROUP BY 1, 2),
+      pred AS (
+        SELECT a_id, nl AS predicted,
+          ROW_NUMBER() OVER (PARTITION BY a_id
+            ORDER BY votes DESC, nl ASC) AS prk
+        FROM votes)
+      SELECT la.label, p.predicted, COUNT(*) AS n
+      FROM pred p JOIN embeddings la ON la.vec_id = p.a_id
+      WHERE p.prk = 1
+      GROUP BY 1, 2"""))
+
   val all: Seq[GraftQuery] =
     Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK,
       qIvfMultiprobe, qKnnGraph, qKmeansCells, qIvfTrainedTopK,
       qPqCodes, qPqAdcTopK, qPqFit, qIvfPqTopK, qCentroidOutliers,
-      qClusterQuality)
+      qClusterQuality, qHardNegatives, qKnnEval)
 }
