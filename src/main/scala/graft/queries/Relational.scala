@@ -1243,6 +1243,74 @@ object Relational {
         audit("orders", "o_custkey")).mkString("\nUNION ALL\n")
     })
 
+  /** Market-basket pair mining — the association-rule co-occurrence
+    * pass (the support/lift half of Apriori, which at pair depth needs
+    * no candidate pruning at all): which part brands appear together
+    * in the same order more often than independence predicts. Output
+    * is one row per unordered brand pair above a minimum support of 5
+    * co-orders, with the pair count, both marginals, and LIFT in 1e-6
+    * fixed point — lift = P(a,b)/(P(a)·P(b)) = c_ab·N/(c_a·c_b).
+    *
+    * Determinism: lift is the t_collocations two-step sequential floor
+    * — t = (c_ab·10⁶) div c_a (≤ 10⁶ since c_ab ≤ c_a), then
+    * (t·N) div c_b — identical on both engines, every intermediate
+    * bounded by 10⁶·N ≪ 2⁶³ at any real order count.
+    *
+    * Scale shape: the basket table is one DISTINCT hash-aggregate of
+    * lineitem⋈part projected to (orderkey, brand); the pair explosion
+    * self-joins that table ON ITS OWN aggregate key (orderkey — the
+    * exchange is reused, no second shuffle) with fan-out bounded by
+    * the per-order brand count (≤ lines per order, single digits in
+    * any order-shaped schema), never all-pairs over brands; pair and
+    * marginal rollups land on the |brands|²-bounded key space, and N
+    * is a 1-row broadcast. The basket table is localCheckpoint'd once
+    * since three consumers (both join sides, the marginals, N) read
+    * it. */
+  val qBasketPairs = GraftQuery(
+    "q_basket_pairs",
+    (s, d) => {
+      import s.implicits._
+      val ob = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        .join(Tables.part(s, d)
+          .select($"p_partkey".as("l_partkey"), $"p_brand"), "l_partkey")
+        .select($"l_orderkey", $"p_brand").distinct()
+        .localCheckpoint(true)
+      val tot = ob.agg(countDistinct($"l_orderkey").as("n_orders"))
+      val ca = ob.groupBy($"p_brand").agg(count(lit(1)).as("c"))
+      ob.as("x").join(ob.as("y"), "l_orderkey")
+        .where($"x.p_brand" < $"y.p_brand")
+        .select($"x.p_brand".as("brand_a"), $"y.p_brand".as("brand_b"))
+        .groupBy($"brand_a", $"brand_b")
+        .agg(count(lit(1)).as("c_ab"))
+        .where($"c_ab" >= 5)
+        .join(ca.select($"p_brand".as("brand_a"), $"c".as("c_a")), "brand_a")
+        .join(ca.select($"p_brand".as("brand_b"), $"c".as("c_b")), "brand_b")
+        .crossJoin(broadcast(tot))
+        .select($"brand_a", $"brand_b", $"c_ab", $"c_a", $"c_b",
+          expr("(((c_ab * 1000000) div c_a) * n_orders) div c_b")
+            .as("lift_fp"))
+    },
+    Some("""
+      WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+      ca AS (SELECT p_brand, COUNT(*) AS c FROM ob GROUP BY 1),
+      pr AS (
+        SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+          COUNT(*) AS c_ab
+        FROM ob x JOIN ob y
+          ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5)
+      SELECT brand_a, brand_b, CAST(c_ab AS BIGINT) AS c_ab,
+        CAST(a.c AS BIGINT) AS c_a, CAST(b.c AS BIGINT) AS c_b,
+        CAST((((c_ab * 1000000) // a.c) * (SELECT n_orders FROM tot))
+          // b.c AS BIGINT) AS lift_fp
+      FROM pr
+      JOIN ca a ON a.p_brand = pr.brand_a
+      JOIN ca b ON b.p_brand = pr.brand_b"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,
     q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q8MarketShare,
@@ -1252,5 +1320,5 @@ object Relational {
     qOuterBalance, qSetOps, qRollup, qCube, qWindowFuncs, qPercentiles,
     qCorrelatedSubquery, q18LargeOrders, qGroupingSets, qPivotStatus,
     qApproxPercentiles, qTableProfile, qTableProfileApprox,
-    qProfileDrift, qJoinSkewReport)
+    qProfileDrift, qJoinSkewReport, qBasketPairs)
 }

@@ -296,4 +296,26 @@ class AnalyticsOpsSpec extends SparkSpec {
       .filter(($"n_events" * 168L > $"tot" * 2L) =!= $"is_peak").count()
     assert(badPeak === 0)
   }
+
+  test("q_basket_pairs: hand-computed lift, support cut, in-order dup collapse") {
+    // 6 baskets: five contain {A,B}, one contains {A,C}; basket 1
+    // repeats part 10 (brand A) twice — the DISTINCT must collapse it.
+    val li = (1 to 5).flatMap(o => Seq((o.toLong, 10L), (o.toLong, 20L))) ++
+      Seq((1L, 10L), (6L, 10L), (6L, 30L))
+    val pt = Seq((10L, "A"), (20L, "B"), (30L, "C"))
+    val dir = java.nio.file.Files.createTempDirectory("basket").toString
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    pt.toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val rows = Relational.qBasketPairs.run(spark, dir).collect()
+    // Only (A,B) reaches support 5; (A,C) has c_ab=1 and is cut.
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("brand_a") == "A" && r.getAs[String]("brand_b") == "B")
+    assert(r.getAs[Long]("c_ab") == 5L, "dup part in basket 1 must not inflate c_ab")
+    assert(r.getAs[Long]("c_a") == 6L && r.getAs[Long]("c_b") == 5L)
+    // lift = ((5e6 div 6) * 6) div 5 = (833333*6) div 5 = 999999 ≈ 1.
+    assert(r.getAs[Long]("lift_fp") == 999999L)
+  }
 }
