@@ -777,8 +777,102 @@ object Cdc {
     },
     Some(communitiesOracle))
 
+  /** Bounded-round k-core peel shared by the registry query and
+    * KcoreSpec's constructed-cascade fixture. Input is a
+    * directed-distinct edge list (a, b); each round computes residual
+    * degree over the surviving subgraph, peels every node below k
+    * (recording the round and the degree it held when peeled), and
+    * drops its edges — so a removal can cascade into the next round.
+    * Survivors report round 0 with their residual degree. */
+  private[graft] def kcoreOver(s: org.apache.spark.sql.SparkSession,
+      e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import s.implicits._
+    var edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+      .localCheckpoint(true)
+    var alive = edges.select($"a").distinct().localCheckpoint(true)
+    var out: DataFrame = Seq.empty[(String, Int, Long)]
+      .toDF("node", "peel_round", "deg")
+    for (r <- 1 to rounds) {
+      // LEFT JOIN from the alive set: a node whose every edge was
+      // peeled away has NO degree row — it must read as 0, not vanish.
+      val degNow = alive
+        .join(edges.groupBy($"a").agg(count(lit(1)).as("dg")),
+          Seq("a"), "left")
+        .select($"a", coalesce($"dg", lit(0L)).as("dg"))
+        .localCheckpoint(true) // peel + survivor split both read it
+      out = out.unionByName(degNow.filter($"dg" < k)
+        .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg")))
+      alive = degNow.filter($"dg" >= k).select($"a").localCheckpoint(true)
+      edges = edges
+        .join(alive, Seq("a"), "left_semi")
+        .join(alive.select($"a".as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    val finalDeg = alive
+      .join(edges.groupBy($"a").agg(count(lit(1)).as("dg")), Seq("a"), "left")
+      .select($"a".as("node"), lit(0).as("peel_round"),
+        coalesce($"dg", lit(0L)).as("deg"))
+    out.unionByName(finalDeg)
+  }
+
+  /** k-core decomposition (bounded peel) on the customer–supplier
+    * trade graph — the standard graph-cleaning primitive: repeatedly
+    * strip nodes of degree < k so only the densely-interconnected
+    * core survives (degeneracy ordering, spam/fringe trimming, the
+    * usual pre-pass before community or embedding work). True k-core
+    * iterates to a fixed point; this is the SAME fixed-round
+    * discipline as q_graph_pagerank and the LPA communities — 3 peel
+    * rounds, each recorded, so a node's row says either the round it
+    * fell (1–3, with the degree it held) or 0 = still in the
+    * residual core with its remaining degree. Each extra round is one
+    * more (aggregate + two semi-joins); the round count is a dial,
+    * not a structural limit.
+    *
+    * Scale shape: per round ONE degree hash-aggregate over surviving
+    * edges plus two left-semi joins against the (shrinking) alive
+    * set, every intermediate localCheckpoint'd exactly like the
+    * pagerank/LPA rounds; nothing is collected, and the oracle
+    * unrolls the identical three rounds so the hash gate proves the
+    * cascade (a peel lowering its neighbor below k next round) step
+    * for step. */
+  val qGraphKcore = GraftQuery(
+    "q_graph_kcore",
+    (s, d) => kcoreOver(s, tradeEdges(s, d, lit(true)), k = 10, rounds = 3),
+    Some {
+      val peel = (r: Int) => s"""
+        p$r AS (SELECT a, dg FROM d$r WHERE dg < 10),
+        a$r AS (SELECT a FROM d$r WHERE dg >= 10),
+        u${r + 1} AS (
+          SELECT u.a, u.b FROM u$r u
+          JOIN a$r x ON u.a = x.a JOIN a$r y ON u.b = y.a),
+        d${r + 1} AS (
+          SELECT a$r.a, CAST(COALESCE(cnt, 0) AS BIGINT) AS dg
+          FROM a$r LEFT JOIN (
+            SELECT a, COUNT(*) AS cnt FROM u${r + 1} GROUP BY 1) c
+          USING (a))"""
+      s"""
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                        's' || CAST(l_suppkey AS VARCHAR) AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      u1 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      n1 AS (SELECT DISTINCT a FROM u1),
+      d1 AS (
+        SELECT n1.a, CAST(COALESCE(cnt, 0) AS BIGINT) AS dg
+        FROM n1 LEFT JOIN (
+          SELECT a, COUNT(*) AS cnt FROM u1 GROUP BY 1) c USING (a)),
+      ${peel(1)}, ${peel(2)}, ${peel(3)}
+      SELECT a AS node, CAST(1 AS INT) AS peel_round, dg AS deg FROM p1
+      UNION ALL
+      SELECT a, CAST(2 AS INT), dg FROM p2
+      UNION ALL
+      SELECT a, CAST(3 AS INT), dg FROM p3
+      UNION ALL
+      SELECT a, CAST(0 AS INT), dg FROM d4"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin,
       qMvMerge, qGraphPagerank, qGraphPagerankInc, qGraphTriangles,
-      qGraphCommunities, qGraphCommunitiesInc)
+      qGraphCommunities, qGraphCommunitiesInc, qGraphKcore)
 }
