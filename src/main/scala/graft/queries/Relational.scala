@@ -1283,8 +1283,13 @@ object Relational {
         .groupBy($"brand_a", $"brand_b")
         .agg(count(lit(1)).as("c_ab"))
         .where($"c_ab" >= 5)
-        .join(ca.select($"p_brand".as("brand_a"), $"c".as("c_a")), "brand_a")
-        .join(ca.select($"p_brand".as("brand_b"), $"c".as("c_b")), "brand_b")
+        // brand marginals are |brands|-bounded (attribute domain, not
+        // SF-scaled) — pin the broadcast; AQE can't size an aggregate
+        // over checkpointed lineage.
+        .join(broadcast(ca.select($"p_brand".as("brand_a"), $"c".as("c_a"))),
+          "brand_a")
+        .join(broadcast(ca.select($"p_brand".as("brand_b"), $"c".as("c_b"))),
+          "brand_b")
         .crossJoin(broadcast(tot))
         .select($"brand_a", $"brand_b", $"c_ab", $"c_a", $"c_b",
           expr("(((c_ab * 1000000) div c_a) * n_orders) div c_b")

@@ -1465,11 +1465,13 @@ object TextAnalysis {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cum_docs", sum($"n_docs").over(w))
       val tot = hist.groupBy($"lang").agg(sum($"n_docs").as("n"))
-      val edges = cum.join(tot, "lang")
+      // tot and edges are |languages|-bounded — pin the broadcasts
+      // (aggregates over checkpointed lineage carry no AQE stats).
+      val edges = cum.join(broadcast(tot), "lang")
         .groupBy($"lang")
         .agg(min(when($"cum_docs" * 3 >= $"n", $"bucket")).as("t1"),
           min(when($"cum_docs" * 3 >= $"n" * 2, $"bucket")).as("t2"))
-      hist.join(edges, "lang")
+      hist.join(broadcast(edges), "lang")
         .select($"lang",
           when($"bucket" <= $"t1", lit("head"))
             .when($"bucket" <= $"t2", lit("middle"))
