@@ -869,7 +869,8 @@ object Cdc {
       SELECT a, CAST(3 AS INT), dg FROM p3
       UNION ALL
       SELECT a, CAST(0 AS INT), dg FROM d4"""
-    })
+    },
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin,

@@ -804,10 +804,108 @@ object EventWindows {
         CAST((p.n * 1000000) // t.n_from AS BIGINT) AS p_micro
       FROM pairs p JOIN tot t USING (from_type)"""))
 
+  /** Audience-growth curve — per day, how many users are NEW (first
+    * ever seen) and the cumulative distinct-user count to date. The
+    * trick that makes exact running-distinct affordable at any scale:
+    * cumulative distinct users through day D equals the count of
+    * users whose FIRST-SEEN day ≤ D, so one min-per-user
+    * hash-aggregate plus a per-day rollup replaces the running
+    * COUNT(DISTINCT) a naive formulation would window over the whole
+    * event log.
+    *
+    * Scale shape: one user-keyed hash-aggregate (min day per user,
+    * map-side partials), one day-keyed count, and the cumulative
+    * window runs over the DAY table only — bounded by the calendar,
+    * not the corpus. */
+  val qCumulativeUsers = GraftQuery(
+    "w_cumulative_users",
+    (s, d) => {
+      import s.implicits._
+      val firstSeen = Tables.events(s, d)
+        .select($"user_id", date_trunc("day", $"ts").as("day"))
+        .groupBy($"user_id").agg(min($"day").as("day"))
+      val w = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstSeen.groupBy($"day").agg(count(lit(1)).as("new_users"))
+        .select($"day", $"new_users",
+          sum($"new_users").over(w).as("cum_users"))
+    },
+    Some("""
+      WITH fs AS (
+        SELECT user_id,
+          min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS day
+        FROM events GROUP BY 1),
+      nd AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY 1)
+      SELECT day, new_users,
+        CAST(SUM(new_users) OVER (ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      FROM nd"""))
+
+  /** Inter-arrival-time histogram — the traffic-shape diagnostic
+    * (bot-vs-human cadence, retry storms, session pacing): per event
+    * type, the distribution of seconds between a user's consecutive
+    * events, in power-of-4 buckets (0s collapses to bucket 0, then
+    * ⌊log₄⌋ bands: 1–3s, 4–15s, 16–63s, …) — log-banded because
+    * inter-arrival times span six orders of magnitude and fixed-width
+    * bins would put everything in one bin. Bucketing is pure integer
+    * arithmetic (floor-seconds diff, then length of the base-4
+    * digits), identical on both engines — no float log enters.
+    *
+    * Scale shape: the lag runs in a user-keyed window — a
+    * high-cardinality partition key, so parallelism follows users
+    * (the sanctioned w_running/w_sessionize shape, NOT a
+    * low-cardinality straggler window) — and the rollup lands on the
+    * (event_type × ~25 buckets) bounded key space. */
+  val qInterarrivalHist = GraftQuery(
+    "w_interarrival_hist",
+    (s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id")
+        .orderBy($"sec".asc, $"event_id".asc)
+      val gaps = Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type",
+          unix_timestamp($"ts").as("sec"))
+        .withColumn("gap", $"sec" - lag($"sec", 1).over(byUser))
+        .where($"gap".isNotNull)
+      // bucket = number of base-4 digits of gap: 0 → 0, else
+      // floor(log4(gap)) + 1 — computed by integer string length in
+      // base 4 (conv), no float logarithm.
+      gaps.select($"event_type",
+          when($"gap" === 0, lit(0L))
+            .otherwise(length(conv($"gap".cast("string"), 10, 4)).cast("long"))
+            .as("bucket"))
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n_gaps"))
+        .select($"event_type", $"bucket",
+          when($"bucket" === 0, lit(0L))
+            .otherwise(expr("CAST(pow(4, bucket - 1) AS BIGINT)"))
+            .as("gap_lo_sec"),
+          $"n_gaps")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+          CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events),
+      g AS (
+        SELECT event_type, sec - lag(sec, 1) OVER
+          (PARTITION BY user_id ORDER BY sec ASC, event_id ASC) AS gap
+        FROM e),
+      b AS (
+        SELECT event_type,
+          CASE WHEN gap = 0 THEN 0
+               ELSE CAST(length(to_base(gap, 4)) AS BIGINT) END AS bucket
+        FROM g WHERE gap IS NOT NULL)
+      SELECT event_type, bucket,
+        CASE WHEN bucket = 0 THEN 0
+             ELSE CAST(pow(4, bucket - 1) AS BIGINT) END AS gap_lo_sec,
+        COUNT(*) AS n_gaps
+      FROM b GROUP BY 1, 2"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
       qAsOfPriorView, qIntervalJoin, qFunnel, qRetentionCohorts,
       qValueOutliers, qVariantProps, qRolling1h, qValueHistogram,
       qHopping, qGapFill, qMadOutliers, qSeasonal, qRfmFeatures,
-      qEventTransitions)
+      qEventTransitions, qCumulativeUsers, qInterarrivalHist)
 }

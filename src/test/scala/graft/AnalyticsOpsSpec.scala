@@ -318,4 +318,44 @@ class AnalyticsOpsSpec extends SparkSpec {
     // lift = ((5e6 div 6) * 6) div 5 = (833333*6) div 5 = 999999 ≈ 1.
     assert(r.getAs[Long]("lift_fp") == 999999L)
   }
+
+  test("w_cumulative_users: conservation, monotonicity, first-seen identity") {
+    val rows = EventWindows.qCumulativeUsers.run(spark, d)
+      .orderBy($"day").collect()
+    val users = Tables.events(spark, d).select($"user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("new_users")).sum == users)
+    assert(rows.last.getAs[Long]("cum_users") == users)
+    rows.foldLeft(0L) { (acc, r) =>
+      val cum = r.getAs[Long]("cum_users")
+      assert(cum == acc + r.getAs[Long]("new_users"),
+        "cumulative must be the running sum of new users")
+      cum
+    }
+  }
+
+  test("w_interarrival_hist: hand-built gaps land in the right power-of-4 bands") {
+    // One user, events at secs 0,0,1,4,8,23,87,1111 → consecutive gaps
+    // 0,1,3,4,15,64,1024 → buckets 0,1,1,2,2,4,6 (band b = number of
+    // base-4 digits, covering [4^(b-1), 4^b-1]).
+    val secs = Seq(0L, 0L, 1L, 4L, 8L, 23L, 87L, 1111L)
+    val dir = java.nio.file.Files.createTempDirectory("iah").toString
+    secs.zipWithIndex.map { case (sec, i) => (i.toLong, sec) }
+      .toDF("event_id", "sec")
+      .select($"event_id", timestamp_seconds($"sec").cast("timestamp").as("ts"),
+        lit(7L).as("user_id"), lit("x").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventWindows.qInterarrivalHist.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("gap_lo_sec"), r.getAs[Long]("n_gaps"))).toMap
+    assert(got == Map(0L -> (0L, 1L), 1L -> (1L, 2L), 2L -> (4L, 2L),
+      4L -> (64L, 1L), 6L -> (1024L, 1L)))
+    // Conservation on the fixture corpus: each user contributes
+    // (events - 1) gaps.
+    val nEvents = Tables.events(spark, d).count()
+    val nUsers = Tables.events(spark, d).select($"user_id").distinct().count()
+    val totalGaps = EventWindows.qInterarrivalHist.run(spark, d)
+      .agg(sum($"n_gaps")).head().getLong(0)
+    assert(totalGaps == nEvents - nUsers)
+  }
 }
