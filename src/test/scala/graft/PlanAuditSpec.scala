@@ -23,6 +23,31 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(cartesians.isEmpty,
       s"CartesianProduct found in: ${cartesians.mkString(", ")}")
-    assert(results.size >= 119, s"registry shrank? ${results.size}")
+    assert(results.size >= 141, s"registry shrank? ${results.size}")
+  }
+
+  test("round-8 additions keep their designed plan shapes") {
+    def auditOf(name: String) =
+      PlanAudit.audit(spark, sf("sf0.001"), name).toOption.get
+    // Pure map-side chunking: no exchange at all.
+    val chunk = auditOf("t_chunk_split")
+    assert(chunk.exchanges == 0 && chunk.smj == 0,
+      s"t_chunk_split must stay shuffle-free: $chunk")
+    // The ANN-derived pair rides broadcast joins only — a sort-merge
+    // join appearing here means a bounded side lost its broadcast.
+    for (n <- Seq("sim_hard_negatives", "sim_knn_eval")) {
+      val a = auditOf(n)
+      assert(a.smj == 0 && a.bhj > 0, s"$n must stay all-broadcast: $a")
+    }
+    // Basket pairs: the one SMJ is the designed orderkey self-join;
+    // the |brands|-bounded marginals must broadcast.
+    val basket = auditOf("q_basket_pairs")
+    assert(basket.smj <= 1 && basket.bhj >= 2,
+      s"q_basket_pairs marginals must broadcast: $basket")
+    // Perplexity tiers: the bucket-table joins are broadcast; the one
+    // sort-merge allowed is the corpus-sized scores⋈documents join.
+    val ppl = auditOf("t_ppl_buckets")
+    assert(ppl.smj <= 1 && ppl.bhj >= 2,
+      s"t_ppl_buckets lang tables must broadcast: $ppl")
   }
 }
