@@ -839,25 +839,30 @@ object Cdc {
     "q_graph_kcore",
     (s, d) => kcoreOver(s, tradeEdges(s, d, lit(true)), k = 10, rounds = 3),
     Some {
+      // Every round CTE is MATERIALIZED: DuckDB inlines CTEs by
+      // default, and each u_r is referenced by both d_r and u_{r+1} —
+      // the chained rounds would replay exponentially (the
+      // communitiesOracle lesson; at sf1 the inlined form spilled
+      // past 80 GB of temp before failing).
       val peel = (r: Int) => s"""
-        p$r AS (SELECT a, dg FROM d$r WHERE dg < 10),
-        a$r AS (SELECT a FROM d$r WHERE dg >= 10),
-        u${r + 1} AS (
+        p$r AS MATERIALIZED (SELECT a, dg FROM d$r WHERE dg < 10),
+        a$r AS MATERIALIZED (SELECT a FROM d$r WHERE dg >= 10),
+        u${r + 1} AS MATERIALIZED (
           SELECT u.a, u.b FROM u$r u
           JOIN a$r x ON u.a = x.a JOIN a$r y ON u.b = y.a),
-        d${r + 1} AS (
+        d${r + 1} AS MATERIALIZED (
           SELECT a$r.a, CAST(COALESCE(cnt, 0) AS BIGINT) AS dg
           FROM a$r LEFT JOIN (
             SELECT a, COUNT(*) AS cnt FROM u${r + 1} GROUP BY 1) c
           USING (a))"""
       s"""
-      WITH e0 AS (
+      WITH e0 AS MATERIALIZED (
         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
                         's' || CAST(l_suppkey AS VARCHAR) AS b
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      u1 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
-      n1 AS (SELECT DISTINCT a FROM u1),
-      d1 AS (
+      u1 AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      n1 AS MATERIALIZED (SELECT DISTINCT a FROM u1),
+      d1 AS MATERIALIZED (
         SELECT n1.a, CAST(COALESCE(cnt, 0) AS BIGINT) AS dg
         FROM n1 LEFT JOIN (
           SELECT a, COUNT(*) AS cnt FROM u1 GROUP BY 1) c USING (a)),

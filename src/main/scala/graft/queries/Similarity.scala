@@ -1265,9 +1265,47 @@ object Similarity {
       WHERE p.prk = 1
       GROUP BY 1, 2"""))
 
+  /** Feature Gram matrix — the second-moment table every
+    * PCA/whitening/low-rank step starts from: S[i][j] = Σ_v v_i·v_j
+    * over the whole corpus, on the quantized integer vectors so the
+    * 64×64 output is EXACT on both engines (the float covariance it
+    * feeds is derived downstream, outside the hash gate — same
+    * discipline as the integer sum-vector centroids). Row count is
+    * dim², fixed at any corpus size.
+    *
+    * Integer headroom: |v_i| ≤ 10⁴·max|x| ≈ 10⁴, so each product is
+    * ≤ 10⁸ and the sum stays exact to ~9·10¹⁰ vectors — past any
+    * embedding corpus; rescale the quantization step beyond that
+    * (the q_graph_pagerank documentation discipline).
+    *
+    * Scale shape: the double posexplode is pure map-side fan-out
+    * (×dim² CPU, zero extra I/O), and the one shuffle carries only
+    * dim² partial sums per partition thanks to map-side combine —
+    * the aggregate key space IS the output. No join, nothing
+    * collected, nothing corpus-sized ever crosses the wire. */
+  val qGramMatrix = GraftQuery(
+    "sim_gram_matrix",
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d).select(quant($"embedding").as("q"))
+        .select($"q", posexplode($"q").as(Seq("i0", "vi")))
+        .select($"vi", ($"i0" + 1).cast("long").as("i"),
+          posexplode($"q").as(Seq("j0", "vj")))
+        .select($"i", ($"j0" + 1).cast("long").as("j"),
+          ($"vi" * $"vj").as("p"))
+        .groupBy($"i", $"j").agg(sum($"p").as("s_ij"))
+    },
+    Some(s"""
+      WITH q AS (SELECT ${quantSql.format("embedding")} AS q
+                 FROM embeddings)
+      SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        CAST(SUM(q[i] * q[j]) AS BIGINT) AS s_ij
+      FROM q, range(1, 65) t1(i), range(1, 65) t2(j)
+      GROUP BY 1, 2"""))
+
   val all: Seq[GraftQuery] =
     Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK,
       qIvfMultiprobe, qKnnGraph, qKmeansCells, qIvfTrainedTopK,
       qPqCodes, qPqAdcTopK, qPqFit, qIvfPqTopK, qCentroidOutliers,
-      qClusterQuality, qHardNegatives, qKnnEval)
+      qClusterQuality, qHardNegatives, qKnnEval, qGramMatrix)
 }

@@ -44,11 +44,16 @@ class RocksDbStateSpec extends SparkSpec {
           r.getLong(2), r.getDouble(3))).sorted.toSeq
       catch { case _: Throwable => Seq.empty }
 
-    def awaitCount(n: Int): Seq[(String, String, Long, Double)] = {
+    // Wait for rows matching pred — NOT for any n rows: the z flush
+    // windows can land in the sink before a's recovered window does,
+    // and a bare row-count await would return early with only those
+    // (seen as a load-dependent flake in-suite).
+    def awaitMatching(pred: ((String, String, Long, Double)) => Boolean)
+        : Seq[(String, String, Long, Double)] = {
       val deadline = System.currentTimeMillis() + 60000
-      var got = rows()
-      while (System.currentTimeMillis() < deadline && got.size < n) {
-        Thread.sleep(250); got = rows()
+      var got = rows().filter(pred)
+      while (System.currentTimeMillis() < deadline && got.isEmpty) {
+        Thread.sleep(250); got = rows().filter(pred)
       }
       got
     }
@@ -83,7 +88,7 @@ class RocksDbStateSpec extends SparkSpec {
         q2.processAllAvailable()
         in2.addData(Ev(ts(40), "z", 0.0)) // flush
         q2.processAllAvailable()
-        val got = awaitCount(1).filter(_._2 == "a")
+        val got = awaitMatching(_._2 == "a")
         assert(got == Seq(("2024-01-01 10:00:00.0", "a", 3L, 7.0)),
           s"recovered window must carry pre-restart state: $got")
       } finally q2.stop()
