@@ -877,8 +877,111 @@ object Cdc {
     },
     bench = true)
 
+  /** Run-to-fixpoint k-core peel — same round body as [[kcoreOver]],
+    * but the loop stops when a round peels NOTHING (true degeneracy
+    * answer: "the k-core", not "n peels toward it") with a hard
+    * `maxRounds` guard so a pathological cascade cannot run away.
+    * The per-round emptiness probe is one `isEmpty` on the already-
+    * localCheckpoint'd degree table — the same 1-row-scalar driver
+    * action budget as a BPE merge round, NOT a data collect. The
+    * convergence report rides in the output itself: rounds used =
+    * max(peel_round); if the guard fires, the result equals the
+    * bounded `maxRounds`-peel and survivors still report round 0
+    * with their residual degree. */
+  private[graft] def kcoreFixpointOver(s: org.apache.spark.sql.SparkSession,
+      e0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    import s.implicits._
+    var edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+      .localCheckpoint(true)
+    var alive = edges.select($"a").distinct().localCheckpoint(true)
+    var out: DataFrame = Seq.empty[(String, Int, Long)]
+      .toDF("node", "peel_round", "deg")
+    var r = 1
+    var converged = false
+    while (!converged && r <= maxRounds) {
+      val degNow = alive
+        .join(edges.groupBy($"a").agg(count(lit(1)).as("dg")),
+          Seq("a"), "left")
+        .select($"a", coalesce($"dg", lit(0L)).as("dg"))
+        .localCheckpoint(true)
+      val peeled = degNow.filter($"dg" < k)
+      if (peeled.isEmpty) converged = true
+      else {
+        out = out.unionByName(peeled
+          .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg")))
+        alive = degNow.filter($"dg" >= k).select($"a").localCheckpoint(true)
+        edges = edges
+          .join(alive, Seq("a"), "left_semi")
+          .join(alive.select($"a".as("b")), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    val finalDeg = alive
+      .join(edges.groupBy($"a").agg(count(lit(1)).as("dg")), Seq("a"), "left")
+      .select($"a".as("node"), lit(0).as("peel_round"),
+        coalesce($"dg", lit(0L)).as("deg"))
+    out.unionByName(finalDeg)
+  }
+
+  /** Full (fixpoint) k-core decomposition on the trade graph — the
+    * answer to "give me the 60-core", where [[qGraphKcore]] answers
+    * "3 peels toward the 10-core". k = 60 because that is where this
+    * graph actually cascades (measured: 3 peel rounds at sf0.01, 6 at
+    * sf0.1 — k = 10 converges after a single peel, which would make
+    * the fixpoint loop indistinguishable from the bounded one);
+    * maxRounds = 24 is the runaway guard, 4× the deepest observed
+    * cascade.
+    *
+    * Oracle: the bounded-peel formulation can NOT express "repeat
+    * until no peels" in static SQL, so the oracle unrolls 16
+    * MATERIALIZED rounds — strictly more than any observed
+    * convergence depth (≤ 6 at 10× scale), and every post-fixpoint
+    * round is a no-op on an already-stable (usually empty) alive set,
+    * so unrolled-16 ≡ fixpoint. If a larger SF ever cascades past 16
+    * rounds the hash gate FAILS (oracle not yet converged) rather
+    * than silently passing — the bound is self-auditing. */
+  val qGraphKcoreFull = GraftQuery(
+    "q_graph_kcore_full",
+    (s, d) => kcoreFixpointOver(s, tradeEdges(s, d, lit(true)),
+      k = 60, maxRounds = 24),
+    Some {
+      val peel = (r: Int) => s"""
+        p$r AS MATERIALIZED (SELECT a, dg FROM d$r WHERE dg < 60),
+        a$r AS MATERIALIZED (SELECT a FROM d$r WHERE dg >= 60),
+        u${r + 1} AS MATERIALIZED (
+          SELECT u.a, u.b FROM u$r u
+          JOIN a$r x ON u.a = x.a JOIN a$r y ON u.b = y.a),
+        d${r + 1} AS MATERIALIZED (
+          SELECT a$r.a, CAST(COALESCE(cnt, 0) AS BIGINT) AS dg
+          FROM a$r LEFT JOIN (
+            SELECT a, COUNT(*) AS cnt FROM u${r + 1} GROUP BY 1) c
+          USING (a))"""
+      val rounds = 16
+      val peelSelects = (1 to rounds).map(r =>
+        s"SELECT a, CAST($r AS INT), dg FROM p$r")
+      s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                        's' || CAST(l_suppkey AS VARCHAR) AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      u1 AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      n1 AS MATERIALIZED (SELECT DISTINCT a FROM u1),
+      d1 AS MATERIALIZED (
+        SELECT n1.a, CAST(COALESCE(cnt, 0) AS BIGINT) AS dg
+        FROM n1 LEFT JOIN (
+          SELECT a, COUNT(*) AS cnt FROM u1 GROUP BY 1) c USING (a)),
+      ${(1 to rounds).map(peel).mkString(", ")}
+      SELECT node, peel_round, deg FROM (
+        ${peelSelects.mkString("\n        UNION ALL\n        ")}
+        UNION ALL
+        SELECT a, CAST(0 AS INT), dg FROM d${rounds + 1}
+      ) t(node, peel_round, deg)"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin,
       qMvMerge, qGraphPagerank, qGraphPagerankInc, qGraphTriangles,
-      qGraphCommunities, qGraphCommunitiesInc, qGraphKcore)
+      qGraphCommunities, qGraphCommunitiesInc, qGraphKcore,
+      qGraphKcoreFull)
 }

@@ -849,7 +849,9 @@ object EventWindows {
     * inter-arrival times span six orders of magnitude and fixed-width
     * bins would put everything in one bin. Bucketing is pure integer
     * arithmetic (floor-seconds diff, then length of the base-4
-    * digits), identical on both engines — no float log enters.
+    * digits; the band floor 4^(bucket-1) is an integer left shift by
+    * 2·(bucket-1) bits), identical on both engines — no float
+    * enters.
     *
     * Scale shape: the lag runs in a user-keyed window — a
     * high-cardinality partition key, so parallelism follows users
@@ -878,7 +880,7 @@ object EventWindows {
         .agg(count(lit(1)).as("n_gaps"))
         .select($"event_type", $"bucket",
           when($"bucket" === 0, lit(0L))
-            .otherwise(expr("CAST(pow(4, bucket - 1) AS BIGINT)"))
+            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(2 * (bucket - 1) AS INT))"))
             .as("gap_lo_sec"),
           $"n_gaps")
     },
@@ -898,7 +900,7 @@ object EventWindows {
         FROM g WHERE gap IS NOT NULL)
       SELECT event_type, bucket,
         CASE WHEN bucket = 0 THEN 0
-             ELSE CAST(pow(4, bucket - 1) AS BIGINT) END AS gap_lo_sec,
+             ELSE (CAST(1 AS BIGINT) << (2 * (bucket - 1))) END AS gap_lo_sec,
         COUNT(*) AS n_gaps
       FROM b GROUP BY 1, 2"""))
 

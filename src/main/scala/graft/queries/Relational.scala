@@ -1126,6 +1126,43 @@ object Relational {
             AND o_orderdate >= TIMESTAMP '1999-01-01')
       GROUP BY c_mktsegment"""))
 
+  /** TPC-H Q13 customer order-count distribution (the fixtures have
+    * no o_comment, so the canonical `NOT LIKE '%special%requests%'`
+    * exclusion adapts to excluding 5-LOW priority orders — same
+    * left-join-with-join-side-predicate semantics: a customer whose
+    * every order is excluded still appears, with count 0). THE
+    * count-of-counts double aggregate on the natural skew key.
+    *
+    * Scale shape: orders pre-aggregate to one (custkey, n) row BEFORE
+    * the outer join — the priority filter and 2-column pruning reach
+    * the scan, the custkey shuffle gets map-side partial counts, and
+    * the left join then carries one row per customer per side (AQE
+    * skew-split applies to it at 100 TB) instead of fanning raw order
+    * rows through the join. The second aggregate lands on the
+    * max-orders-per-customer bounded c_count domain — a few dozen
+    * keys at any SF. */
+  val q13CustomerOrders = GraftQuery(
+    "q13_customer_orders",
+    (s, d) => {
+      import s.implicits._
+      val oc = Tables.orders(s, d)
+        .filter(!$"o_orderpriority".like("5-%"))
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      Tables.customer(s, d).select($"c_custkey")
+        .join(oc, $"c_custkey" === $"o_custkey", "left_outer")
+        .select(coalesce($"n", lit(0L)).as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""
+      WITH oc AS (
+        SELECT o_custkey, COUNT(*) AS n FROM orders
+        WHERE o_orderpriority NOT LIKE '5-%' GROUP BY 1)
+      SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT COALESCE(n, 0) AS c_count
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey) t
+      GROUP BY 1"""))
+
   /** Categorical drift report between ingest eras — the gate a
     * training-data pipeline runs before admitting a new slice: orders
     * split at 1998-01-01 into early/late eras, every
@@ -1258,8 +1295,10 @@ object Relational {
     *
     * Scale shape: the basket table is one DISTINCT hash-aggregate of
     * lineitem⋈part projected to (orderkey, brand); the pair explosion
-    * self-joins that table ON ITS OWN aggregate key (orderkey — the
-    * exchange is reused, no second shuffle) with fan-out bounded by
+    * self-joins that table on orderkey — the DISTINCT is keyed on
+    * (orderkey, brand) and the checkpoint cuts lineage, so this is
+    * the one designed orderkey shuffle/SMJ the plan audit allows —
+    * with fan-out bounded by
     * the per-order brand count (≤ lines per order, single digits in
     * any order-shaped schema), never all-pairs over brands; pair and
     * marginal rollups land on the |brands|²-bounded key space, and N
@@ -1321,7 +1360,8 @@ object Relational {
     q5AntiCustomers, q6ForecastRevenue, q7SupplierYear, q8MarketShare,
     q9PartStats, q10ReturnedRevenue, q12LatePriority, q14PromoRevenue,
     q15TopSupplier, q17SmallQtyRevenue, q19DisjunctRevenue,
-    q21WaitingSuppliers, q22IdleCustomers, qAggCollect, qAggNested,
+    q21WaitingSuppliers, q22IdleCustomers, q13CustomerOrders,
+    qAggCollect, qAggNested,
     qOuterBalance, qSetOps, qRollup, qCube, qWindowFuncs, qPercentiles,
     qCorrelatedSubquery, q18LargeOrders, qGroupingSets, qPivotStatus,
     qApproxPercentiles, qTableProfile, qTableProfileApprox,

@@ -23,7 +23,9 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(cartesians.isEmpty,
       s"CartesianProduct found in: ${cartesians.mkString(", ")}")
-    assert(results.size >= 141, s"registry shrank? ${results.size}")
+    // Exact count so a query silently dropping out of a file's `all`
+    // Seq fails loudly; bump when the registry grows.
+    assert(results.size == 146, s"registry count drifted: ${results.size}")
   }
 
   test("round-8 additions keep their designed plan shapes") {
