@@ -16,8 +16,26 @@ import org.apache.spark.sql.SparkSession
   * a single measured pass recorded 64.95s under end-of-round load
   * where the identical binary did 21.36s idle — a 3× artifact skew
   * with zero code difference.
+  *
+  * Attached-artifact mode (round 9): the artifact-backed queries
+  * (trained similarity index, dedup cluster tables, the BPE merge
+  * table) are additionally re-measured AGAINST the persisted
+  * artifacts (tools/Artifacts materialize-if-absent + attach — the
+  * 100 TB production plan, where indexes/tokenizers are trained once
+  * per corpus drop, not once per query). Those medians ride the same
+  * JSON line under `queries_attached`, so every round records BOTH
+  * the derive-cold cost and the production read-path cost.
+  * `SPARK_GRAFT_BENCH_ATTACHED=0` skips the attached pass;
+  * `SPARK_GRAFT_ARTIFACTS_DIR` overrides where artifacts live.
   */
 object Bench {
+
+  /** Bench queries whose plan changes when an artifact set is
+    * attached: they resolve cluster / trained-index / merge-table
+    * artifacts via the session caches instead of deriving. */
+  private val ArtifactBacked =
+    Set("dd_keep_list", "t_corpus_yield", "sim_ivfpq_topk", "t_bpe_encode")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -43,18 +61,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    qs.foreach(q =>
-      try exec(q)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench-warm] ${q.name}: ${e.getMessage}") })
-
-    val loadStart = loadAvg
-    // Pass-interleaved samples: all queries once per pass, repeated.
-    val samples: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
-      qs.map(q => q.name -> (try exec(q) catch { case _: Throwable => -1.0 }))
-    }
-    val loadEnd = loadAvg
-
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0
@@ -62,10 +68,26 @@ object Bench {
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
 
-    val byName = qs.map { q =>
-      val ts = samples.map(_.find(_._1 == q.name).map(_._2).getOrElse(-1.0))
-      (q.name, median(ts), if (ts.exists(_ >= 0)) ts.filter(_ >= 0).min else -1.0)
+    /** Warm once, then `passes` interleaved measured passes →
+      * per-query (median, min). */
+    def measure(set: Seq[GraftQuery]): Seq[(String, Double, Double)] = {
+      set.foreach(q =>
+        try exec(q)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-warm] ${q.name}: ${e.getMessage}") })
+      val samples: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+        set.map(q => q.name -> (try exec(q) catch { case _: Throwable => -1.0 }))
+      }
+      set.map { q =>
+        val ts = samples.map(_.find(_._1 == q.name).map(_._2).getOrElse(-1.0))
+        (q.name, median(ts),
+          if (ts.exists(_ >= 0)) ts.filter(_ >= 0).min else -1.0)
+      }
     }
+
+    val loadStart = loadAvg
+    val byName = measure(qs)
+    val loadEnd = loadAvg
 
     def obj(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => f""""$k":${v}%.4f""" }.mkString("{", ",", "}")
@@ -74,10 +96,39 @@ object Bench {
     val mins = obj(byName.map(t => t._1 -> t._3))
     val total = byName.map(_._2).filter(_ >= 0).sum
     val totalMin = byName.map(_._3).filter(_ >= 0).sum
+
+    // Attached-artifact pass: flip the artifact-backed subset onto
+    // the persisted tables and re-measure under the same protocol.
+    val attachedOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTACHED", "1") != "0"
+    val aqs = qs.filter(q => ArtifactBacked(q.name))
+    val attachedFields =
+      if (!attachedOn || aqs.isEmpty) ""
+      else try {
+        val dir = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS_DIR",
+          s"/tmp/graft_bench_artifacts_${new java.io.File(sfDir).getName}")
+        val p0 = System.nanoTime()
+        if (!tools.Artifacts.manifestExists(dir))
+          tools.Artifacts.materialize(spark, sfDir, dir)
+        tools.Artifacts.attach(spark, dir)
+        // session caches hold the frames the derive passes built —
+        // drop them so attached lookups actually hit the tables
+        SweepCheck.clearSessionArtifacts(spark)
+        val prepSec = (System.nanoTime() - p0) / 1e9
+        val att = measure(aqs)
+        tools.Artifacts.detach(spark)
+        val aTotal = att.map(_._2).filter(_ >= 0).sum
+        f""","queries_attached":${obj(att.map(t => t._1 -> t._2))}""" +
+          f""","queries_attached_min":${obj(att.map(t => t._1 -> t._3))}""" +
+          f""","attached_total":$aTotal%.4f,"artifact_prep_sec":$prepSec%.1f"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench-attached] skipped: ${e.getMessage}")
+        ""
+      }
+
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,""" +
       s""""protocol":"median_of_$passes","total_min":$totalMin,"queries_min":$mins,""" +
-      s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
+      s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd$attachedFields,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

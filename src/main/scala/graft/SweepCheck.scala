@@ -27,6 +27,8 @@ object SweepCheck {
   def clearSessionArtifacts(spark: SparkSession): Unit = {
     queries.Dedup.clearSignatureCache()
     queries.Cdc.clearBaseEdgeCache()
+    queries.Cdc.clearWeightedBaseEdgeCache()
+    queries.TextAnalysis.clearBpeCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
   }
@@ -56,7 +58,8 @@ object SweepCheck {
       graft.tools.Artifacts.attach(spark, dir)
       println(s"[artifacts] attached $dir " +
         s"(derivations so far: dedup=${queries.Dedup.artifactDerivations.get()}" +
-        s" sim=${queries.Similarity.indexDerivations.get()})")
+        s" sim=${queries.Similarity.indexDerivations.get()}" +
+        s" bpe=${queries.TextAnalysis.bpeTrainings.get()})")
     }
     val results = Registry.all
       .filter(q => names.isEmpty || names.contains(q.name))
@@ -80,7 +83,8 @@ object SweepCheck {
     if (sys.env.contains("SPARK_GRAFT_ARTIFACTS_DIR"))
       println(s"[artifacts] total derivations this session: " +
         s"dedup=${queries.Dedup.artifactDerivations.get()}" +
-        s" sim=${queries.Similarity.indexDerivations.get()}")
+        s" sim=${queries.Similarity.indexDerivations.get()}" +
+        s" bpe=${queries.TextAnalysis.bpeTrainings.get()}")
     spark.stop()
   }
 }

@@ -116,6 +116,25 @@ object BpeTrainer {
       .groupBy($"symbol").agg(sum($"n").as("freq"))
   }
 
+  /** The merge table as a (rank, l, r, cnt) DataFrame — the
+    * persistable tokenizer-artifact form tools/Artifacts writes and
+    * [[mergesFromFrame]] reopens. */
+  def mergesToFrame(spark: SparkSession, ms: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    ms.map(m => (m.rank, m.left, m.right, m.count))
+      .toDF("rank", "l", "r", "cnt")
+  }
+
+  /** Reopen a persisted merge table. The collect is the
+    * hyperparameter-sized artifact itself (k rows — 20 here, 30k in a
+    * production tokenizer), the same driver-value shape `train`
+    * returns; merge ORDER is semantic, so ranks re-sort here rather
+    * than trusting file order. */
+  def mergesFromFrame(df: DataFrame): Seq[Merge] =
+    df.select("rank", "l", "r", "cnt").collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq
+
   /** Encode each distinct word type against a trained merge table:
     * (word, symbol sequence, symbol count). The merge table rides a
     * broadcast (it is the hyperparameter-sized artifact a tokenizer

@@ -1353,7 +1353,8 @@ object Relational {
           // b.c AS BIGINT) AS lift_fp
       FROM pr
       JOIN ca a ON a.p_brand = pr.brand_a
-      JOIN ca b ON b.p_brand = pr.brand_b"""))
+      JOIN ca b ON b.p_brand = pr.brand_b"""),
+    bench = true)
 
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopOrders, q3RevenueByNation, q4OrderPriority,

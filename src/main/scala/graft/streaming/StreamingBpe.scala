@@ -31,6 +31,15 @@ object StreamingBpe {
   def buildIndex(spark: SparkSession, corpus: DataFrame, k: Int): BpeIndex =
     BpeIndex(BpeTrainer.train(spark, corpus, k))
 
+  /** Open the PERSISTED merge table for dataset `d` if an artifact
+    * set is attached (tools/Artifacts "bpe_merges") — the production
+    * wiring where the stream encoder and the landed-table batch jobs
+    * share one trained tokenizer and nothing on the hot path ever
+    * trains. Mirrors [[StreamingPq.attachedIndex]]. */
+  def attachedIndex(spark: SparkSession, d: String): Option[BpeIndex] =
+    graft.tools.Artifacts.lookup(spark, d, "bpe_merges")
+      .map(df => BpeIndex(BpeTrainer.mergesFromFrame(df)))
+
   /** One micro-batch of encoding: (doc_id, text) → (doc_id,
     * ws_tokens, bpe_tokens). Bit-identical to the batch encode on
     * the same rows (spec-pinned) — encoding is per-document, so

@@ -64,7 +64,13 @@ object Artifacts {
           .localCheckpoint(true)),
       ("pq_codes", "vec_id",
         (s, d) => graft.queries.Similarity.pqCodesFrom(
-          graft.queries.Similarity.pqTrain(s, d)).localCheckpoint(true)))
+          graft.queries.Similarity.pqTrain(s, d)).localCheckpoint(true)),
+      // the trained tokenizer: k merge rows — hyperparameter-sized
+      // (20 here, 30k+ in production, where retraining per query run
+      // is exactly what this artifact exists to avoid)
+      ("bpe_merges", "rank",
+        (s, d) => graft.operators.BpeTrainer.mergesToFrame(s,
+          graft.queries.TextAnalysis.trainedBpeMerges(s, d))))
 
   def names: Seq[String] = derivers.map(_._1)
 

@@ -44,7 +44,7 @@ class ArtifactLifecycleSpec extends SparkSpec {
     SweepCheck.clearSessionArtifacts(spark)
     val written = Artifacts.materialize(spark, d, outDir)
     assert(written.map(_._1) == Seq("signatures", "clusters", "shingles",
-      "kmeans_cells", "pq_books", "pq_codes"))
+      "kmeans_cells", "pq_books", "pq_codes", "bpe_merges"))
     assert(written.forall(_._2 > 0), s"empty artifact in $written")
     assert(Artifacts.manifestExists(outDir))
 
@@ -138,6 +138,56 @@ class ArtifactLifecycleSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(queries.Similarity.indexDerivations.get() > before)
     assert(detachedCodes == wantCodes)
+    SweepCheck.clearSessionArtifacts(spark)
+  }
+
+  test("bpe_merges artifact: attached sessions never train; results identical") {
+    import graft.tools.Artifacts
+    val d = sf("sf0.001")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_art_bpe").toString
+
+    // reference result with in-session training
+    SweepCheck.clearSessionArtifacts(spark)
+    val want = Registry.byName("t_bpe_encode").run(spark, d)
+      .collect().map(_.toSeq).toSet
+
+    // materialize (pays the training), attach with cleared caches
+    SweepCheck.clearSessionArtifacts(spark)
+    Artifacts.materialize(spark, d, outDir)
+    SweepCheck.clearSessionArtifacts(spark)
+    Artifacts.attach(spark, outDir)
+
+    // the attach gate: ZERO trainings while attached
+    val before = queries.TextAnalysis.bpeTrainings.get()
+    val got = Registry.byName("t_bpe_encode").run(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(queries.TextAnalysis.bpeTrainings.get() == before,
+      "attached t_bpe_encode must read the persisted merge table, not train")
+    assert(got == want, "artifact-fed encode must equal the trained encode")
+
+    // the streaming encoder shares the same persisted tokenizer
+    val idx = graft.streaming.StreamingBpe.attachedIndex(spark, d)
+    assert(idx.isDefined, "StreamingBpe.attachedIndex must resolve while attached")
+    val streamed = graft.streaming.StreamingBpe
+      .encodeBatch(spark, Tables.documents(spark, d)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")), idx.get)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == want,
+      "artifact-fed streaming encoder must equal the batch encode")
+    assert(queries.TextAnalysis.bpeTrainings.get() == before,
+      "the streaming attach path must not train either")
+
+    // detach: training is back (counter moves), results identical
+    Artifacts.detach(spark)
+    assert(graft.streaming.StreamingBpe.attachedIndex(spark, d).isEmpty,
+      "attachedIndex must vanish on detach")
+    SweepCheck.clearSessionArtifacts(spark)
+    val detached = Registry.byName("t_bpe_encode").run(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(queries.TextAnalysis.bpeTrainings.get() > before,
+      "detached t_bpe_encode must be back to derive-on-demand")
+    assert(detached == want)
     SweepCheck.clearSessionArtifacts(spark)
   }
 }
