@@ -99,4 +99,41 @@ object Compact {
     fs.delete(old, true)
     (before.size, dataFiles().size, rows)
   }
+
+  /** Reader-atomic compaction through the [[Versioned]] pointer
+    * protocol — supersedes [[run]]'s move-aside swap wherever
+    * concurrent readers exist: the rewrite lands wholly in the next
+    * version directory, is count-verified there, and the one-line
+    * pointer flip is the only mutation a reader can race — it
+    * resolves wholly-old or wholly-new, never a mix and never a
+    * missing path. A flat (never-versioned) table is adopted on the
+    * first call: its files become "version 0", the compacted rewrite
+    * publishes as v1, and the flat files are GC'd one further publish
+    * later. Returns (filesBefore, filesAfter, rows). */
+  def runVersioned(spark: SparkSession, dir: String,
+      targetBytes: Long): (Int, Int, Long) = {
+    val srcDir = Versioned.resolve(spark, dir)
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(srcPath)
+    val totalBytes = before.map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(srcDir)
+    val rows = df.count()
+    var after = 0
+    Versioned.publish(spark, dir) { target =>
+      df.repartition(n).write.parquet(target)
+    } { target =>
+      val rewritten = spark.read.parquet(target).count()
+      if (rewritten != rows)
+        throw new IllegalStateException(
+          s"rewrite of $dir produced $rewritten rows, expected $rows — " +
+            "aborting before the pointer flip; live version untouched")
+      after = parquetFiles(new org.apache.hadoop.fs.Path(target)).size
+    }
+    (before.size, after, rows)
+  }
 }

@@ -60,4 +60,21 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** Promote a re-layout of the live snapshot of `dir` through the
+    * [[Versioned]] pointer protocol (count-verified before the flip)
+    * — the reader-atomic form of "rewrite the table Z-ordered":
+    * concurrent readers resolve wholly-old or wholly-new. */
+  def publishZorder(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keyA: String, keyB: String, nFiles: Int, bits: Int = 21): Int = {
+    val df = Versioned.read(spark, dir)
+    val rows = df.count()
+    Versioned.publish(spark, dir) { target =>
+      zorderLayout(df, keyA, keyB, nFiles, target, bits)
+    } { target =>
+      val got = spark.read.parquet(target).count()
+      if (got != rows) throw new IllegalStateException(
+        s"z-order rewrite of $dir produced $got rows, expected $rows")
+    }
+  }
 }

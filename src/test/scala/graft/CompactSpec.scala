@@ -67,4 +67,83 @@ class CompactSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 500L)
     assert(!fs.exists(old))
   }
+
+  test("versioned compaction: a reader attached mid-swap sees old or new wholly") {
+    import graft.tools.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("compactv").toString + "/t"
+    spark.range(20000)
+      .select($"id", md5($"id".cast("string")).as("payload"))
+      .repartition(20).write.parquet(dir)
+    def checksum(d: String) = spark.read.parquet(d)
+      .agg(sum(conv(substring($"payload", 1, 8), 16, 10).cast("long")),
+        count(lit(1))).head()
+    val want = checksum(dir)
+
+    // a concurrent reader resolves its snapshot BEFORE the compaction
+    val readerSnapshot = Versioned.resolve(spark, dir)
+    val (before, after, rows) = Compact.runVersioned(spark, dir, 1L << 20)
+    assert(rows === 20000L && before === 20 && after < before)
+    // the in-flight reader's snapshot (the flat "v0" files) is intact
+    // and content-complete — the swap never touched it
+    assert(checksum(readerSnapshot) === want,
+      "the superseded snapshot must stay readable for in-flight readers")
+    // a fresh reader resolves the compacted v1, identical content
+    assert(Versioned.current(spark, dir) === Some(1))
+    assert(checksum(Versioned.resolve(spark, dir)) === want)
+
+    // second publish: v2 lands, v1 survives one cycle, flat v0 is GC'd
+    val v1Snapshot = Versioned.resolve(spark, dir)
+    Compact.runVersioned(spark, dir, 1L << 20)
+    assert(Versioned.current(spark, dir) === Some(2))
+    assert(checksum(v1Snapshot) === want,
+      "the immediately superseded version survives one publish cycle")
+    val root = new java.io.File(dir)
+    assert(!root.listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")),
+      "flat pre-versioned files are GC'd once two versions supersede them")
+
+    // third publish: v1 is now two cycles old and gone; v2 retained
+    Compact.runVersioned(spark, dir, 1L << 20)
+    assert(Versioned.current(spark, dir) === Some(3))
+    assert(!new java.io.File(dir, "v1").exists(), "v1 must be GC'd at v3")
+    assert(new java.io.File(dir, "v2").exists(), "v2 survives one cycle")
+    assert(checksum(Versioned.resolve(spark, dir)) === want)
+  }
+
+  test("versioned publish: a failed verify leaves the live pointer untouched") {
+    import graft.tools.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("compactv").toString + "/t"
+    spark.range(300).select($"id").write.parquet(dir)
+    Compact.runVersioned(spark, dir, 1L << 20) // adopt → v1
+    assert(Versioned.current(spark, dir) === Some(1))
+    intercept[IllegalStateException] {
+      Versioned.publish(spark, dir) { target =>
+        spark.range(7).select($"id").write.parquet(target) // short write
+      } { target =>
+        val got = spark.read.parquet(target).count()
+        if (got != 300L) throw new IllegalStateException(s"short write: $got")
+      }
+    }
+    assert(Versioned.current(spark, dir) === Some(1),
+      "a failed verify must not move the pointer")
+    assert(Versioned.read(spark, dir).count() === 300L)
+    // and the next successful publish reuses the abandoned slot cleanly
+    Compact.runVersioned(spark, dir, 1L << 20)
+    assert(Versioned.current(spark, dir) === Some(2))
+    assert(Versioned.read(spark, dir).count() === 300L)
+  }
+
+  test("publishZorder promotes a re-layout reader-atomically") {
+    import graft.tools.{Layout, Versioned}
+    val dir = java.nio.file.Files.createTempDirectory("layoutv").toString + "/t"
+    spark.range(10000)
+      .select(($"id" % 97).cast("int").as("a"),
+        ($"id" % 89).cast("int").as("b"), $"id")
+      .write.parquet(dir)
+    val v = Layout.publishZorder(spark, dir, "a", "b", nFiles = 4)
+    assert(v === 1)
+    assert(Versioned.read(spark, dir).count() === 10000L)
+    assert(Versioned.read(spark, dir).agg(sum($"id")).head.getLong(0)
+      === (0L until 10000L).sum)
+  }
 }
