@@ -110,6 +110,90 @@ object Cdc {
     }
   }
 
+  /** A listing observation with its EVENT time — the input shape of
+    * [[streamingEventsEventTime]]. `ts` is when the listing was seen
+    * on the source (scrape time in the reference's world), not when
+    * the row reached the engine. */
+  final case class Sighting(ts: java.sql.Timestamp, listing: Listing)
+
+  /** Per-key state for the event-time CDC: last-seen listing and the
+    * event-time second of that sighting. */
+  final case class SeenState(listing: Listing, lastSeenSec: Long)
+
+  /** EVENT-TIME CDC — the replayable twin of [[streamingEvents]].
+    *
+    * The processing-time form times a key out `offMarketTimeoutMs` of
+    * WALL CLOCK after its last sighting, so replaying a historical
+    * log emits off_market at whatever speed the replay runs —
+    * nondeterministic evidence. This form keys everything to the
+    * data: a listing goes off_market when the WATERMARK passes
+    * lastSeen + `stalenessSec` (`GroupStateTimeout.EventTimeTimeout`
+    * + `setTimeoutTimestamp`, the StreamingGapFill timer pattern), and
+    * days-on-market is computed from event time
+    * ((lastSeen + staleness − foundDate) / 86400), so the SAME input
+    * log produces the SAME events — including expiry timing — no
+    * matter when or how fast it is replayed (spec-pinned, including a
+    * kill/restart across the expiry).
+    *
+    * Within a micro-batch, a key's sightings are processed in
+    * (ts, price) order — arrival order inside a batch is not part of
+    * the contract, replay determinism is. Rows later than the
+    * watermark are dropped by the standard watermark contract.
+    *
+    * Scale shape: identical to the processing-time form — one hash
+    * shuffle on mls, per-key state is one listing + one long; the
+    * timer adds nothing per row. */
+  def streamingEventsEventTime(sightings: Dataset[Sighting],
+      stalenessSec: Long, watermarkDelay: String = "0 seconds")
+      : Dataset[ListingEvent] = {
+    val spark = sightings.sparkSession
+    import spark.implicits._
+    sightings.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.listing.mls)
+      .flatMapGroupsWithState[SeenState, ListingEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val offSec = st.lastSeenSec + stalenessSec
+            val days = ((offSec - st.listing.foundDate) / 86400).toInt
+            Iterator.single(ListingEvent(st.listing.mls, "off_market",
+              None, st.listing.price, None, None, Some(days),
+              st.listing.source))
+          } else {
+            val sorted = rows.toVector
+              .sortBy(s => (s.ts.getTime, s.listing.price))
+            var st = state.getOption
+            val out = Vector.newBuilder[ListingEvent]
+            sorted.foreach { s =>
+              val n = s.listing
+              val sec = Math.floorDiv(s.ts.getTime, 1000L)
+              st match {
+                case None =>
+                  out += ListingEvent(n.mls, "new_listing", None, n.price,
+                    None, None, None, n.source)
+                case Some(o) if n.price != o.listing.price =>
+                  out += priceChange(n, o.listing)
+                case _ => () // unchanged → no-op (T5)
+              }
+              st = Some(SeenState(n,
+                math.max(st.map(_.lastSeenSec).getOrElse(Long.MinValue), sec)))
+            }
+            st.foreach { v =>
+              state.update(v)
+              // wake when the watermark passes staleness past the last
+              // sighting; clamp above the current watermark (Spark
+              // rejects a timeout already in the past)
+              state.setTimeoutTimestamp(
+                math.max((v.lastSeenSec + stalenessSec) * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Convenience: replay a deterministic sequence of micro-batches
     * through the batch CDC, threading state like the reference's
     * poll loop (main.py:109-138). Returns (events per cycle, final
