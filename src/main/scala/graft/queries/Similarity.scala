@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Tables}
 import graft.functions.VectorExpressions
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.TopKAggregate
 
@@ -1283,18 +1283,23 @@ object Similarity {
     * dim² partial sums per partition thanks to map-side combine —
     * the aggregate key space IS the output. No join, nothing
     * collected, nothing corpus-sized ever crosses the wire. */
+  /** The exact-integer Gram frame (i, j, s_ij) shared by
+    * sim_gram_matrix and the power-iteration consumer. */
+  private def gramFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d).select(quant($"embedding").as("q"))
+      .select($"q", posexplode($"q").as(Seq("i0", "vi")))
+      .select($"vi", ($"i0" + 1).cast("long").as("i"),
+        posexplode($"q").as(Seq("j0", "vj")))
+      .select($"i", ($"j0" + 1).cast("long").as("j"),
+        ($"vi" * $"vj").as("p"))
+      .groupBy($"i", $"j").agg(sum($"p").as("s_ij"))
+  }
+
   val qGramMatrix = GraftQuery(
     "sim_gram_matrix",
-    (s, d) => {
-      import s.implicits._
-      Tables.embeddings(s, d).select(quant($"embedding").as("q"))
-        .select($"q", posexplode($"q").as(Seq("i0", "vi")))
-        .select($"vi", ($"i0" + 1).cast("long").as("i"),
-          posexplode($"q").as(Seq("j0", "vj")))
-        .select($"i", ($"j0" + 1).cast("long").as("j"),
-          ($"vi" * $"vj").as("p"))
-        .groupBy($"i", $"j").agg(sum($"p").as("s_ij"))
-    },
+    (s, d) => gramFrame(s, d),
     Some(s"""
       WITH q AS (SELECT ${quantSql.format("embedding")} AS q
                  FROM embeddings)
@@ -1303,9 +1308,95 @@ object Similarity {
       FROM q, range(1, 65) t1(i), range(1, 65) t2(j)
       GROUP BY 1, 2"""))
 
+  /** Round budget of the power iteration — sized against the
+    * synthetic corpus's nearly-flat spectrum (λ₂/λ₁ ≈ 0.93 at
+    * sf0.001, 0.98 at sf0.01 — measured Rayleigh capture: 0.978 at
+    * 24 rounds, ≥ 0.9998 at 96 on both fixtures), where direction
+    * convergence is slow by nature; rounds are driver-local Long
+    * arithmetic on a 64-vector, so the budget is effectively free; the Rayleigh gate in GramMatrixSpec is the numerical
+    * contract, the oracle hash the exactness one. */
+  private val PowerRounds = 96
+
+  /** Dominant principal direction by fixed-point power iteration over
+    * the exact integer Gram matrix — the first component every
+    * PCA / whitening / all-but-the-top embedding-postprocessing step
+    * needs.
+    *
+    * Execution shape is Spark's own: `RowMatrix
+    * .computePrincipalComponents` collects the Gramian and runs the
+    * eigen-step LOCALLY, because the corpus-sized work is the Gram
+    * pass (distributed, shared with sim_gram_matrix) while the
+    * eigen-iteration is dim²-bounded — 4096 longs here, the same
+    * driver-artifact class as the broadcast PQ codebooks or the BPE
+    * merge table, at ANY corpus size. The local loop runs
+    * [[PowerRounds]] multiply-renormalize rounds from the all-ones
+    * start in pure Long arithmetic with DIV-FIRST normalization
+    * (`v / max(max|v| / 10⁶, 1)` — divide the scale down BEFORE
+    * multiplying; `v·10⁶ / max|v|` would overflow at 10²⁰), and the
+    * oracle unrolls the identical rounds in SQL — truncation toward
+    * zero agrees between Java `/`, Spark `div`, and DuckDB `//`
+    * (verified on negative operands), so the hash gate is exact.
+    *
+    * Numerical contract: on a near-degenerate spectrum the top
+    * DIRECTION is ill-conditioned (any λ₁-tier mixture is equally
+    * valid for whitening/ABTT), so the spec gates the RAYLEIGH
+    * QUOTIENT — the fixed-point result must capture ≥ 0.98 of the
+    * maximal variance a fully-converged double-precision iteration
+    * reaches — which is stable under near-ties where an alignment
+    * gate would be noise. */
+  val qTopComponent = GraftQuery(
+    "sim_top_component",
+    (s, d) => {
+      import s.implicits._
+      val dim = 64
+      val gmat = Array.ofDim[Long](dim, dim)
+      gramFrame(s, d).collect().foreach(r =>
+        gmat(r.getLong(0).toInt - 1)(r.getLong(1).toInt - 1) = r.getLong(2))
+      val sMax = math.max(1L, gmat.map(_.map(math.abs).max).max)
+      val gDen = math.max(sMax / 1000000L, 1L)
+      val g = gmat.map(_.map(_ / gDen))
+      var x = Array.fill(dim)(1000000L)
+      for (_ <- 1 to PowerRounds) {
+        val y = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => g(i)(j) * x(j)).sum)
+        val yDen = math.max(y.map(math.abs).max / 1000000L, 1L)
+        x = y.map(_ / yDen)
+      }
+      x.zipWithIndex
+        .map { case (v, i) => ((i + 1).toLong, v) }.toSeq
+        .toDF("dim", "component_fp")
+    },
+    Some {
+      val round = (r: Int) => s"""
+        y$r AS MATERIALIZED (
+          SELECT i, CAST(SUM(g_fp * x) AS BIGINT) AS y
+          FROM gn JOIN x${r - 1} USING (j) GROUP BY 1),
+        x$r AS MATERIALIZED (
+          SELECT i AS j, y // GREATEST(
+            (SELECT MAX(ABS(y)) FROM y$r) // 1000000, 1) AS x
+          FROM y$r)"""
+      s"""
+      WITH q AS MATERIALIZED (
+        SELECT ${quantSql.format("embedding")} AS q FROM embeddings),
+      g AS MATERIALIZED (
+        SELECT i, j, CAST(SUM(q[i] * q[j]) AS BIGINT) AS s_ij
+        FROM q, range(1, 65) t1(i), range(1, 65) t2(j) GROUP BY 1, 2),
+      gm AS MATERIALIZED (
+        SELECT GREATEST(MAX(ABS(s_ij)), 1) AS s_max FROM g),
+      gn AS MATERIALIZED (
+        SELECT i, j, s_ij // GREATEST(s_max // 1000000, 1) AS g_fp
+        FROM g, gm),
+      x0 AS MATERIALIZED (
+        SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS x FROM gn),
+      ${(1 to PowerRounds).map(round).mkString(", ")}
+      SELECT CAST(j AS BIGINT) AS dim, CAST(x AS BIGINT) AS component_fp
+      FROM x$PowerRounds"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(qCosineTopK, qLshBuckets, qLabelCentroids, qIvfTopK,
       qIvfMultiprobe, qKnnGraph, qKmeansCells, qIvfTrainedTopK,
       qPqCodes, qPqAdcTopK, qPqFit, qIvfPqTopK, qCentroidOutliers,
-      qClusterQuality, qHardNegatives, qKnnEval, qGramMatrix)
+      qClusterQuality, qHardNegatives, qKnnEval, qGramMatrix,
+      qTopComponent)
 }
