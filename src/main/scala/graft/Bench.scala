@@ -33,7 +33,7 @@ object Bench {
   /** Bench queries whose plan changes when an artifact set is
     * attached: they resolve cluster / trained-index / merge-table
     * artifacts via the session caches instead of deriving. */
-  private val ArtifactBacked =
+  private[graft] val ArtifactBacked =
     Set("dd_keep_list", "t_corpus_yield", "sim_ivfpq_topk", "t_bpe_encode")
 
   def main(args: Array[String]): Unit = {

@@ -14,6 +14,14 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Bench's attached set names real bench-flagged queries") {
+    // a typo here would silently drop a query from the attached-mode
+    // measurement instead of failing
+    val benched = Registry.all.filter(_.bench).map(_.name).toSet
+    assert(Bench.ArtifactBacked.subsetOf(benched),
+      s"unknown/unbenched names: ${Bench.ArtifactBacked diff benched}")
+  }
+
   Registry.all.foreach { q =>
     test(s"${q.name} executes at sf0.001") {
       val df = q.run(spark, sf("sf0.001"))
