@@ -86,7 +86,17 @@ object Artifacts {
     java.nio.file.Files.exists(manifestPath(outDir))
 
   /** Derive all artifacts for `srcDir` and write them bucketed
-    * under `outDir`. Returns (name, rows, buckets) per artifact. */
+    * under `outDir`. Returns (name, rows, buckets) per artifact.
+    *
+    * Reader-atomic re-materialization (round 9): each artifact's
+    * files land under a [[Versioned]] version directory
+    * (`outDir/<name>/v<N>`), and `attach` resolves the live version
+    * pointer — so re-materializing a corpus drop into the SAME dir
+    * while another session is attached can never show that reader a
+    * partial file set: it keeps reading its resolved version (which
+    * survives one publish cycle) and re-attaches to the new one on
+    * its own schedule. The manifest is promoted by atomic
+    * temp-file move for the same reason. */
   def materialize(spark: SparkSession, srcDir: String, outDir: String,
       targetBucketBytes: Long = 32L << 20): Seq[(String, Long, Int)] = {
     val written = derivers.map { case (name, key, derive) =>
@@ -102,15 +112,26 @@ object Artifacts {
       val bytes = rows * math.max(1, df.schema.defaultSize)
       val n = BucketLayout.bucketsFor(bytes, targetBucketBytes)
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(name)}")
-      BucketLayout.writeBucketed(df, tableName(name), key, n,
-        Some(s"$outDir/$name"))
+      Versioned.publish(spark, s"$outDir/$name") { target =>
+        BucketLayout.writeBucketed(df, tableName(name), key, n,
+          Some(target))
+      } { target =>
+        val got = spark.read.parquet(target).count()
+        if (got != rows) throw new IllegalStateException(
+          s"artifact $name wrote $got rows, expected $rows — aborting " +
+            "before the pointer flip; the prior version stays live")
+      }
       (name, rows, n)
     }
     val manifest = written.map { case (n, _, b) => s""""$n":$b""" }
       .mkString(s"""{"source":"$srcDir","buckets":{""", ",", "}}")
     java.nio.file.Files.createDirectories(manifestPath(outDir).getParent)
-    java.nio.file.Files.write(manifestPath(outDir),
-      manifest.getBytes("UTF-8"))
+    val tmp = manifestPath(outDir).resolveSibling(
+      s".manifest_tmp_${java.util.UUID.randomUUID}")
+    java.nio.file.Files.write(tmp, manifest.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, manifestPath(outDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     written
   }
 
@@ -134,7 +155,10 @@ object Artifacts {
     val (source, buckets) = readManifest(outDir)
     names.foreach { n =>
       val t = tableName(n)
-      val loc = s"$outDir/$n"
+      // resolve the LIVE version of the artifact table (pre-versioned
+      // flat layouts resolve to themselves) — the pointer flip is the
+      // only thing a concurrent re-materialization ever mutates
+      val loc = Versioned.resolve(spark, s"$outDir/$n")
       val key = bucketKey(n)
       val schema = spark.read.parquet(loc).schema.toDDL
       spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -141,6 +141,38 @@ class ArtifactLifecycleSpec extends SparkSpec {
     SweepCheck.clearSessionArtifacts(spark)
   }
 
+  test("re-materialization is reader-atomic: a resolved snapshot survives it") {
+    import graft.tools.{Artifacts, Versioned}
+    val d = sf("sf0.001")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_art_v").toString
+
+    SweepCheck.clearSessionArtifacts(spark)
+    Artifacts.materialize(spark, d, outDir)
+    // a concurrent reader resolves its signature snapshot (v1)
+    val snapshot = Versioned.resolve(spark, s"$outDir/signatures")
+    assert(snapshot.endsWith("/v1"), s"expected a versioned location: $snapshot")
+    val want = spark.read.parquet(snapshot).count()
+    assert(want > 0)
+
+    // a second corpus-drop materialization lands in v2 while the
+    // reader is still attached to v1
+    SweepCheck.clearSessionArtifacts(spark)
+    Artifacts.materialize(spark, d, outDir)
+    assert(Versioned.resolve(spark, s"$outDir/signatures").endsWith("/v2"))
+    // the v1 snapshot survives one publish cycle, files intact
+    assert(spark.read.parquet(snapshot).count() === want,
+      "the superseded artifact version must stay readable for in-flight readers")
+
+    // attach resolves the live v2 and the consumer cycle still holds
+    SweepCheck.clearSessionArtifacts(spark)
+    Artifacts.attach(spark, outDir)
+    val before = queries.Dedup.artifactDerivations.get()
+    assert(Registry.byName("dd_minhash_signature").run(spark, d).count() === want)
+    assert(queries.Dedup.artifactDerivations.get() == before)
+    Artifacts.detach(spark)
+    SweepCheck.clearSessionArtifacts(spark)
+  }
+
   test("bpe_merges artifact: attached sessions never train; results identical") {
     import graft.tools.Artifacts
     val d = sf("sf0.001")
