@@ -904,10 +904,94 @@ object EventWindows {
         COUNT(*) AS n_gaps
       FROM b GROUP BY 1, 2"""))
 
+  /** CUSUM mean-shift drift monitor per event type — the classic
+    * change-point screen a training-data pipeline runs on ingestion
+    * volume (a feed silently halving or doubling shows up as a
+    * sustained cumulative deviation long before any single hour looks
+    * anomalous; MAD/z-score outlier queries catch spikes, CUSUM
+    * catches DRIFT). Two-sided: per hour, the upward and downward
+    * clamped cumulative sums of (deviation ∓ slack) with slack = 10%
+    * of the type's mean hourly volume, flagged when the accumulated
+    * drift exceeds one full mean-hour.
+    *
+    * The clamped recurrence C_h = max(0, C_{h−1} + x_h) looks
+    * sequential, but is window-expressible exactly:
+    * C_h = S_h − min(0, min_{j≤h} S_j) where S is the plain running
+    * sum of x — one running sum + one running min per side, both in
+    * the same window. All arithmetic is 1e6 integer fixed point
+    * (integer div mean, exact sums — running |S| ≤ hours·maxN·10⁶ ≈
+    * 10¹² here, overflow at ~10⁶× that), so both engines agree
+    * bit-for-bit.
+    *
+    * Scale shape: the windows ride the (event_type × hours) BOUNDED
+    * hourly bucket table (3,600 rows at sf0.01 — the t_ppl_buckets
+    * tier-window discipline), never raw events; the raw scan is one
+    * hash-aggregate with map-side partials, and the per-type means
+    * are a broadcast. */
+  val qCusumDrift = GraftQuery(
+    "w_cusum_drift",
+    (s, d) => {
+      import s.implicits._
+      val hourly = Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour").getField("start").as("w_start"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy($"event_type")
+        .agg(expr("(sum(n) * 1000000) div count(1)").as("mu_fp"))
+      val w = Window.partitionBy($"event_type").orderBy($"w_start".asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("d_fp", $"n" * 1000000L - $"mu_fp")
+        .withColumn("slack_fp", expr("mu_fp div 10"))
+        .withColumn("s_up", sum($"d_fp" - $"slack_fp").over(w))
+        .withColumn("s_dn", sum(-$"d_fp" - $"slack_fp").over(w))
+        .withColumn("cusum_up_fp",
+          $"s_up" - least(min($"s_up").over(w), lit(0L)))
+        .withColumn("cusum_dn_fp",
+          $"s_dn" - least(min($"s_dn").over(w), lit(0L)))
+        .select($"event_type", $"w_start", $"n".as("n_events"),
+          $"cusum_up_fp", $"cusum_dn_fp",
+          ($"cusum_up_fp" > $"mu_fp").as("drift_up"),
+          ($"cusum_dn_fp" > $"mu_fp").as("drift_dn"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
+          event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      st AS (
+        SELECT event_type, (SUM(n) * 1000000) // COUNT(*) AS mu_fp
+        FROM hourly GROUP BY 1),
+      dv AS (
+        SELECT h.event_type, w_start, n, mu_fp,
+          n * 1000000 - mu_fp AS d_fp, mu_fp // 10 AS slack_fp
+        FROM hourly h JOIN st USING (event_type)),
+      su AS (
+        SELECT *,
+          SUM(d_fp - slack_fp) OVER (PARTITION BY event_type
+            ORDER BY w_start ROWS UNBOUNDED PRECEDING) AS s_up,
+          SUM(-d_fp - slack_fp) OVER (PARTITION BY event_type
+            ORDER BY w_start ROWS UNBOUNDED PRECEDING) AS s_dn
+        FROM dv),
+      cu AS (
+        SELECT *,
+          s_up - LEAST(MIN(s_up) OVER (PARTITION BY event_type
+            ORDER BY w_start ROWS UNBOUNDED PRECEDING), 0) AS cusum_up_fp,
+          s_dn - LEAST(MIN(s_dn) OVER (PARTITION BY event_type
+            ORDER BY w_start ROWS UNBOUNDED PRECEDING), 0) AS cusum_dn_fp
+        FROM su)
+      SELECT event_type, w_start, CAST(n AS BIGINT) AS n_events,
+        CAST(cusum_up_fp AS BIGINT) AS cusum_up_fp,
+        CAST(cusum_dn_fp AS BIGINT) AS cusum_dn_fp,
+        cusum_up_fp > mu_fp AS drift_up,
+        cusum_dn_fp > mu_fp AS drift_dn
+      FROM cu"""))
+
   val all: Seq[GraftQuery] =
     Seq(qTumbling, qQuarterHour, qRunning, qSessionize, qJsonProps,
       qAsOfPriorView, qIntervalJoin, qFunnel, qRetentionCohorts,
       qValueOutliers, qVariantProps, qRolling1h, qValueHistogram,
       qHopping, qGapFill, qMadOutliers, qSeasonal, qRfmFeatures,
-      qEventTransitions, qCumulativeUsers, qInterarrivalHist)
+      qEventTransitions, qCumulativeUsers, qInterarrivalHist,
+      qCusumDrift)
 }
