@@ -169,16 +169,30 @@ object Cdc {
             sorted.foreach { s =>
               val n = s.listing
               val sec = Math.floorDiv(s.ts.getTime, 1000L)
-              st match {
-                case None =>
-                  out += ListingEvent(n.mls, "new_listing", None, n.price,
-                    None, None, None, n.source)
-                case Some(o) if n.price != o.listing.price =>
-                  out += priceChange(n, o.listing)
-                case _ => () // unchanged → no-op (T5)
+              // State only ever ADVANCES in event time: a sighting at
+              // or before the last-applied second is stale — a late
+              // cross-batch arrival under watermarkDelay > 0, or a
+              // committed-offset replay after restart — and applying
+              // it would regress the state's listing to an older
+              // snapshot while lastSeenSec kept the max (inverted
+              // price_change events, wrong off_market snapshot;
+              // ADVICE r9). Dropping it is also what makes the output
+              // independent of HOW the log was batched: any split of
+              // the same sightings yields the same applied
+              // subsequence. (Equal-second duplicates within one
+              // batch collapse to the first in (ts, price) order —
+              // the deterministic tie.)
+              if (st.forall(_.lastSeenSec < sec)) {
+                st match {
+                  case None =>
+                    out += ListingEvent(n.mls, "new_listing", None, n.price,
+                      None, None, None, n.source)
+                  case Some(o) if n.price != o.listing.price =>
+                    out += priceChange(n, o.listing)
+                  case _ => () // unchanged → no-op (T5)
+                }
+                st = Some(SeenState(n, sec))
               }
-              st = Some(SeenState(n,
-                math.max(st.map(_.lastSeenSec).getOrElse(Long.MinValue), sec)))
             }
             st.foreach { v =>
               state.update(v)

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.tools.Versioned
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -24,6 +25,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * hour can only close when every earlier in-watermark event has
   * arrived).
   *
+  * An event type ABSENT from the baseline is a configuration error,
+  * not a zero-mean series: mu=0 makes every closed hour accumulate
+  * n·10⁶ of "drift" and alarm immediately — a wall of false alerts
+  * from an incomplete baseline (ADVICE r9). The monitor therefore
+  * FAILS FAST on an unknown type by default; pass
+  * `dropUnknownTypes = true` to instead drop those hours explicitly
+  * (they close and are discarded — never scored against mu=0).
+  *
+  * Baseline lifecycle (VERDICT r9 #5): [[publishBaseline]] trains the
+  * per-type mean from a landed events table and publishes it through
+  * the [[Versioned]] pointer protocol — an atomic swap, exactly like
+  * the StreamingPq/StreamingBpe artifacts. [[monitoredFromArtifact]]
+  * resolves the LIVE baseline version at stream construction, so a
+  * refresh is `publishBaseline` + monitor restart (the checkpoint
+  * carries the CUSUM state across the restart); a monitor already
+  * running keeps its resolved snapshot — old readers unaffected.
+  *
   * Parity (spec-pinned): fed the same events with the baseline set to
   * the batch run's own per-type means, the emitted rows equal the
   * batch `w_cusum_drift` rows for every closed hour, bit for bit —
@@ -43,9 +61,62 @@ object StreamingCusum {
   final case class TypedEvent(event_type: String, ts: java.sql.Timestamp,
       sec: Long)
 
+  /** Per-type mean hourly volume of a landed events table, 1e6 fixed
+    * point — the identical formula the batch `w_cusum_drift` derives
+    * in-query (mean over OBSERVED hours, integer div), so a monitor
+    * fed this baseline reproduces the batch rows bit-for-bit. */
+  def trainBaseline(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(window($"ts", "1 hour").getField("start").as("w_start"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type")
+      .agg(expr("(sum(n) * 1000000) div count(1)").as("mu_fp"))
+  }
+
+  /** Train from `events` and publish as the next baseline version
+    * under `dir` (atomic pointer swap; a count-match verify gates the
+    * flip). Returns the published version. */
+  def publishBaseline(spark: SparkSession, dir: String,
+      events: DataFrame): Int = {
+    val base = trainBaseline(events)
+    val rows = base.count()
+    Versioned.publish(spark, dir) { target =>
+      base.write.mode("overwrite").parquet(target)
+    } { target =>
+      val got = spark.read.parquet(target).count()
+      if (got != rows) throw new IllegalStateException(
+        s"baseline wrote $got rows, expected $rows")
+    }
+  }
+
+  /** The LIVE baseline under `dir` as the monitor's map. Driver-side
+    * collect of a BOUNDED table — one row per event TYPE (the same
+    * bounded domain the batch query broadcasts); corpus size never
+    * reaches it. */
+  def baselineFrom(spark: SparkSession, dir: String): Map[String, Long] = {
+    import spark.implicits._
+    Versioned.read(spark, dir)
+      .select($"event_type", $"mu_fp").as[(String, Long)]
+      .collect().toMap
+  }
+
+  /** [[monitored]] against the live published baseline: resolves the
+    * version pointer ONCE at stream construction, so the monitor runs
+    * a consistent snapshot and a baseline refresh takes effect on the
+    * next (re)start — the StreamingPq attach contract. */
+  def monitoredFromArtifact(events: DataFrame, baselineDir: String,
+      watermarkDelay: String = "0 seconds",
+      dropUnknownTypes: Boolean = false): Dataset[DriftRow] =
+    monitored(events,
+      baselineFrom(events.sparkSession, baselineDir),
+      watermarkDelay, dropUnknownTypes)
+
   /** events must carry ts (timestamp) and event_type. */
   def monitored(events: DataFrame, baselineMuFp: Map[String, Long],
-      watermarkDelay: String = "0 seconds"): Dataset[DriftRow] = {
+      watermarkDelay: String = "0 seconds",
+      dropUnknownTypes: Boolean = false): Dataset[DriftRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(baselineMuFp)
@@ -57,6 +128,14 @@ object StreamingCusum {
       .flatMapGroupsWithState[CusumState, DriftRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (etype, rows, state: GroupState[CusumState]) =>
+          val known = bc.value.contains(etype)
+          if (!known && !dropUnknownTypes)
+            throw new IllegalStateException(
+              s"event_type '$etype' has no baseline entry — an " +
+                "incomplete baseline would score every hour against " +
+                "mu=0 and alarm immediately; retrain/publish the " +
+                "baseline to cover it, or pass dropUnknownTypes=true " +
+                "to discard its hours explicitly")
           val wmMs = state.getCurrentWatermarkMs()
           val wmSec = Math.floorDiv(wmMs, 1000L)
           val st = state.getOption.getOrElse(CusumState(0L, 0L, Seq.empty))
@@ -73,10 +152,12 @@ object StreamingCusum {
           val out = Seq.newBuilder[DriftRow]
           pend.keys.filter(_ + 3600L <= wmSec).toSeq.sorted.foreach { hr =>
             val n = pend.remove(hr).get
-            val d = n * 1000000L - muFp
-            up = math.max(0L, up + d - slack)
-            dn = math.max(0L, dn - d - slack)
-            out += DriftRow(etype, hr, n, up, dn, up > muFp, dn > muFp)
+            if (known) {
+              val d = n * 1000000L - muFp
+              up = math.max(0L, up + d - slack)
+              dn = math.max(0L, dn - d - slack)
+              out += DriftRow(etype, hr, n, up, dn, up > muFp, dn > muFp)
+            } // unknown + dropUnknownTypes: hour closes, row discarded
           }
           state.update(CusumState(up, dn,
             pend.toSeq.map { case (h, n) => HourCount(h, n) }.sortBy(_.hr)))

@@ -112,7 +112,7 @@ object Artifacts {
       val bytes = rows * math.max(1, df.schema.defaultSize)
       val n = BucketLayout.bucketsFor(bytes, targetBucketBytes)
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(name)}")
-      Versioned.publish(spark, s"$outDir/$name") { target =>
+      val version = Versioned.publish(spark, s"$outDir/$name") { target =>
         BucketLayout.writeBucketed(df, tableName(name), key, n,
           Some(target))
       } { target =>
@@ -121,10 +121,25 @@ object Artifacts {
           s"artifact $name wrote $got rows, expected $rows — aborting " +
             "before the pointer flip; the prior version stays live")
       }
-      (name, rows, n)
+      // the write registered a catalog table at the staging path the
+      // publish just renamed away; drop it — attach() is the only
+      // sanctioned registration and re-declares the live location
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(name)}")
+      (name, rows, n, version)
     }
-    val manifest = written.map { case (n, _, b) => s""""$n":$b""" }
-      .mkString(s"""{"source":"$srcDir","buckets":{""", ",", "}}")
+    // The manifest is the SINGLE atomic snapshot (ADVICE r9): it
+    // records each artifact's exact version dir AND bucket count
+    // together, so attach() resolving everything from ONE manifest
+    // read can never bind a mixed old/new artifact set or declare a
+    // bucket spec from a different generation than the files it
+    // points at. The per-artifact pointer files remain for direct
+    // Versioned readers but attach no longer consults them.
+    val fp = sourceFingerprint(srcDir)
+    val manifest = written.map { case (n, _, b, v) =>
+      s""""$n":{"buckets":$b,"version":$v}"""
+    }.mkString(
+      s"""{"source":"$srcDir","source_fingerprint":"$fp","artifacts":{""",
+      ",", "}}")
     java.nio.file.Files.createDirectories(manifestPath(outDir).getParent)
     val tmp = manifestPath(outDir).resolveSibling(
       s".manifest_tmp_${java.util.UUID.randomUUID}")
@@ -132,44 +147,112 @@ object Artifacts {
     java.nio.file.Files.move(tmp, manifestPath(outDir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    written
+    written.map { case (n, r, b, _) => (n, r, b) }
   }
 
-  private def readManifest(outDir: String): (String, Map[String, Int]) = {
+  /** Content identity of a source dataset dir: file count + total
+    * bytes + max mtime over its parquet files. A corpus REGENERATED
+    * at the same path (same `source` string) changes this, which is
+    * what lets [[ensureFor]] catch a stale artifact set the
+    * source-path guard alone cannot see. */
+  def sourceFingerprint(srcDir: String): String = {
+    val root = java.nio.file.Paths.get(srcDir)
+    if (!java.nio.file.Files.isDirectory(root)) return "absent"
+    val s = java.nio.file.Files.walk(root)
+    try {
+      var count = 0L; var bytes = 0L; var maxM = 0L
+      s.forEach { p =>
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) &&
+            (n.endsWith(".parquet") || n == "_SUCCESS")) {
+          count += 1
+          bytes += java.nio.file.Files.size(p)
+          maxM = math.max(maxM,
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        }
+      }
+      s"$count-$bytes-$maxM"
+    } finally s.close()
+  }
+
+  private final case class Manifest(source: String, fingerprint: String,
+      buckets: Map[String, Int], versions: Map[String, Int])
+
+  private def readManifest(outDir: String): Manifest = {
     val txt = new String(
       java.nio.file.Files.readAllBytes(manifestPath(outDir)), "UTF-8")
     val source = """"source":"([^"]+)"""".r.findFirstMatchIn(txt)
       .map(_.group(1))
       .getOrElse(sys.error(s"no source in $outDir manifest"))
-    val buckets = """"(\w+)":(\d+)""".r.findAllMatchIn(txt)
-      .collect { case m if m.group(1) != "source" =>
-        m.group(1) -> m.group(2).toInt }
-      .toMap
-    (source, buckets)
+    val fp = """"source_fingerprint":"([^"]+)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+    val entry = """"(\w+)":\{"buckets":(\d+),"version":(\d+)\}""".r
+    val entries = entry.findAllMatchIn(txt)
+      .map(m => (m.group(1), m.group(2).toInt, m.group(3).toInt)).toSeq
+    if (entries.nonEmpty)
+      Manifest(source, fp,
+        entries.map(e => e._1 -> e._2).toMap,
+        entries.map(e => e._1 -> e._3).toMap)
+    else {
+      // legacy flat manifest ({"buckets":{name:n,...}}) — no recorded
+      // versions; resolve falls back to the per-artifact pointers
+      val buckets = """"(\w+)":(\d+)""".r.findAllMatchIn(txt)
+        .collect { case m if m.group(1) != "source" =>
+          m.group(1) -> m.group(2).toInt }
+        .toMap
+      Manifest(source, fp, buckets, Map.empty)
+    }
   }
+
+  /** The manifest's recorded source dataset, if a manifest exists. */
+  def manifestSource(outDir: String): Option[String] =
+    if (manifestExists(outDir)) Some(readManifest(outDir).source) else None
 
   /** Register the persisted tables (external, with their recorded
     * bucket spec — catalog state a fresh session must re-declare) and
-    * flip consumers for the manifest's source dataset to read them. */
+    * flip consumers for the manifest's source dataset to read them.
+    * Locations and bucket counts come from ONE manifest snapshot —
+    * never from per-artifact pointer files — so a concurrent
+    * re-materialization can only ever hand this session a wholly-old
+    * or wholly-new consistent set. */
   def attach(spark: SparkSession, outDir: String): Unit = {
-    val (source, buckets) = readManifest(outDir)
+    val m = readManifest(outDir)
     names.foreach { n =>
       val t = tableName(n)
-      // resolve the LIVE version of the artifact table (pre-versioned
-      // flat layouts resolve to themselves) — the pointer flip is the
-      // only thing a concurrent re-materialization ever mutates
-      val loc = Versioned.resolve(spark, s"$outDir/$n")
+      val loc = m.versions.get(n)
+        .map(v => Versioned.versionDir(s"$outDir/$n", v))
+        .getOrElse(Versioned.resolve(spark, s"$outDir/$n"))
       val key = bucketKey(n)
       val schema = spark.read.parquet(loc).schema.toDDL
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(
         s"""CREATE TABLE $t ($schema) USING parquet
            CLUSTERED BY ($key) SORTED BY ($key)
-           INTO ${buckets(n)} BUCKETS
+           INTO ${m.buckets(n)} BUCKETS
            LOCATION '$loc'""")
     }
     spark.conf.set(ConfDir, outDir)
-    spark.conf.set(ConfSource, source)
+    spark.conf.set(ConfSource, m.source)
+  }
+
+  /** Materialize-if-needed + attach: re-materializes when no manifest
+    * exists, when the manifest's source is a different dataset path,
+    * or when the source files changed since materialization (a corpus
+    * REGENERATED at the same path — the stale-artifact case a
+    * path-equality guard cannot see). The Bench/Sweep entry point. */
+  def ensureFor(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val fresh = manifestExists(outDir) && {
+      val m = readManifest(outDir)
+      m.source == srcDir &&
+        (m.fingerprint.isEmpty || m.fingerprint == sourceFingerprint(srcDir))
+    }
+    if (!fresh) {
+      if (manifestExists(outDir))
+        System.err.println(s"[artifacts] manifest at $outDir is stale " +
+          s"for $srcDir — re-materializing")
+      materialize(spark, srcDir, outDir)
+    }
+    attach(spark, outDir)
   }
 
   /** Drop the registrations and return the session to

@@ -81,16 +81,24 @@ object Versioned {
       .rename(tmp, ptr, Options.Rename.OVERWRITE)
     // keep v-1 for in-flight readers; drop anything older — including
     // the pre-versioned FLAT data files, which count as "version 0"
-    // and so are dropped once v2 lands
+    // and so are dropped once v2 lands. Staging debris for versions
+    // ≤ v is also dead: a writer staging `.v<k>_tmp_*` with k ≤ v can
+    // never win its claim rename (v<k> exists or was superseded), so
+    // its leftovers are safe to GC here.
     fs.listStatus(new Path(dir)).foreach { st =>
       val n = st.getPath.getName
       val isOldVersion = n.startsWith("v") && n.drop(1).nonEmpty &&
         n.drop(1).forall(_.isDigit) && n.drop(1).toInt < v - 1
       val isFlatData = st.isFile && v - 1 > 0 &&
         (n.endsWith(".parquet") || n == "_SUCCESS" || n.endsWith(".crc"))
-      if (isOldVersion || isFlatData) fs.delete(st.getPath, true)
+      val isDeadStaging = StagingRe.findFirstMatchIn(n)
+        .exists(_.group(1).toInt <= v)
+      if (isOldVersion || isFlatData || isDeadStaging)
+        fs.delete(st.getPath, true)
     }
   }
+
+  private val StagingRe = """^\.v(\d+)_tmp_.*""".r
 
   /** Publish a new version of `dir`: `writer` materializes the full
     * next-version directory, `verify` inspects it (count checks —
@@ -99,15 +107,45 @@ object Versioned {
     * (pre-versioned) dir publishes v1 alongside its flat files; the
     * flat files stop being read once the pointer exists and are GC'd
     * two publishes later — they are never mutated, so flat readers
-    * that predate the first publish stay safe too. */
+    * that predate the first publish stay safe too.
+    *
+    * Writer coordination (ADVICE r9): the writer stages into a
+    * UUID-named temp dir, and claiming the version number is ONE
+    * atomic directory rename (`tmp → v<N>`), which fails if another
+    * publisher already landed v<N> — so two concurrent publishers
+    * computing the same `next` can never interleave: exactly one
+    * wins, the loser throws with the live pointer untouched, and
+    * nobody ever deletes a directory another writer is filling (the
+    * old delete-then-write cleared debris ANY concurrent writer might
+    * still be producing). A crashed attempt's staging dir is GC'd by
+    * the next successful commit (its claim can never succeed once its
+    * version number is taken or superseded). */
   def publish(spark: SparkSession, dir: String)(
       writer: String => Unit)(verify: String => Unit = _ => ()): Int = {
     val next = current(spark, dir).getOrElse(0) + 1
-    val target = versionDir(dir, next)
-    val fs = fsOf(spark, new Path(target))
-    fs.delete(new Path(target), true) // debris from a dead attempt
-    writer(target)
-    verify(target)
+    val target = new Path(versionDir(dir, next))
+    val fs = fsOf(spark, target)
+    val staging = new Path(dir,
+      s".v${next}_tmp_${java.util.UUID.randomUUID}")
+    try {
+      writer(staging.toString)
+      verify(staging.toString)
+      // the claim: one dir rename that REFUSES an existing
+      // destination. FileSystem.rename has mv semantics (an existing
+      // dst dir swallows src as a child); FileContext with
+      // Rename.NONE is the Hadoop spelling of fail-if-exists.
+      try FileContext.getFileContext(target.toUri,
+          spark.sparkContext.hadoopConfiguration)
+        .rename(staging, target, Options.Rename.NONE)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"concurrent publisher already landed $target — aborting; " +
+            "the winning version is live and this attempt wrote " +
+            "nothing visible", e)
+      }
+    } catch {
+      case t: Throwable => fs.delete(staging, true); throw t
+    }
     commit(spark, dir, next)
     next
   }

@@ -169,6 +169,56 @@ class ArtifactLifecycleSpec extends SparkSpec {
     val before = queries.Dedup.artifactDerivations.get()
     assert(Registry.byName("dd_minhash_signature").run(spark, d).count() === want)
     assert(queries.Dedup.artifactDerivations.get() == before)
+
+    // the manifest is ONE atomic snapshot (ADVICE r9): it names every
+    // artifact's exact version + bucket count together, so attach can
+    // never bind a mixed set or a bucket spec from another generation
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outDir, "_graft_manifest.json")), "UTF-8")
+    Artifacts.names.foreach(n => assert(
+      manifest.matches(s""".*"$n":\\{"buckets":\\d+,"version":2\\}.*"""),
+      s"manifest must record $n's buckets+version atomically: $manifest"))
+    assert(manifest.contains(""""source_fingerprint":"""), manifest)
+    // and the registered table location IS the manifest's version
+    val loc = spark.sql("DESCRIBE EXTENDED graft_art_signatures")
+      .collect().map(r => s"${r.getString(0)} ${r.getString(1)}")
+      .find(_.startsWith("Location")).get
+    assert(loc.contains("/signatures/v2"),
+      s"attach must bind the manifest snapshot's version: $loc")
+    Artifacts.detach(spark)
+    SweepCheck.clearSessionArtifacts(spark)
+  }
+
+  test("ensureFor: fresh manifest attaches as-is; stale fingerprint re-materializes") {
+    import graft.tools.{Artifacts, Versioned}
+    val d = sf("sf0.001")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_art_e").toString
+
+    SweepCheck.clearSessionArtifacts(spark)
+    Artifacts.ensureFor(spark, d, outDir) // no manifest → materialize + attach
+    assert(Versioned.current(spark, s"$outDir/signatures").contains(1))
+    Artifacts.detach(spark)
+
+    // same source, unchanged content → attach without re-materializing
+    SweepCheck.clearSessionArtifacts(spark)
+    Artifacts.ensureFor(spark, d, outDir)
+    assert(Versioned.current(spark, s"$outDir/signatures").contains(1),
+      "an up-to-date artifact set must not be re-materialized")
+    assert(spark.conf.get(Artifacts.ConfSource) == d)
+    Artifacts.detach(spark)
+
+    // a REGENERATED corpus at the same path changes the fingerprint;
+    // simulate by corrupting the recorded one — ensureFor must refuse
+    // the stale set and re-materialize (the Bench guard, ADVICE r9)
+    val mp = java.nio.file.Paths.get(outDir, "_graft_manifest.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+    java.nio.file.Files.write(mp, txt.replaceAll(
+      """"source_fingerprint":"[^"]*"""",
+      """"source_fingerprint":"0-0-0"""").getBytes("UTF-8"))
+    SweepCheck.clearSessionArtifacts(spark)
+    Artifacts.ensureFor(spark, d, outDir)
+    assert(Versioned.current(spark, s"$outDir/signatures").contains(2),
+      "a fingerprint mismatch must force re-materialization")
     Artifacts.detach(spark)
     SweepCheck.clearSessionArtifacts(spark)
   }

@@ -102,6 +102,35 @@ class CdcEventTimeSpec extends SparkSpec {
       s"in-batch sightings must process in ts order, got $changes")
   }
 
+  test("stale cross-batch sighting under watermark delay is ignored") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Cdc.Sighting]
+    // 120s watermark delay: a sighting OLDER than applied state can
+    // arrive in a later batch while still above the watermark. It must
+    // not regress the state's listing (ADVICE r9 — the old code kept
+    // max(lastSeenSec) but overwrote the listing with the stale one,
+    // yielding inverted price_change events on the next sighting).
+    val q = Cdc.streamingEventsEventTime(input.toDS(), stalenessSec = 3000,
+        watermarkDelay = "120 seconds")
+      .writeStream.format("memory").queryName("cdc_stale")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(at(t0 + 100, Listing.minimal("A", 100)))
+      q.processAllAvailable()
+      // late but in-watermark: event time BEFORE the applied sighting
+      input.addData(at(t0 + 50, Listing.minimal("A", 70)))
+      q.processAllAvailable()
+      // same price as the applied (non-stale) state → must be a no-op;
+      // against regressed price-70 state it would emit 70→100
+      input.addData(at(t0 + 200, Listing.minimal("A", 100)))
+      q.processAllAvailable()
+      val got = spark.table("cdc_stale").as[ListingEvent].collect()
+        .map(e => (e.mls, e.status)).toSeq.sorted
+      assert(got == Seq(("A", "new_listing")),
+        s"stale sighting must not disturb state, got $got")
+    } finally q.stop()
+  }
+
   test("kill/restart across the expiry: recovered state still expires on time") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("cdc_et_ckpt").toString

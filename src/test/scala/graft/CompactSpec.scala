@@ -133,6 +133,34 @@ class CompactSpec extends SparkSpec {
     assert(Versioned.read(spark, dir).count() === 300L)
   }
 
+  test("versioned publish: a concurrent publisher that lost the claim aborts cleanly") {
+    import graft.tools.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("compactv").toString + "/t"
+    spark.range(100).select($"id").write.parquet(dir)
+    Compact.runVersioned(spark, dir, 1L << 20) // adopt → v1
+    // Simulate the race's decided state: another publisher computed
+    // the same next (2) and already LANDED v2 via its claim rename —
+    // before our pointer read could see it. Our claim rename must
+    // fail, the attempt must abort without touching the winner's
+    // files or the pointer, and our staging dir must be cleaned up.
+    val winner = new java.io.File(dir, "v2")
+    spark.range(100).select($"id").write.parquet(winner.toString)
+    val winnerFiles = winner.listFiles().map(_.getName).toSet
+    val err = intercept[IllegalStateException] {
+      Versioned.publish(spark, dir) { target =>
+        spark.range(100).select($"id").write.parquet(target)
+      }()
+    }
+    assert(err.getMessage.contains("concurrent publisher"), err.getMessage)
+    assert(winner.listFiles().map(_.getName).toSet == winnerFiles,
+      "the loser must not disturb the winner's landed version")
+    assert(Versioned.current(spark, dir) === Some(1),
+      "the loser must not move the pointer")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.matches("""\.v\d+_tmp_.*""")),
+      "the losing attempt's staging dir must be cleaned up")
+  }
+
   test("publishZorder promotes a re-layout reader-atomically") {
     import graft.tools.{Layout, Versioned}
     val dir = java.nio.file.Files.createTempDirectory("layoutv").toString + "/t"

@@ -55,4 +55,109 @@ class StreamingCusumSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("an event type absent from the baseline fails fast") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingCusum.monitored(
+      input.toDF().toDF("ts", "event_type"), Map("known" -> 5000000L))
+      .writeStream.format("memory").queryName("scusum_ff")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1700000000L), "mystery"))
+      val err = intercept[Exception](q.processAllAvailable())
+      def root(t: Throwable): Throwable =
+        if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+      assert((Option(err.getMessage) ++
+          Option(root(err).getMessage)).mkString(" ")
+          .contains("no baseline entry"),
+        s"must name the misconfiguration, got: $err")
+    } finally q.stop()
+  }
+
+  test("dropUnknownTypes=true discards unknown hours, scores known ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L / 3600L * 3600L
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingCusum.monitored(
+      input.toDF().toDF("ts", "event_type"),
+      Map("known" -> 2000000L), dropUnknownTypes = true)
+      .writeStream.format("memory").queryName("scusum_drop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts(t0 + 10), "known"), (ts(t0 + 20), "known"),
+        (ts(t0 + 30), "mystery"),
+        // next hour advances the watermark past hour t0 for both keys
+        (ts(t0 + 3700), "known"), (ts(t0 + 3700), "mystery"))
+      q.processAllAvailable()
+      val got = spark.table("scusum_drop").as[StreamingCusum.DriftRow]
+        .collect()
+      assert(got.map(_.event_type).toSet == Set("known"),
+        s"unknown hours must be dropped, not scored: ${got.toSeq}")
+      // known hour t0: n=2, mu=2.0 → d=0, slack=0.2 → both sides 0
+      val k = got.find(r => r.w_start_sec == t0).get
+      assert(k.n_events == 2L && k.cusum_up_fp == 0L && k.cusum_dn_fp == 0L)
+    } finally q.stop()
+  }
+
+  test("baseline artifact: publish → monitor-from-artifact → atomic refresh") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.tools.Versioned
+    val d = sf("sf0.001")
+    val dir = java.nio.file.Files
+      .createTempDirectory("cusum_baseline").toString
+    val events = Tables.events(spark, d)
+
+    // v1: trained from the landed table through the versioned pointer
+    assert(StreamingCusum.publishBaseline(spark, dir, events) == 1)
+    val fromArtifact = StreamingCusum.baselineFrom(spark, dir)
+    val direct = StreamingCusum.trainBaseline(events)
+      .as[(String, Long)].collect().toMap
+    assert(fromArtifact == direct,
+      "artifact baseline must equal the in-session training")
+
+    // the monitor resolves the artifact and reproduces the
+    // explicit-map monitor on the same stream
+    val evs = events.select($"ts", $"event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+      .sortBy(_._1.getTime).take(2000)
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingCusum.monitoredFromArtifact(
+      input.toDF().toDF("ts", "event_type"), dir)
+      .writeStream.format("memory").queryName("scusum_art")
+      .outputMode(OutputMode.Append).start()
+    val viaArtifact =
+      try {
+        input.addData(evs.toSeq); q.processAllAvailable()
+        spark.table("scusum_art").as[StreamingCusum.DriftRow].collect()
+          .map(r => (r.event_type, r.w_start_sec) ->
+            (r.n_events, r.cusum_up_fp, r.cusum_dn_fp)).toMap
+      } finally q.stop()
+    val input2 = MemoryStream[(java.sql.Timestamp, String)]
+    val q2 = StreamingCusum.monitored(
+      input2.toDF().toDF("ts", "event_type"), direct)
+      .writeStream.format("memory").queryName("scusum_map")
+      .outputMode(OutputMode.Append).start()
+    val viaMap =
+      try {
+        input2.addData(evs.toSeq); q2.processAllAvailable()
+        spark.table("scusum_map").as[StreamingCusum.DriftRow].collect()
+          .map(r => (r.event_type, r.w_start_sec) ->
+            (r.n_events, r.cusum_up_fp, r.cusum_dn_fp)).toMap
+      } finally q2.stop()
+    assert(viaArtifact == viaMap && viaArtifact.nonEmpty,
+      "artifact-resolved monitor must equal the explicit-map monitor")
+
+    // refresh: publishing again is an ATOMIC pointer flip to v2; the
+    // superseded v1 files stay readable for a monitor mid-run
+    val v1Dir = Versioned.resolve(spark, dir)
+    assert(StreamingCusum.publishBaseline(spark, dir, events) == 2)
+    assert(Versioned.current(spark, dir).contains(2))
+    assert(spark.read.parquet(v1Dir).count() == direct.size.toLong,
+      "old readers' resolved version must survive one publish cycle")
+    assert(StreamingCusum.baselineFrom(spark, dir) == direct)
+  }
 }
