@@ -82,6 +82,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash60(text) takes 1 argument")
         SimHash60(args.head)
+      }),
+    (FunctionIdentifier("gram_position_hashes"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.GramPositionHashes].getName,
+        "gram_position_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "gram_position_hashes(text, k) takes 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"gram size must be an int literal, got $other")
+        }
+        org.apache.spark.sql.graft.GramPositionHashes(args.head, k)
       }))
 
   /** Apply the same registrations to a live session. */

@@ -1616,11 +1616,135 @@ object Dedup {
         round(arg.keeper_score, 6) AS keeper_score
       FROM qk JOIN arg USING (cluster_id)"""))
 
+  /** Minimum verbatim run length (tokens) dd_substring_runs reports.
+    * 8 on the ~55-token fixture docs; production LM pipelines use
+    * 50 — one constant, both engines. */
+  private val SubstringRunK = 8
+
+  /** Boilerplate cap: k-grams in more distinct docs than this are
+    * dropped before the anchor join (deterministic, oracle-replayed). */
+  private val SubstringMaxDf = 64
+
+  /** The two 31-bit polynomial folds of [[qSubstringRuns]]'s oracle —
+    * polyHashSql's proven spelling, parameterized by seed/multiplier,
+    * over the gram string column `gram`. */
+  private def substringFoldSql(seed: Long, m: Long): String =
+    s"""list_reduce(list_concat([CAST($seed AS BIGINT)],
+       list_transform(range(1, length(gram) + 1),
+         i -> CAST(unicode(gram[i]) AS BIGINT))),
+       (acc, c) -> (acc * $m + c) % 2147483647)"""
+
+  /** Substring-level exact dedup (VERDICT r9 #4): cross-document
+    * VERBATIM token runs of ≥ RunK tokens — the suffix-array-style
+    * "50-token verbatim overlap" modality LM-corpus pipelines run
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better") — via k-gram ANCHORS + chain extension instead of a
+    * suffix array. A shared verbatim run of L ≥ k tokens is exactly a
+    * maximal chain of positionally CONSECUTIVE anchor matches at one
+    * alignment offset (delta = pos_b − pos_a), so:
+    *
+    *  1. anchor table: one positional k-gram hash per token position
+    *     (native [[org.apache.spark.sql.graft.GramPositionHashes]] —
+    *     ~62-bit composite hash; one codegen'd scan, explode is
+    *     linear in corpus tokens, the dd_contamination cost class);
+    *  2. boilerplate cap: grams appearing in more than MaxDf distinct
+    *     docs are dropped BEFORE the self-join (the ED-Join
+    *     rarest-gram discipline — a license header shared by 100k
+    *     docs must not fan out 10^10 anchor pairs). The cap is a
+    *     DETERMINISTIC corpus property, so the oracle replays it
+    *     exactly — dropped grams are a semantics choice, not a
+    *     silent truncation (runs bridged ONLY by boilerplate grams
+    *     split; their non-boilerplate fragments still report);
+    *  3. anchor self-join on the hash (doc_a < doc_b) — a hash join
+    *     whose fan-out is bounded by the cap at ≤ MaxDf matches per
+    *     gram occurrence;
+    *  4. chain extension: per (pair, delta), consecutive anchor
+    *     positions collapse via the islands trick (pos − row_number
+    *     is constant on a chain); run length = chain + k − 1. The
+    *     window partitions by (pair, delta) — capped candidate
+    *     groups, never corpus-wide.
+    *
+    * Why anchors and not a suffix array at 100 TB: SA construction
+    * needs a global order over the corpus token stream (a multi-round
+    * all-to-all of the full text); the anchor form is one linear
+    * scan + one capped hash join + partition-local windows — the
+    * exact bucketed discipline every other dd_* family already uses,
+    * and the anchor table lands next to the shingle sets in the same
+    * per-corpus-drop materialization in production (positions are
+    * required here, so the positionless persisted shingle SETS
+    * cannot serve). Output per overlapping pair: the longest shared
+    * run and the number of maximal chains (internal text periodicity
+    * yields chains at several deltas — deterministic on both
+    * engines). */
+  val qSubstringRuns = GraftQuery(
+    "dd_substring_runs",
+    (s, d) => {
+      import s.implicits._
+      val anchors = Tables.documents(s, d)
+        .select($"doc_id", posexplode(
+          org.apache.spark.sql.graft.GramPositionHashes.of($"text", SubstringRunK)))
+        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("gh"))
+        .localCheckpoint(true) // consumed 3× (df, both join sides)
+      val rare = anchors.groupBy($"gh")
+        .agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" <= SubstringMaxDf)
+        .select($"gh")
+      val kept = anchors.join(rare, "gh")
+      val m = kept.as("a").join(kept.as("b"),
+          $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("da"), $"a.pos".as("pa"),
+          $"b.doc_id".as("db"), $"b.pos".as("pb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"da", $"db", $"delta").orderBy($"pa".asc)
+      m.withColumn("delta", $"pb" - $"pa")
+        .withColumn("isl", $"pa" - row_number().over(w))
+        .groupBy($"da", $"db", $"delta", $"isl")
+        .agg((count(lit(1)) + (SubstringRunK - 1)).as("run_len"))
+        .groupBy($"da", $"db")
+        .agg(max($"run_len").as("max_run_tokens"),
+          count(lit(1)).as("n_runs"))
+        .select($"da".as("doc_a"), $"db".as("doc_b"),
+          $"max_run_tokens", $"n_runs")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      g0 AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(toks[i:i+${SubstringRunK - 1}], ' ') AS gram
+        FROM t, unnest(range(1, length(toks) - ${SubstringRunK - 2})) AS r(i)),
+      gh AS (
+        SELECT doc_id, pos,
+          ${substringFoldSql(7, 1000003)} * 2147483647
+            + ${substringFoldSql(13, 1000033)} AS gh
+        FROM g0),
+      rare AS (
+        SELECT gh FROM (
+          SELECT gh, COUNT(DISTINCT doc_id) AS df FROM gh GROUP BY 1)
+        WHERE df <= $SubstringMaxDf),
+      m AS (
+        SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb
+        FROM gh a JOIN gh b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        WHERE a.gh IN (SELECT gh FROM rare)),
+      isl AS (
+        SELECT da, db, pb - pa AS delta,
+          pa - row_number() OVER (PARTITION BY da, db, pb - pa
+                                  ORDER BY pa ASC) AS isl
+        FROM m),
+      runs AS (
+        SELECT da, db, COUNT(*) + ${SubstringRunK - 1} AS run_len
+        FROM isl GROUP BY da, db, delta, isl)
+      SELECT da AS doc_a, db AS doc_b,
+        CAST(MAX(run_len) AS BIGINT) AS max_run_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_runs
+      FROM runs GROUP BY 1, 2"""))
+
   val all: Seq[GraftQuery] =
     Seq(qDedupExact, qMinhashSig, qLshPairs, qNgramJaccard,
       qEmbeddingNearDup, qDupClusters, qContamination, qChunkDedup,
       qBloomContamination, qVerifiedPairs, qIncremental, qKeepList,
       qSimhashNearDup, qContainment, qClusterStats, qSemanticDedup,
       qFuzzyJoin, qFuzzyCanonical, qCrossSourceMatrix, qSourceOverlap,
-      qQualityKeepList)
+      qQualityKeepList, qSubstringRuns)
 }

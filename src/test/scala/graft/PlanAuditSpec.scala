@@ -25,7 +25,7 @@ class PlanAuditSpec extends SparkSpec {
       s"CartesianProduct found in: ${cartesians.mkString(", ")}")
     // Exact count so a query silently dropping out of a file's `all`
     // Seq fails loudly; bump when the registry grows.
-    assert(results.size == 149, s"registry count drifted: ${results.size}")
+    assert(results.size == 150, s"registry count drifted: ${results.size}")
   }
 
   test("round-8 additions keep their designed plan shapes") {
