@@ -1,0 +1,205 @@
+#!/usr/bin/env python3
+"""Tiered oracle compare for LARGE synthetic scale points (sf10+).
+
+Same canonicalization/hash contract as check.py (the driver gate), but
+each oracle runs in a kill-able subprocess with a wall-clock budget:
+a query whose DuckDB replay outgrows the budget at this scale is
+recorded EXPLICITLY as tier "rows_slope" (engine row count + slope vs
+a reference record) instead of silently skipped — the VERDICT r9 #1
+"tier each query explicitly, no silent skips" contract.
+
+Usage:
+  check_tiered.py <sfDir> <verifyOutDir> <outJson>
+      [--timeout SECONDS] [--ref REFERENCE_JSON] [--label LABEL]
+
+Tiers emitted per query:
+  compare     — DuckDB replay ran; rows+schema+hash verdict recorded
+  rows_slope  — oracle exceeded the budget (or DuckDB OOM'd); engine
+                rows recorded, slope computed against --ref's rows
+  certificate — named in CERTIFICATE_QUERIES; checked by its own
+                certificate script, recorded here by reference
+  rows_only   — no oracle SQL exists (sketch/tokenizer surfaces)
+"""
+import sys, os, json, math, time
+import multiprocessing as mp
+
+CERTIFICATE_QUERIES = {"mm_crossmodal_keep_list"}
+
+def canon(df):
+    import pandas as pd
+    df = df.reindex(sorted(df.columns), axis=1)
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return f"{v:.6g}"
+        if isinstance(v, list):
+            return tuple(norm(x) for x in v)
+        try:
+            import numpy as np
+            if isinstance(v, np.ndarray):
+                return tuple(norm(x) for x in v.tolist())
+            if isinstance(v, (np.floating,)):
+                return norm(float(v))
+            if isinstance(v, (np.integer,)):
+                return int(v)
+        except ImportError:
+            pass
+        return v
+    out = df.map(norm)
+    return out.sort_values(by=list(out.columns),
+                           key=lambda s: s.map(repr)).reset_index(drop=True)
+
+def views_sql(sf_dir):
+    stmts = []
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            src = f"read_parquet('{p}/*.parquet')"
+            stmts.append((t, src))
+        elif os.path.exists(p):
+            stmts.append((t, f"read_parquet('{p}')"))
+    return stmts
+
+def oracle_proc(sf_dir, sql, spark_path, q):
+    """Subprocess: run one oracle + compare; put verdict on the queue."""
+    try:
+        import duckdb, pandas as pd
+        con = duckdb.connect()
+        con.execute(f"SET temp_directory='/tmp/duckdb_tiered_{os.getpid()}'")
+        for t, src in views_sql(sf_dir):
+            if t == "events":
+                ts_t = con.execute(
+                    f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+                if ts_t == "BIGINT":
+                    src = (f"(SELECT * REPLACE (make_timestamp(ts // 1000)"
+                           f" AS ts) FROM {src})")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        want = canon(con.execute(sql).fetchdf())
+        got = canon(pd.read_parquet(spark_path))
+        if list(want.columns) != list(got.columns):
+            q.put({"status": "mismatch",
+                   "detail": f"schema {list(got.columns)} vs {list(want.columns)}"})
+        elif len(want) != len(got):
+            q.put({"status": "mismatch",
+                   "detail": f"rows {len(got)} vs {len(want)}"})
+        elif not want.equals(got):
+            q.put({"status": "mismatch", "detail": "values differ"})
+        else:
+            q.put({"status": "match", "rows": len(got)})
+    except Exception as e:
+        q.put({"status": "oracle_error", "detail": str(e)[:300]})
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {}
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a.startswith("--"):
+            opts[a[2:]] = argv[i + 1]
+    sf_dir, out_dir, out_json = args[0], args[1], args[2]
+    budget = float(opts.get("timeout", 600))
+    label = opts.get("label", sf_dir)
+    ref = {}
+    if "ref" in opts:
+        ref = json.load(open(opts["ref"])).get("queries", {})
+
+    import pandas as pd
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    all_queries = sorted(
+        d for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d)))
+    results = {}
+    counts = {"match": 0, "mismatch": 0, "rows_slope": 0,
+              "rows_only": 0, "certificate": 0, "missing": 0,
+              "oracle_error": 0}
+
+    for name in all_queries:
+        spark_path = f"{out_dir}/{name}"
+        t0 = time.time()
+        try:
+            got_rows = len(pd.read_parquet(spark_path))
+        except Exception as e:
+            results[name] = {"tier": "missing", "detail": str(e)[:200]}
+            counts["missing"] += 1
+            print(f"MISSING  {name}")
+            continue
+        slope = None
+        if name in ref and ref[name].get("rows"):
+            slope = round(got_rows / ref[name]["rows"], 2)
+        if name in CERTIFICATE_QUERIES:
+            results[name] = {"tier": "certificate", "rows": got_rows,
+                             "slope_vs_ref": slope,
+                             "detail": "checked by scripts/check_crossmodal.py"}
+            counts["certificate"] += 1
+            print(f"CERT     {name} ({got_rows} rows)")
+            continue
+        if name not in oracles:
+            results[name] = {"tier": "rows_only", "rows": got_rows,
+                             "slope_vs_ref": slope}
+            counts["rows_only"] += 1
+            print(f"ROWSONLY {name} ({got_rows} rows)")
+            continue
+
+        q = mp.Queue()
+        p = mp.Process(target=oracle_proc,
+                       args=(sf_dir, oracles[name], spark_path, q))
+        p.start()
+        p.join(budget)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            results[name] = {"tier": "rows_slope", "rows": got_rows,
+                             "slope_vs_ref": slope,
+                             "detail": f"oracle exceeded {budget:.0f}s budget"}
+            counts["rows_slope"] += 1
+            print(f"SLOPE    {name} ({got_rows} rows, slope {slope}) "
+                  f"[oracle > {budget:.0f}s]")
+            continue
+        verdict = q.get() if not q.empty() else {
+            "status": "oracle_error", "detail": "subprocess died (OOM?)"}
+        sec = round(time.time() - t0, 1)
+        if verdict["status"] == "match":
+            results[name] = {"tier": "compare", "match": True,
+                             "rows": got_rows, "slope_vs_ref": slope,
+                             "oracle_sec": sec}
+            counts["match"] += 1
+            print(f"OK       {name} ({got_rows} rows, {sec}s)")
+        elif verdict["status"] == "oracle_error":
+            results[name] = {"tier": "rows_slope", "rows": got_rows,
+                             "slope_vs_ref": slope,
+                             "detail": "oracle failed at this scale: "
+                                       + verdict.get("detail", "")}
+            counts["rows_slope"] += 1
+            print(f"SLOPE    {name} ({got_rows} rows) [oracle error: "
+                  f"{verdict.get('detail','')[:120]}]")
+        else:
+            results[name] = {"tier": "compare", "match": False,
+                             "rows": got_rows,
+                             "detail": verdict.get("detail", "")}
+            counts["mismatch"] += 1
+            print(f"MISMATCH {name}: {verdict.get('detail','')}")
+
+    doc = {
+        "sf": label,
+        "protocol": (
+            "graft.Verify engine dump -> tiered DuckDB compare "
+            f"(per-oracle budget {budget:.0f}s, canonicalization identical "
+            "to the driver gate). Tier 'compare' = full rows+schema+hash; "
+            "'rows_slope' = oracle compare-bound at this scale, engine "
+            "rows + slope vs the reference record stand in; "
+            "'certificate' = dedicated certificate script; 'rows_only' = "
+            "no SQL oracle exists (sketch/tokenizer surfaces, spec-gated "
+            "by exact twins)."),
+        "counts": counts,
+        "queries": results,
+    }
+    with open(out_json, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(f"\n{counts}")
+    ok = counts["mismatch"] == 0 and counts["missing"] == 0
+    sys.exit(0 if ok else 1)
+
+if __name__ == "__main__":
+    main()

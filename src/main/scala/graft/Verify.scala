@@ -15,10 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // coalesce(1) keeps the driver's per-query dir a single file; at
+    // synthetic large SFs (sf1/sf10 scale records) the single-threaded
+    // write of multi-hundred-MB outputs dominates the whole dump —
+    // SPARK_GRAFT_VERIFY_COALESCE=0 writes partitioned (check.py and
+    // check_tiered.py read the dir either way)
+    val coalesce1 =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_COALESCE", "1") != "0"
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        (if (coalesce1) df.coalesce(1) else df)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

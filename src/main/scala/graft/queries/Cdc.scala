@@ -977,7 +977,11 @@ object Cdc {
         UNION ALL
         SELECT a, CAST(0 AS INT), dg FROM d${rounds + 1}
       ) t(node, peel_round, deg)"""
-    })
+    },
+    // bench-flagged round 10 (VERDICT r9 #7): the fixpoint variant's
+    // convergence-dependent cost (5s-class in-sweep) was top-5
+    // territory with no recorded baseline — the 2x gate now covers it
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(qCdcEvents, qCdcOffMarket, qGraphNodeProps, qCdcScd2, qCdcPitJoin,

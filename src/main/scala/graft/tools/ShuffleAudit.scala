@@ -2,18 +2,25 @@ package graft.tools
 
 import java.util.concurrent.atomic.AtomicLong
 
-import graft.Registry
+import graft.{GraftQuery, Registry, SweepCheck}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Shuffle auditor — the "minimize shuffles" rule as a MEASURED
-  * number instead of a plan-reading judgment: runs each bench-flagged
-  * query once (warmed) and reports actual task metrics — input bytes
-  * read, shuffle bytes written, shuffle bytes read, and disk/memory
-  * spill — summed over the query's tasks. A query whose shuffle
-  * write rivals its input is moving the dataset; one whose spill is
-  * non-zero at this scale would be memory-sick long before 100 TB.
-  * Writes SHUFFLE_AUDIT.md when given an output path.
+  * number instead of a plan-reading judgment: runs queries once
+  * (warmed) and reports actual task metrics — input bytes read,
+  * shuffle bytes written, shuffle bytes read, and disk/memory spill —
+  * summed over each query's tasks. A query whose shuffle write rivals
+  * its input is moving the dataset; one whose spill is non-zero at
+  * this scale would be memory-sick long before 100 TB. Writes
+  * SHUFFLE_AUDIT.md when given an output path.
+  *
+  * Round 10 (VERDICT r9 #3): the audit now covers the FULL registry,
+  * not just the bench flags — `--all` sweeps every query with the
+  * SweepCheck per-query artifact teardown, so exchange-heavy
+  * unbenched queries (dd_source_overlap, sim_pq_fit) carry measured
+  * byte counts, and [[graft.ShuffleGateSpec]] gates zero spill
+  * registry-wide at sf0.1 on every test run.
   *
   * Mechanics: one SparkListener accumulates task metrics; counters
   * snapshot around each query with a listener-bus drain wait (the
@@ -61,11 +68,83 @@ object ShuffleAudit {
     }
   }
 
+  /** Measure task metrics per query against `sfDir`. `warm = true`
+    * runs an unmeasured pass first (JIT + parquet footers + session
+    * artifacts). `teardown = true` clears session artifacts between
+    * measured queries (the SweepCheck discipline — each query's
+    * metrics then include its own artifact derivation, cold, and
+    * storage pressure never accumulates across a 150-query sweep).
+    * Queries that fail are reported with all-(-1) metrics rather
+    * than silently dropped. */
+  def measure(spark: SparkSession, sfDir: String, qs: Seq[GraftQuery],
+      warm: Boolean = true, teardown: Boolean = false)
+      : Seq[(String, Metrics)] = {
+    val c = new Collector
+    spark.sparkContext.addSparkListener(c)
+    try {
+      def runOne(q: GraftQuery): Boolean =
+        try {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[shuffle-audit] ${q.name}: ${e.getMessage}")
+          false
+        }
+      if (warm) qs.foreach { q =>
+        runOne(q)
+        if (teardown) SweepCheck.clearSessionArtifacts(spark)
+      }
+      qs.map { q =>
+        settle(c)
+        val (before, _) = c.snapshot
+        val ok = runOne(q)
+        settle(c)
+        val (after, _) = c.snapshot
+        if (teardown) SweepCheck.clearSessionArtifacts(spark)
+        val m =
+          if (!ok) Metrics(-1, -1, -1, -1, -1)
+          else Metrics(after.input - before.input,
+            after.shuffleWrite - before.shuffleWrite,
+            after.shuffleRead - before.shuffleRead,
+            after.diskSpill - before.diskSpill,
+            after.memSpill - before.memSpill)
+        (q.name, m)
+      }
+    } finally spark.sparkContext.removeSparkListener(c)
+  }
+
   private def mb(b: Long): String = f"${b / 1048576.0}%.1f"
 
+  def render(rows: Seq[(String, Metrics)], sfDir: String,
+      scope: String): String = {
+    val header = "| query | input MB | shuffle write MB | shuffle read MB | disk spill MB | mem spill MB |"
+    val sep = "| --- | ---: | ---: | ---: | ---: | ---: |"
+    val body = rows.map { case (n, m) =>
+      s"| $n | ${mb(m.input)} | ${mb(m.shuffleWrite)} | ${mb(m.shuffleRead)} " +
+      s"| ${mb(m.diskSpill)} | ${mb(m.memSpill)} |"
+    }
+    Seq(
+      "# SHUFFLE_AUDIT — measured task metrics per query",
+      "",
+      s"Generated by `graft.tools.ShuffleAudit` at $sfDir ($scope;",
+      "warmed, one measured pass; listener-accumulated task metrics).",
+      "Shuffle write ≈ data movement the plan pays per run; spill > 0",
+      "means partitions outgrew executor memory at this scale (gated",
+      "registry-wide by ShuffleGateSpec). The input column UNDERCOUNTS",
+      "on local files (Hadoop FS statistics are thread-local and miss",
+      "on reused task threads) — shuffle and spill are the auditable",
+      "columns; checkpoint block reads can also surface as input",
+      "(q_graph_pagerank's edge artifact).",
+      "",
+      header, sep, body.mkString("\n"), "").mkString("\n")
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1)
+    val flags = args.filter(_.startsWith("--")).toSet
+    val rest = args.filterNot(_.startsWith("--"))
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = rest.lift(1)
+    val all = flags.contains("--all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,48 +154,12 @@ object ShuffleAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val c = new Collector
-    spark.sparkContext.addSparkListener(c)
 
-    val qs = Registry.all.filter(_.bench)
-    // warm pass: JIT + parquet footers + session artifacts, unmeasured
-    qs.foreach(q =>
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[shuffle-warm] ${q.name}: ${e.getMessage}") })
-
-    val rows = qs.map { q =>
-      settle(c)
-      val (before, _) = c.snapshot
-      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      settle(c)
-      val (after, _) = c.snapshot
-      (q.name, Metrics(after.input - before.input,
-        after.shuffleWrite - before.shuffleWrite,
-        after.shuffleRead - before.shuffleRead,
-        after.diskSpill - before.diskSpill,
-        after.memSpill - before.memSpill))
-    }
-
-    val header = "| query | input MB | shuffle write MB | shuffle read MB | disk spill MB | mem spill MB |"
-    val sep = "| --- | ---: | ---: | ---: | ---: | ---: |"
-    val body = rows.map { case (n, m) =>
-      s"| $n | ${mb(m.input)} | ${mb(m.shuffleWrite)} | ${mb(m.shuffleRead)} " +
-      s"| ${mb(m.diskSpill)} | ${mb(m.memSpill)} |"
-    }
-    val doc = Seq(
-      "# SHUFFLE_AUDIT — measured task metrics per bench query",
-      "",
-      s"Generated by `graft.tools.ShuffleAudit` at $sfDir (warmed, one",
-      "measured pass; listener-accumulated task metrics). Shuffle",
-      "write ≈ data movement the plan pays per run; spill > 0 means",
-      "partitions outgrew executor memory at this scale. The input",
-      "column UNDERCOUNTS on local files (Hadoop FS statistics are",
-      "thread-local and miss on reused task threads) — shuffle and",
-      "spill are the auditable columns; checkpoint block reads can",
-      "also surface as input (q_graph_pagerank's edge artifact).",
-      "",
-      header, sep, body.mkString("\n"), "").mkString("\n")
+    val qs = if (all) Registry.all else Registry.all.filter(_.bench)
+    val rows = measure(spark, sfDir, qs, warm = true, teardown = all)
+    val doc = render(rows, sfDir,
+      if (all) s"FULL registry, ${qs.length} queries, per-query artifact teardown"
+      else s"bench set, ${qs.length} queries")
     out match {
       case Some(p) =>
         java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -124,6 +167,10 @@ object ShuffleAudit {
         println(s"[shuffle-audit] wrote ${rows.length} rows to $p")
       case None => println(doc)
     }
+    val spilled = rows.filter(r => r._2.diskSpill > 0 || r._2.memSpill > 0)
+    if (spilled.nonEmpty)
+      println(s"[shuffle-audit] SPILL DETECTED: " +
+        spilled.map(_._1).mkString(", "))
     spark.stop()
   }
 }
