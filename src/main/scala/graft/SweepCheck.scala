@@ -29,6 +29,15 @@ object SweepCheck {
     queries.Cdc.clearBaseEdgeCache()
     queries.Cdc.clearWeightedBaseEdgeCache()
     queries.TextAnalysis.clearBpeCache()
+    // SQL-cache entries are PLAN-matched session-wide: a df.cache()
+    // from any earlier consumer silently substitutes InMemoryRelation
+    // into every later plan sharing that fragment — different stats,
+    // different join strategies, so sweeps would measure cache luck
+    // and plan audits would audit a polluted shape (round 10 caught
+    // sim_hard_negatives flipping three broadcasts to SMJ this way).
+    // Unpersisting the RDDs below does NOT drop the CacheManager
+    // entries; this does.
+    spark.catalog.clearCache()
     // Unpersisting a locally-checkpointed RDD makes Spark WARN that
     // the truncated lineage can't recompute it — which is the POINT
     // here (nothing depends on these plans between queries; that's

@@ -104,8 +104,9 @@ class GraftExtensionsSpec extends SparkSpec {
     // the injection list is shared — the class is just the conf-driven
     // wrapper around it
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("i128_sum", "quantized_dot", "repetition_stats",
-        "shingle_hashes", "shingle_minhash", "simhash60"))
+      Seq("gram_position_hashes", "i128_sum", "quantized_dot",
+        "repetition_stats", "shingle_hashes", "shingle_minhash",
+        "simhash60"))
     val ext = new GraftExtensions
     val holder = new org.apache.spark.sql.SparkSessionExtensions
     ext(holder) // must not throw; builder wiring exercised via register()

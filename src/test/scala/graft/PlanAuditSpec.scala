@@ -13,7 +13,27 @@ import graft.tools.PlanAudit
   */
 class PlanAuditSpec extends SparkSpec {
 
+  /** Audits must see PRISTINE plans: the shared test session may
+    * carry SQL-cache entries, session artifacts, or planning confs
+    * from earlier suites — cached plan fragments substitute
+    * InMemoryRelation into matching subtrees and a leaked broadcast
+    * threshold flips join strategies (suite-order-dependent
+    * flakiness: round 10 caught sim_hard_negatives auditing 3 SMJs
+    * in full-suite order while every clean-session run plans 7
+    * broadcasts). Clear the caches and reset the planning confs this
+    * suite's assertions depend on to their session defaults. */
+  private def hermetic(): Unit = {
+    SweepCheck.clearSessionArtifacts(spark)
+    Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .foreach(spark.conf.unset)
+  }
+
   test("no registry query plans a CartesianProduct; all queries plan") {
+    hermetic()
     val results = Registry.all.map(q =>
       q.name -> PlanAudit.audit(spark, sf("sf0.001"), q.name))
     val failures = results.collect { case (n, Left(e)) => s"$n: $e" }
@@ -29,6 +49,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("round-8 additions keep their designed plan shapes") {
+    hermetic()
     def auditOf(name: String) =
       PlanAudit.audit(spark, sf("sf0.001"), name).toOption.get
     // Pure map-side chunking: no exchange at all.
