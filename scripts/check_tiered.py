@@ -68,6 +68,7 @@ def oracle_proc(sf_dir, sql, spark_path, q):
         import duckdb, pandas as pd
         con = duckdb.connect()
         con.execute(f"SET temp_directory='/tmp/duckdb_tiered_{os.getpid()}'")
+        con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '16')}")
         for t, src in views_sql(sf_dir):
             if t == "events":
                 ts_t = con.execute(
@@ -110,6 +111,11 @@ def main():
     all_queries = sorted(
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)))
+    # --shard i/n: process only this stripe (parallel instances each
+    # write their own out_json; merge with merge_tiered.py)
+    if "shard" in opts:
+        i, n = map(int, opts["shard"].split("/"))
+        all_queries = [q for k, q in enumerate(all_queries) if k % n == i]
     results = {}
     counts = {"match": 0, "mismatch": 0, "rows_slope": 0,
               "rows_only": 0, "certificate": 0, "missing": 0,
