@@ -48,6 +48,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same rationale as Verify: the allowlisted bounded-table global
+    // windows (PlanAuditSpec) make WindowExec's single-partition
+    // caution pure noise in the recorded bench tail
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 
     val qs = Registry.all.filter(_.bench)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt

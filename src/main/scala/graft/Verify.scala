@@ -14,6 +14,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The registry's only partition-less windows run over BOUNDED
+    // tables (PlanAuditSpec gates the allowlist), so WindowExec's
+    // single-partition caution is expected-by-design here — at sf10
+    // it printed hundreds of times, burying real warnings in the
+    // recorded tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // coalesce(1) keeps the driver's per-query dir a single file; at
     // synthetic large SFs (sf1/sf10 scale records) the single-threaded

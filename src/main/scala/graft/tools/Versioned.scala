@@ -82,7 +82,7 @@ object Versioned {
     // keep v-1 for in-flight readers; drop anything older — including
     // the pre-versioned FLAT data files, which count as "version 0"
     // and so are dropped once v2 lands. Staging debris for versions
-    // ≤ v is also dead: a writer staging `.v<k>_tmp_*` with k ≤ v can
+    // ≤ v is also dead: a writer staging `.staging/v<k>_tmp_*`, k ≤ v, can
     // never win its claim rename (v<k> exists or was superseded), so
     // its leftovers are safe to GC here.
     fs.listStatus(new Path(dir)).foreach { st =>
@@ -91,14 +91,20 @@ object Versioned {
         n.drop(1).forall(_.isDigit) && n.drop(1).toInt < v - 1
       val isFlatData = st.isFile && v - 1 > 0 &&
         (n.endsWith(".parquet") || n == "_SUCCESS" || n.endsWith(".crc"))
-      val isDeadStaging = StagingRe.findFirstMatchIn(n)
-        .exists(_.group(1).toInt <= v)
-      if (isOldVersion || isFlatData || isDeadStaging)
+      if (isOldVersion || isFlatData)
         fs.delete(st.getPath, true)
     }
+    val stagingRoot = new Path(dir, StagingDirName)
+    if (fs.exists(stagingRoot))
+      fs.listStatus(stagingRoot).foreach { st =>
+        val isDeadStaging = StagingRe.findFirstMatchIn(st.getPath.getName)
+          .exists(_.group(1).toInt <= v)
+        if (isDeadStaging) fs.delete(st.getPath, true)
+      }
   }
 
-  private val StagingRe = """^\.v(\d+)_tmp_.*""".r
+  private val StagingDirName = ".staging"
+  private val StagingRe = """^v(\d+)_tmp_.*""".r
 
   /** Publish a new version of `dir`: `writer` materializes the full
     * next-version directory, `verify` inspects it (count checks —
@@ -125,8 +131,15 @@ object Versioned {
     val next = current(spark, dir).getOrElse(0) + 1
     val target = new Path(versionDir(dir, next))
     val fs = fsOf(spark, target)
-    val staging = new Path(dir,
-      s".v${next}_tmp_${java.util.UUID.randomUUID}")
+    // staging lives under a DOT-prefixed parent so a flat (pre-v1)
+    // reader scanning `dir` never lists in-progress files, while the
+    // staging dir's own leaf name stays visible — verify() can
+    // spark.read it without tripping the hidden-path filter (the old
+    // `.v<N>_tmp_*` flat siblings made every verify read log
+    // "All paths were ignored")
+    fs.mkdirs(new Path(dir, StagingDirName))
+    val staging = new Path(new Path(dir, StagingDirName),
+      s"v${next}_tmp_${java.util.UUID.randomUUID}")
     try {
       writer(staging.toString)
       verify(staging.toString)

@@ -133,6 +133,25 @@ class CompactSpec extends SparkSpec {
     assert(Versioned.read(spark, dir).count() === 300L)
   }
 
+  test("versioned publish: a crashed attempt's staging debris is GC'd by the next commit") {
+    import graft.tools.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("compactv").toString + "/t"
+    spark.range(50).select($"id").write.parquet(dir)
+    Compact.runVersioned(spark, dir, 1L << 20) // adopt → v1
+    // a writer that died mid-stage leaves its dir behind (the
+    // in-process catch never ran); only the next successful commit
+    // can reap it
+    val dead = new java.io.File(dir, ".staging/v2_tmp_dead-attempt")
+    assert(dead.mkdirs())
+    java.nio.file.Files.writeString(
+      dead.toPath.resolve("part-orphan.parquet"), "junk")
+    Compact.runVersioned(spark, dir, 1L << 20) // lands v2, GC runs
+    assert(Versioned.current(spark, dir) === Some(2))
+    assert(!dead.exists(),
+      "dead staging (version ≤ live) must be reaped at commit")
+    assert(Versioned.read(spark, dir).count() === 50L)
+  }
+
   test("versioned publish: a concurrent publisher that lost the claim aborts cleanly") {
     import graft.tools.Versioned
     val dir = java.nio.file.Files.createTempDirectory("compactv").toString + "/t"
@@ -156,8 +175,9 @@ class CompactSpec extends SparkSpec {
       "the loser must not disturb the winner's landed version")
     assert(Versioned.current(spark, dir) === Some(1),
       "the loser must not move the pointer")
-    assert(!new java.io.File(dir).listFiles()
-      .exists(_.getName.matches("""\.v\d+_tmp_.*""")),
+    val stagingRoot = new java.io.File(dir, ".staging")
+    assert(!stagingRoot.exists() || !stagingRoot.listFiles()
+      .exists(_.getName.matches("""v\d+_tmp_.*""")),
       "the losing attempt's staging dir must be cleaned up")
   }
 

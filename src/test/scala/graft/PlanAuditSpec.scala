@@ -48,6 +48,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(results.size == 150, s"registry count drifted: ${results.size}")
   }
 
+  /** Queries ALLOWED to plan a partition-less Window: each one's
+    * window input is bounded by construction (a calendar-day table,
+    * a ≤~60-row score-bucket table, an hourly bucket table), so the
+    * single partition Spark warns about is a driver-trivial tail —
+    * never a corpus sort. Anything NOT named here that plans a
+    * global window is a new scale bug and fails the gate. */
+  private val BoundedGlobalWindows = Set(
+    "w_cumulative_users",  // window over the distinct-DAY table
+    "t_nll_yield_curve")   // window over ln-score buckets (≤ ~60 rows)
+
+  test("global (partition-less) windows only on bounded tables") {
+    hermetic()
+    val offenders = Registry.all.flatMap { q =>
+      PlanAudit.audit(spark, sf("sf0.001"), q.name).toOption
+        .filter(a => a.globalWindows > 0 &&
+          !BoundedGlobalWindows.contains(q.name))
+        .map(a => s"${q.name}: ${a.globalWindows} global window(s)")
+    }
+    assert(offenders.isEmpty,
+      s"unbounded global windows planned by:\n${offenders.mkString("\n")}")
+    // the allowlist itself must stay honest: both entries still plan
+    // their one bounded global window (drop the entry if they stop)
+    for (n <- BoundedGlobalWindows) {
+      val a = PlanAudit.audit(spark, sf("sf0.001"), n).toOption.get
+      assert(a.globalWindows >= 1, s"$n no longer plans a global window")
+    }
+  }
+
   test("round-8 additions keep their designed plan shapes") {
     hermetic()
     def auditOf(name: String) =
