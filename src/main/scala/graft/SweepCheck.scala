@@ -62,6 +62,12 @@ object SweepCheck {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // initialPartitionNum >> cores: shuffles START at fine granularity
+      // and AQE coalesces DOWN to the advisory size at small scale — so
+      // the same binary neither over-partitions sf0.1 nor starves sf10+
+      // (measured: at sf10 the 32-partition graph iterations spilled
+      // 10-89 GB per query; the cluster-shaped setting is thousands)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

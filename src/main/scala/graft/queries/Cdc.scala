@@ -652,6 +652,7 @@ object Cdc {
     val selfW = edges.groupBy($"a").agg(max($"w").as("sw"))
       .localCheckpoint(true)
     var lab = selfW.select($"a".as("node"), $"a".as("lab"))
+    var prevLab: Option[DataFrame] = None
     for (_ <- 1 to 3) {
       val fromNeighbors = edges
         .join(lab.select($"node".as("bn"), $"lab"), $"b" === $"bn")
@@ -667,6 +668,10 @@ object Cdc {
         // (neighbor gather + self-vote) and the lazy lineage would
         // re-execute every prior round once per consumer
         .localCheckpoint(true)
+      // the new round is materialized — the superseded round's label
+      // blocks are dead; keep retention O(1) rounds, not O(rounds)
+      prevLab.foreach(graft.tools.Checkpoints.release)
+      prevLab = Some(lab)
     }
     val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("community_size"))
     lab.join(sizes, "lab")
@@ -800,13 +805,26 @@ object Cdc {
           Seq("a"), "left")
         .select($"a", coalesce($"dg", lit(0L)).as("dg"))
         .localCheckpoint(true) // peel + survivor split both read it
+      // checkpoint the (small) peeled slice so `out` reads round-sized
+      // blocks, not the full degNow table — degNow is then dead at
+      // round end and its storage releasable (Checkpoints scaladoc)
       out = out.unionByName(degNow.filter($"dg" < k)
-        .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg")))
-      alive = degNow.filter($"dg" >= k).select($"a").localCheckpoint(true)
-      edges = edges
-        .join(alive, Seq("a"), "left_semi")
-        .join(alive.select($"a".as("b")), Seq("b"), "left_semi")
+        .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg"))
+        .localCheckpoint(true))
+      val aliveNext = degNow.filter($"dg" >= k).select($"a")
         .localCheckpoint(true)
+      val edgesNext = edges
+        .join(aliveNext, Seq("a"), "left_semi")
+        .join(aliveNext.select($"a".as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      // round r's tables are all eagerly materialized above — the
+      // superseded round's blocks are dead; release them so retention
+      // stays O(current graph + peeled output), not O(rounds × graph)
+      graft.tools.Checkpoints.release(degNow)
+      graft.tools.Checkpoints.release(alive)
+      graft.tools.Checkpoints.release(edges)
+      alive = aliveNext
+      edges = edgesNext
     }
     val finalDeg = alive
       .join(edges.groupBy($"a").agg(count(lit(1)).as("dg")), Seq("a"), "left")
@@ -904,16 +922,29 @@ object Cdc {
           Seq("a"), "left")
         .select($"a", coalesce($"dg", lit(0L)).as("dg"))
         .localCheckpoint(true)
+      // materialized round-sized slice: the emptiness probe reads
+      // blocks, `out` keeps only peeled rows, and degNow becomes
+      // releasable at round end (Checkpoints scaladoc)
       val peeled = degNow.filter($"dg" < k)
-      if (peeled.isEmpty) converged = true
-      else {
-        out = out.unionByName(peeled
-          .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg")))
-        alive = degNow.filter($"dg" >= k).select($"a").localCheckpoint(true)
-        edges = edges
-          .join(alive, Seq("a"), "left_semi")
-          .join(alive.select($"a".as("b")), Seq("b"), "left_semi")
+        .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg"))
+        .localCheckpoint(true)
+      if (peeled.isEmpty) {
+        converged = true
+        graft.tools.Checkpoints.release(peeled)
+        graft.tools.Checkpoints.release(degNow)
+      } else {
+        out = out.unionByName(peeled)
+        val aliveNext = degNow.filter($"dg" >= k).select($"a")
           .localCheckpoint(true)
+        val edgesNext = edges
+          .join(aliveNext, Seq("a"), "left_semi")
+          .join(aliveNext.select($"a".as("b")), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+        graft.tools.Checkpoints.release(degNow)
+        graft.tools.Checkpoints.release(alive)
+        graft.tools.Checkpoints.release(edges)
+        alive = aliveNext
+        edges = edgesNext
         r += 1
       }
     }

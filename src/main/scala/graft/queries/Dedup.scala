@@ -324,6 +324,9 @@ object Dedup {
         .localCheckpoint(true)
       converged =
         next.filter(col("label") =!= col("prev_label")).count() == 0
+      // `next` is materialized — the superseded round's label blocks
+      // are dead; keep retention O(1) rounds (Checkpoints scaladoc)
+      graft.tools.Checkpoints.release(labels)
       labels = next.select(col("node"), col("label"))
       rounds += 1
     }

@@ -149,6 +149,12 @@ object ShuffleAudit {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // initialPartitionNum >> cores: shuffles START at fine granularity
+      // and AQE coalesces DOWN to the advisory size at small scale — so
+      // the same binary neither over-partitions sf0.1 nor starves sf10+
+      // (measured: at sf10 the 32-partition graph iterations spilled
+      // 10-89 GB per query; the cluster-shaped setting is thousands)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -156,10 +162,18 @@ object ShuffleAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     val qs = if (all) Registry.all else Registry.all.filter(_.bench)
-    val rows = measure(spark, sfDir, qs, warm = true, teardown = all)
+    // --teardown: clear session artifacts between measured queries
+    // even in bench-set mode. Without it a sweep's checkpointed
+    // artifacts accumulate across queries, so a later query's spill
+    // column reads ITS shuffles under EARLIER queries' storage
+    // pressure — measured at sf10, that inflation OOM'd a 24 GB heap
+    // before the sweep finished. --all always tears down.
+    val teardown = all || flags.contains("--teardown")
+    val rows = measure(spark, sfDir, qs, warm = true, teardown = teardown)
     val doc = render(rows, sfDir,
       if (all) s"FULL registry, ${qs.length} queries, per-query artifact teardown"
-      else s"bench set, ${qs.length} queries")
+      else s"bench set, ${qs.length} queries" +
+        (if (teardown) ", per-query artifact teardown" else ""))
     out match {
       case Some(p) =>
         java.nio.file.Files.write(java.nio.file.Paths.get(p),
