@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.tools.Checkpoints.SerCheckpoint
 
 /** Change-data-capture semantics (SURVEY §2.9 T2, J2/J3) in batch
   * form: previous snapshot ⟗ current batch keyed by business key,
@@ -378,9 +379,9 @@ object Cdc {
       e0: DataFrame): DataFrame = {
     import s.implicits._
     val edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
-      .localCheckpoint(true)
+      .serCheckpoint()
     val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .serCheckpoint()
     var pr = deg.select($"a".as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {
       val contrib = pr.join(deg, pr("node") === deg("a"))
@@ -553,7 +554,7 @@ object Cdc {
     (s, d) => {
       import s.implicits._
       val edges = supplierTopKEdges(s, d, 5)
-        .localCheckpoint(true) // three probe sides of one artifact
+        .serCheckpoint() // three probe sides of one artifact
       val wedges = edges
         .join(edges.select($"x".as("x2"), $"y".as("y2")),
           $"x" === $"x2" && $"y" < $"y2")
@@ -567,8 +568,9 @@ object Cdc {
         .agg(count(lit(1)).as("n_triangles"))
     },
     Some("""
-      WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-      pairs AS (
+      WITH os AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      pairs AS MATERIALIZED (
         SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS w
         FROM os a JOIN os b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
@@ -579,7 +581,7 @@ object Cdc {
             ROW_NUMBER() OVER (PARTITION BY sa
               ORDER BY w DESC, sb ASC) AS rk
           FROM pairs) WHERE rk <= 5),
-      e AS (
+      e AS MATERIALIZED (
         SELECT DISTINCT LEAST(sa, sb) AS x, GREATEST(sa, sb) AS y
         FROM topk),
       tri AS (
@@ -648,9 +650,9 @@ object Cdc {
     import s.implicits._
     val edges = e0
       .union(e0.select($"b".as("a"), $"a".as("b"), $"w"))
-      .localCheckpoint(true)
+      .serCheckpoint()
     val selfW = edges.groupBy($"a").agg(max($"w").as("sw"))
-      .localCheckpoint(true)
+      .serCheckpoint()
     var lab = selfW.select($"a".as("node"), $"a".as("lab"))
     var prevLab: Option[DataFrame] = None
     for (_ <- 1 to 3) {
@@ -667,7 +669,7 @@ object Cdc {
         // materialize per round: the next round reads lab twice
         // (neighbor gather + self-vote) and the lazy lineage would
         // re-execute every prior round once per consumer
-        .localCheckpoint(true)
+        .serCheckpoint()
       // the new round is materialized — the superseded round's label
       // blocks are dead; keep retention O(1) rounds, not O(rounds)
       prevLab.foreach(graft.tools.Checkpoints.release)
@@ -793,8 +795,8 @@ object Cdc {
       e0: DataFrame, k: Int, rounds: Int): DataFrame = {
     import s.implicits._
     var edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
-      .localCheckpoint(true)
-    var alive = edges.select($"a").distinct().localCheckpoint(true)
+      .serCheckpoint()
+    var alive = edges.select($"a").distinct().serCheckpoint()
     var out: DataFrame = Seq.empty[(String, Int, Long)]
       .toDF("node", "peel_round", "deg")
     for (r <- 1 to rounds) {
@@ -804,19 +806,19 @@ object Cdc {
         .join(edges.groupBy($"a").agg(count(lit(1)).as("dg")),
           Seq("a"), "left")
         .select($"a", coalesce($"dg", lit(0L)).as("dg"))
-        .localCheckpoint(true) // peel + survivor split both read it
+        .serCheckpoint() // peel + survivor split both read it
       // checkpoint the (small) peeled slice so `out` reads round-sized
       // blocks, not the full degNow table — degNow is then dead at
       // round end and its storage releasable (Checkpoints scaladoc)
       out = out.unionByName(degNow.filter($"dg" < k)
         .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg"))
-        .localCheckpoint(true))
+        .serCheckpoint())
       val aliveNext = degNow.filter($"dg" >= k).select($"a")
-        .localCheckpoint(true)
+        .serCheckpoint()
       val edgesNext = edges
         .join(aliveNext, Seq("a"), "left_semi")
         .join(aliveNext.select($"a".as("b")), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .serCheckpoint()
       // round r's tables are all eagerly materialized above — the
       // superseded round's blocks are dead; release them so retention
       // stays O(current graph + peeled output), not O(rounds × graph)
@@ -910,8 +912,8 @@ object Cdc {
       e0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     import s.implicits._
     var edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
-      .localCheckpoint(true)
-    var alive = edges.select($"a").distinct().localCheckpoint(true)
+      .serCheckpoint()
+    var alive = edges.select($"a").distinct().serCheckpoint()
     var out: DataFrame = Seq.empty[(String, Int, Long)]
       .toDF("node", "peel_round", "deg")
     var r = 1
@@ -921,13 +923,13 @@ object Cdc {
         .join(edges.groupBy($"a").agg(count(lit(1)).as("dg")),
           Seq("a"), "left")
         .select($"a", coalesce($"dg", lit(0L)).as("dg"))
-        .localCheckpoint(true)
+        .serCheckpoint()
       // materialized round-sized slice: the emptiness probe reads
       // blocks, `out` keeps only peeled rows, and degNow becomes
       // releasable at round end (Checkpoints scaladoc)
       val peeled = degNow.filter($"dg" < k)
         .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg"))
-        .localCheckpoint(true)
+        .serCheckpoint()
       if (peeled.isEmpty) {
         converged = true
         graft.tools.Checkpoints.release(peeled)
@@ -935,11 +937,11 @@ object Cdc {
       } else {
         out = out.unionByName(peeled)
         val aliveNext = degNow.filter($"dg" >= k).select($"a")
-          .localCheckpoint(true)
+          .serCheckpoint()
         val edgesNext = edges
           .join(aliveNext, Seq("a"), "left_semi")
           .join(aliveNext.select($"a".as("b")), Seq("b"), "left_semi")
-          .localCheckpoint(true)
+          .serCheckpoint()
         graft.tools.Checkpoints.release(degNow)
         graft.tools.Checkpoints.release(alive)
         graft.tools.Checkpoints.release(edges)

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.tools.Checkpoints.SerCheckpoint
 
 /** Deduplication operators over `documents` — the core of a
   * training-data pipeline. Four families (SURVEY extension surface):
@@ -308,10 +309,10 @@ object Dedup {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .serCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .serCheckpoint()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -321,7 +322,7 @@ object Dedup {
         .select(labels("node"), labels("label").as("prev_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
-        .localCheckpoint(true)
+        .serCheckpoint()
       converged =
         next.filter(col("label") =!= col("prev_label")).count() == 0
       // `next` is materialized — the superseded round's label blocks

@@ -30,6 +30,22 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
+  /** Eager localCheckpoint at MEMORY_AND_DISK_SER for corpus-scale
+    * iteration state (edge lists, per-round degree/label tables).
+    * The default deserialized MEMORY_AND_DISK stores row OBJECTS —
+    * 3–5× the footprint for string-keyed graph rows — and on a
+    * single JVM two decades above the gate scale that storage
+    * squeezes unified execution memory until every round's aggregate
+    * spills (measured at sf10: 10–46 GB spill per graph query).
+    * Serialized blocks trade one deserialization per consumer stage
+    * for that headroom. Session-cached ARTIFACTS probed many times
+    * stay deserialized — their read count amortizes the footprint. */
+  implicit class SerCheckpoint[T](private val ds: org.apache.spark.sql.Dataset[T]) {
+    def serCheckpoint(): org.apache.spark.sql.Dataset[T] =
+      ds.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
   /** Unpersist the checkpointed RDDs in `df`'s plan (non-blocking). */
   def release(df: DataFrame): Unit = {
     val rdds = df.queryExecution.analyzed.collect {

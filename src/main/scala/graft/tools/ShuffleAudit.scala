@@ -141,6 +141,10 @@ object ShuffleAudit {
 
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
+    val only = flags.collectFirst {
+      case f if f.startsWith("--only=") =>
+        f.stripPrefix("--only=").split(',').toSet
+    }
     val rest = args.filterNot(_.startsWith("--"))
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
     val out = rest.lift(1)
@@ -161,7 +165,11 @@ object ShuffleAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val qs = if (all) Registry.all else Registry.all.filter(_.bench)
+    val base = if (all) Registry.all else Registry.all.filter(_.bench)
+    // --only=a,b re-measures a named subset (substring match) — for
+    // iterating on one query family without paying the full sweep
+    val qs = only.fold(base)(names =>
+      base.filter(q => names.exists(q.name.contains)))
     // --teardown: clear session artifacts between measured queries
     // even in bench-set mode. Without it a sweep's checkpointed
     // artifacts accumulate across queries, so a later query's spill
