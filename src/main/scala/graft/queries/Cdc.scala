@@ -4,6 +4,7 @@ import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.tools.Checkpoints.SerCheckpoint
+import org.apache.spark.sql.graft.ArgMax2
 
 /** Change-data-capture semantics (SURVEY §2.9 T2, J2/J3) in batch
   * form: previous snapshot ⟗ current batch keyed by business key,
@@ -378,9 +379,21 @@ object Cdc {
   private[graft] def pagerankOver(s: org.apache.spark.sql.SparkSession,
       e0: DataFrame): DataFrame = {
     import s.implicits._
+    // partitioned AND sorted on the probe key pre-checkpoint
+    // (localCheckpoint's LogicalRDD keeps outputPartitioning and
+    // outputOrdering): the degree aggregate reads the edge list
+    // exchange-free, and every round's contribution SMJ needs
+    // neither exchange nor sort on the corpus-scale side — only the
+    // V-scale rank table pays a per-round shuffle+sort, and a sort
+    // spills gracefully where a forced hash build would abort (a
+    // shuffle_hash hint dies with "can't acquire memory to build
+    // hash relation" once an AQE-coalesced build partition outgrows
+    // a task's execution-memory share — measured at sf10)
     val edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+      .repartition($"a").sortWithinPartitions($"a")
       .serCheckpoint()
     val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+      .sortWithinPartitions($"a")
       .serCheckpoint()
     var pr = deg.select($"a".as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {
@@ -648,10 +661,21 @@ object Cdc {
   private[graft] def lpaOver(s: org.apache.spark.sql.SparkSession,
       e0: DataFrame): DataFrame = {
     import s.implicits._
+    // partitioned AND sorted ON THE PROBE KEY before the checkpoint:
+    // LogicalRDD preserves outputPartitioning and outputOrdering, so
+    // every round's neighbor-gather SMJ reads the corpus-scale edge
+    // table with no exchange and no sort — the big side crosses the
+    // wire once and is sorted once for the whole query, not once per
+    // round; only the V-scale label table pays per-round, and its
+    // sort spills gracefully (a forced shuffle_hash build aborts
+    // outright when a coalesced partition outgrows task memory —
+    // measured at sf10 on this very join)
     val edges = e0
       .union(e0.select($"b".as("a"), $"a".as("b"), $"w"))
+      .repartition($"b").sortWithinPartitions($"b")
       .serCheckpoint()
     val selfW = edges.groupBy($"a").agg(max($"w").as("sw"))
+      .sortWithinPartitions($"a")
       .serCheckpoint()
     var lab = selfW.select($"a".as("node"), $"a".as("lab"))
     var prevLab: Option[DataFrame] = None
@@ -664,8 +688,8 @@ object Cdc {
       lab = fromNeighbors.union(fromSelf)
         .groupBy($"node", $"lab").agg(sum($"w").as("wt"))
         .groupBy($"node")
-        .agg(max(struct($"wt", (-$"lab").as("nl"))).as("m"))
-        .select($"node", (-$"m.nl").as("lab"))
+        .agg(ArgMax2.of($"wt", -$"lab").as("m"))
+        .select($"node", (-$"m.tie").as("lab"))
         // materialize per round: the next round reads lab twice
         // (neighbor gather + self-vote) and the lazy lineage would
         // re-execute every prior round once per consumer
@@ -794,7 +818,12 @@ object Cdc {
   private[graft] def kcoreOver(s: org.apache.spark.sql.SparkSession,
       e0: DataFrame, k: Int, rounds: Int): DataFrame = {
     import s.implicits._
+    // partitioned AND sorted by `a` pre-checkpoint: every round's
+    // degree aggregate reads the edge list exchange-free, and an
+    // SMJ-round anti join needs no sort on the edge side (LogicalRDD
+    // keeps partitioning + ordering across the per-round re-checkpoint)
     var edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+      .repartition($"a").sortWithinPartitions($"a")
       .serCheckpoint()
     var alive = edges.select($"a").distinct().serCheckpoint()
     var out: DataFrame = Seq.empty[(String, Int, Long)]
@@ -810,14 +839,23 @@ object Cdc {
       // checkpoint the (small) peeled slice so `out` reads round-sized
       // blocks, not the full degNow table — degNow is then dead at
       // round end and its storage releasable (Checkpoints scaladoc)
-      out = out.unionByName(degNow.filter($"dg" < k)
+      val peeled = degNow.filter($"dg" < k)
         .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg"))
-        .serCheckpoint())
+        .serCheckpoint()
+      out = out.unionByName(peeled)
       val aliveNext = degNow.filter($"dg" >= k).select($"a")
         .serCheckpoint()
+      // drop edges touching the ROUND-SIZED peeled set (anti), not
+      // edges surviving the CORPUS-SIZED alive set (semi): once the
+      // cascade settles the peeled set is tiny, AQE broadcasts it,
+      // and the edge list is filtered in place — no shuffle, no sort,
+      // partitioning preserved for the next round's degree aggregate.
+      // Equivalent by the loop invariant (edge endpoints ⊆ alive).
+      // b-side first so a shuffle round (a big first peel) leaves the
+      // checkpoint partitioned by `a` again.
       val edgesNext = edges
-        .join(aliveNext, Seq("a"), "left_semi")
-        .join(aliveNext.select($"a".as("b")), Seq("b"), "left_semi")
+        .join(peeled.select($"node".as("b")), Seq("b"), "left_anti")
+        .join(peeled.select($"node".as("a")), Seq("a"), "left_anti")
         .serCheckpoint()
       // round r's tables are all eagerly materialized above — the
       // superseded round's blocks are dead; release them so retention
@@ -848,10 +886,12 @@ object Cdc {
     * more (aggregate + two semi-joins); the round count is a dial,
     * not a structural limit.
     *
-    * Scale shape: per round ONE degree hash-aggregate over surviving
-    * edges plus two left-semi joins against the (shrinking) alive
-    * set, every intermediate localCheckpoint'd exactly like the
-    * pagerank/LPA rounds; nothing is collected, and the oracle
+    * Scale shape: per round ONE degree hash-aggregate over the
+    * pre-partitioned surviving edges (exchange-free) plus two
+    * left-anti joins against the ROUND-SIZED peeled set (AQE
+    * broadcasts it once the cascade settles), every intermediate
+    * checkpointed exactly like the pagerank/LPA rounds; nothing is
+    * collected, and the oracle
     * unrolls the identical three rounds so the hash gate proves the
     * cascade (a peel lowering its neighbor below k next round) step
     * for step. */
@@ -911,7 +951,9 @@ object Cdc {
   private[graft] def kcoreFixpointOver(s: org.apache.spark.sql.SparkSession,
       e0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     import s.implicits._
+    // same probe-key pre-partitioning + pre-sort as kcoreOver
     var edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+      .repartition($"a").sortWithinPartitions($"a")
       .serCheckpoint()
     var alive = edges.select($"a").distinct().serCheckpoint()
     var out: DataFrame = Seq.empty[(String, Int, Long)]
@@ -938,9 +980,11 @@ object Cdc {
         out = out.unionByName(peeled)
         val aliveNext = degNow.filter($"dg" >= k).select($"a")
           .serCheckpoint()
+        // round-sized anti joins, AQE-broadcast once the cascade
+        // settles — see kcoreOver for the equivalence argument
         val edgesNext = edges
-          .join(aliveNext, Seq("a"), "left_semi")
-          .join(aliveNext.select($"a".as("b")), Seq("b"), "left_semi")
+          .join(peeled.select($"node".as("b")), Seq("b"), "left_anti")
+          .join(peeled.select($"node".as("a")), Seq("a"), "left_anti")
           .serCheckpoint()
         graft.tools.Checkpoints.release(degNow)
         graft.tools.Checkpoints.release(alive)

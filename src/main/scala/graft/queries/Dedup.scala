@@ -4,6 +4,7 @@ import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.tools.Checkpoints.SerCheckpoint
+import org.apache.spark.sql.graft.ArgMax2
 
 /** Deduplication operators over `documents` — the core of a
   * training-data pipeline. Four families (SURVEY extension surface):
@@ -306,9 +307,14 @@ object Dedup {
     * null sum); a component with diameter > maxRounds throws rather
     * than silently returning unconverged labels. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // probe-key pre-partitioning + pre-sort (the lpaOver discipline):
+    // the pair graph crosses the wire once and is sorted once, not
+    // once per round — each round's SMJ only shuffles+sorts the
+    // node-scale label table
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst")).sortWithinPartitions(col("dst"))
       .serCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -564,10 +570,10 @@ object Dedup {
     pairs.join(qa, "a_id").join(qb, "b_id")
       .select(col("a_id"), col("b_id"), cos.as("cosine"))
       .groupBy(col("a_id"))
-      .agg(max(struct(col("cosine"), (-col("b_id")).as("nb"))).as("m"))
-      .select(col("a_id"), (-col("m.nb")).as("nearest_in_bucket"),
-        col("m.cosine").as("cosine"),
-        (col("m.cosine") >= threshold).as("near_dup"))
+      .agg(ArgMax2.of(col("cosine"), -col("b_id")).as("m"))
+      .select(col("a_id"), (-col("m.tie")).as("nearest_in_bucket"),
+        col("m.ord").as("cosine"),
+        (col("m.ord") >= threshold).as("near_dup"))
   }
 
   /** Shared DuckDB CTE chain replaying the multi-table ANN candidate
@@ -917,8 +923,8 @@ object Dedup {
           col("l.doc_id").as("cand"), sigAgreement.as("agree"))
         .filter($"agree" >= 4)
         .groupBy($"doc_id")
-        .agg(max(struct($"agree", (-$"cand").as("nc"))).as("m"))
-        .select($"doc_id", (-$"m.nc").as("near_of"))
+        .agg(ArgMax2.of($"agree", -$"cand").as("m"))
+        .select($"doc_id", (-$"m.tie").as("near_of"))
       exact.join(near, Seq("doc_id"), "left")
         .select($"doc_id",
           when($"exact_of".isNotNull, "exact_dup")
@@ -1579,9 +1585,9 @@ object Dedup {
         TextAnalysis.qualityScoreExpr($"text").as("score"))
       val withCl = cachedClusters(s, d).join(scored, "doc_id")
       val keep = withCl.groupBy($"cluster_id")
-        .agg(max(struct($"score".as("s"), (-$"doc_id").as("nd"))).as("m"))
-        .select($"cluster_id", (-$"m.nd").as("keeper"),
-          round($"m.s", 6).as("keeper_score"))
+        .agg(ArgMax2.of($"score", -$"doc_id").as("m"))
+        .select($"cluster_id", (-$"m.tie").as("keeper"),
+          round($"m.ord", 6).as("keeper_score"))
       withCl.join(keep, "cluster_id")
         .select($"doc_id", $"cluster_id",
           round($"score", 6).as("quality_score"),

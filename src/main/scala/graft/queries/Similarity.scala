@@ -4,7 +4,7 @@ import graft.{GraftQuery, Tables}
 import graft.functions.VectorExpressions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.TopKAggregate
+import org.apache.spark.sql.graft.{ArgMax2, TopKAggregate}
 
 /** Similarity search over the `embeddings` table (array<float>, 64-d).
   *
@@ -220,8 +220,8 @@ object Similarity {
       // nearest centroid per vector: max(struct) — no window
       val assign = scored
         .groupBy($"vec_id")
-        .agg(max(struct($"ccos", (-$"clabel").as("nl"))).as("m"))
-        .select($"vec_id", (-$"m.nl").as("cell"))
+        .agg(ArgMax2.of($"ccos", -$"clabel").as("m"))
+        .select($"vec_id", (-$"m.tie").as("cell"))
       val cells = e.join(assign, "vec_id")
         .select($"vec_id", $"q", $"qn", $"cell")
       // nprobe nearest cells per probe (20 probes × nprobe rows)
@@ -379,8 +379,8 @@ object Similarity {
         e.crossJoin(broadcast(cent))
           .select($"vec_id", ccos.as("ccos"), $"cell")
           .groupBy($"vec_id")
-          .agg(max(struct($"ccos", (-$"cell").as("nc"))).as("m"))
-          .select($"vec_id", (-$"m.nc").cast("int").as("cell"))
+          .agg(ArgMax2.of($"ccos", -$"cell").as("m"))
+          .select($"vec_id", (-$"m.tie").cast("int").as("cell"))
       }
       def recenter(cent: org.apache.spark.sql.DataFrame,
           assign: org.apache.spark.sql.DataFrame) = {
@@ -566,8 +566,8 @@ object Similarity {
     ej.crossJoin(broadcast(cent))
       .select(col("vec_id"), ccos.as("ccos"), col("cell"))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("ccos"), (-col("cell")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).cast("int").as("cell"))
+      .agg(ArgMax2.of(col("ccos"), -col("cell")).as("m"))
+      .select(col("vec_id"), (-col("m.tie")).cast("int").as("cell"))
   }
 
   /** Per-subspace sliced (vec_id, q, qn) tables from raw embeddings —
@@ -1102,9 +1102,9 @@ object Similarity {
         .where($"cell" =!= $"ocell")
         .select($"cell", $"ocell", pmicro.as("pmicro"))
         .groupBy($"cell")
-        .agg(max(struct($"pmicro", (-$"ocell").as("no"))).as("m"))
-        .select($"cell", (-$"m.no").cast("int").as("nn_cell"),
-          $"m.pmicro".as("nn_cos_micro"))
+        .agg(ArgMax2.of($"pmicro", -$"ocell").as("m"))
+        .select($"cell", (-$"m.tie").cast("int").as("nn_cell"),
+          $"m.ord".as("nn_cos_micro"))
       intra.join(nn, "cell")
         .select($"cell", $"n_vectors",
           expr("(csum + n_vectors * 1000000) div n_vectors - 1000000")
@@ -1243,8 +1243,8 @@ object Similarity {
         .groupBy($"vec_id", $"nl")
         .agg(count(lit(1)).as("votes"))
       votes.groupBy($"vec_id")
-        .agg(max(struct($"votes", (-$"nl").as("neg"))).as("m"))
-        .select($"vec_id", (-$"m.neg").cast("int").as("predicted"))
+        .agg(ArgMax2.of($"votes", -$"nl").as("m"))
+        .select($"vec_id", (-$"m.tie").cast("int").as("predicted"))
         .join(lab, "vec_id")
         .groupBy($"label", $"predicted")
         .agg(count(lit(1)).as("n"))

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.queries.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.ArgMax2
 import org.apache.spark.sql.functions._
 
 /** Streaming ANN ingest — the embedding-space twin of
@@ -87,9 +88,9 @@ object StreamingAnn {
         col("qn").as("cn")), "c_id")
       .select(col("n_id"), col("c_id"), cos.as("cosine"))
       .groupBy(col("n_id"))
-      .agg(max(struct(col("cosine"), (-col("c_id")).as("nc"))).as("m"))
-      .select(col("n_id"), (-col("m.nc")).as("cand"),
-        col("m.cosine").as("cosine"))
+      .agg(ArgMax2.of(col("cosine"), -col("c_id")).as("m"))
+      .select(col("n_id"), (-col("m.tie")).as("cand"),
+        col("m.ord").as("cosine"))
     newVecs.select(col("vec_id"))
       .join(best.withColumnRenamed("n_id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
