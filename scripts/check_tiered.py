@@ -20,7 +20,7 @@ Tiers emitted per query:
                 certificate script, recorded here by reference
   rows_only   — no oracle SQL exists (sketch/tokenizer surfaces)
 """
-import sys, os, json, math, time
+import sys, os, json, math, time, queue
 import multiprocessing as mp
 
 CERTIFICATE_QUERIES = {"mm_crossmodal_keep_list"}
@@ -163,8 +163,16 @@ def main():
             print(f"SLOPE    {name} ({got_rows} rows, slope {slope}) "
                   f"[oracle > {budget:.0f}s]")
             continue
-        verdict = q.get() if not q.empty() else {
-            "status": "oracle_error", "detail": "subprocess died (OOM?)"}
+        # q.get with a timeout, NOT q.empty(): the feeder thread of a
+        # mp.Queue can still be flushing when the child exits, so
+        # empty() can transiently report True for a queue that is about
+        # to deliver the verdict — mislabeling a successful compare as
+        # a dead subprocess (ADVICE r10).
+        try:
+            verdict = q.get(timeout=5)
+        except queue.Empty:
+            verdict = {"status": "oracle_error",
+                       "detail": "subprocess died (OOM?)"}
         sec = round(time.time() - t0, 1)
         if verdict["status"] == "match":
             results[name] = {"tier": "compare", "match": True,

@@ -117,8 +117,13 @@ object Cdc {
   final case class Sighting(ts: java.sql.Timestamp, listing: Listing)
 
   /** Per-key state for the event-time CDC: last-seen listing and the
-    * event-time second of that sighting. */
-  final case class SeenState(listing: Listing, lastSeenSec: Long)
+    * event-time MILLISECOND of that sighting. Millisecond (not
+    * second) granularity so a genuine price change arriving <1s after
+    * the applied sighting — same floor-second, later ms — is applied,
+    * not silently dropped (ADVICE r10). Off-market timing still
+    * quantizes to the floor second (the documented day math), so this
+    * widens what is APPLIED without moving any emitted timestamp. */
+  final case class SeenState(listing: Listing, lastSeenMs: Long)
 
   /** EVENT-TIME CDC — the replayable twin of [[streamingEvents]].
     *
@@ -156,7 +161,7 @@ object Cdc {
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            val offSec = st.lastSeenSec + stalenessSec
+            val offSec = Math.floorDiv(st.lastSeenMs, 1000L) + stalenessSec
             val days = ((offSec - st.listing.foundDate) / 86400).toInt
             Iterator.single(ListingEvent(st.listing.mls, "off_market",
               None, st.listing.price, None, None, Some(days),
@@ -168,21 +173,23 @@ object Cdc {
             val out = Vector.newBuilder[ListingEvent]
             sorted.foreach { s =>
               val n = s.listing
-              val sec = Math.floorDiv(s.ts.getTime, 1000L)
+              val ms = s.ts.getTime
               // State only ever ADVANCES in event time: a sighting at
-              // or before the last-applied second is stale — a late
-              // cross-batch arrival under watermarkDelay > 0, or a
-              // committed-offset replay after restart — and applying
+              // or before the last-applied MILLISECOND is stale — a
+              // late cross-batch arrival under watermarkDelay > 0, or
+              // a committed-offset replay after restart — and applying
               // it would regress the state's listing to an older
-              // snapshot while lastSeenSec kept the max (inverted
+              // snapshot while lastSeenMs kept the max (inverted
               // price_change events, wrong off_market snapshot;
               // ADVICE r9). Dropping it is also what makes the output
               // independent of HOW the log was batched: any split of
               // the same sightings yields the same applied
-              // subsequence. (Equal-second duplicates within one
-              // batch collapse to the first in (ts, price) order —
-              // the deterministic tie.)
-              if (st.forall(_.lastSeenSec < sec)) {
+              // subsequence. Millisecond granularity (ADVICE r10)
+              // means a real change <1s after the applied sighting is
+              // applied, matching the per-sighting batch twin.
+              // (Equal-ms duplicates within one batch collapse to the
+              // first in (ts, price) order — the deterministic tie.)
+              if (st.forall(_.lastSeenMs < ms)) {
                 st match {
                   case None =>
                     out += ListingEvent(n.mls, "new_listing", None, n.price,
@@ -191,7 +198,7 @@ object Cdc {
                     out += priceChange(n, o.listing)
                   case _ => () // unchanged → no-op (T5)
                 }
-                st = Some(SeenState(n, sec))
+                st = Some(SeenState(n, ms))
               }
             }
             st.foreach { v =>
@@ -200,7 +207,8 @@ object Cdc {
               // sighting; clamp above the current watermark (Spark
               // rejects a timeout already in the past)
               state.setTimeoutTimestamp(
-                math.max((v.lastSeenSec + stalenessSec) * 1000L,
+                math.max((Math.floorDiv(v.lastSeenMs, 1000L) +
+                    stalenessSec) * 1000L,
                   state.getCurrentWatermarkMs() + 1L))
             }
             out.result().iterator

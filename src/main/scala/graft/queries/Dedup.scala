@@ -1720,16 +1720,16 @@ object Dedup {
       WITH t AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
         FROM documents),
-      g0 AS (
+      g0 AS MATERIALIZED (
         SELECT doc_id, i AS pos,
           array_to_string(toks[i:i+${SubstringRunK - 1}], ' ') AS gram
         FROM t, unnest(range(1, length(toks) - ${SubstringRunK - 2})) AS r(i)),
-      gh AS (
+      gh AS MATERIALIZED (
         SELECT doc_id, pos,
           ${substringFoldSql(7, 1000003)} * 2147483647
             + ${substringFoldSql(13, 1000033)} AS gh
         FROM g0),
-      rare AS (
+      rare AS MATERIALIZED (
         SELECT gh FROM (
           SELECT gh, COUNT(DISTINCT doc_id) AS df FROM gh GROUP BY 1)
         WHERE df <= $SubstringMaxDf),

@@ -179,11 +179,16 @@ object Relational {
     *    fact join, so non-ASIA customers' orders never shuffle;
     *  - lineitem ⋈ orders(1996) is the one scaling exchange (orderkey,
     *    date filter pushed to the orders scan);
-    *  - supplier joins broadcast on BOTH equalities
-    *    (l_suppkey = s_suppkey AND c_nationkey = s_nationkey) — the
-    *    cycle closes map-side; at 100 TB supplier outgrows broadcast
-    *    and AQE shuffles it on s_suppkey while the nationkey equality
-    *    stays a post-join filter, same semantics.
+    *  - supplier joins on BOTH equalities
+    *    (l_suppkey = s_suppkey AND c_nationkey = s_nationkey),
+    *    UNHINTED: supplier is SF-scaled (10k rows × SF — ~1B at
+    *    100 TB), so per the repo's scale-hint discipline (BASELINE
+    *    r2; same rule as q8) only bounded dims get pinned broadcast.
+    *    At bench scale AQE broadcasts it and the cycle closes
+    *    map-side — the identical plan the old pinned hint produced
+    *    (ScaleLayoutSpec proves both sides of the threshold); at
+    *    100 TB AQE shuffles it on s_suppkey while the nationkey
+    *    equality stays a post-join filter, same semantics.
     *
     * The bounded 25-nation aggregate + revenue sort cost nothing. */
   val q5RegionTrade = GraftQuery(
@@ -207,7 +212,7 @@ object Relational {
         .select($"s_suppkey", $"s_nationkey")
       li.join(o, $"l_orderkey" === $"o_orderkey")
         .join(custAsia, $"o_custkey" === $"c_custkey")
-        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" &&
+        .join(sup, $"l_suppkey" === $"s_suppkey" &&
           $"c_nationkey" === $"s_nationkey")
         .groupBy($"n_name")
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))

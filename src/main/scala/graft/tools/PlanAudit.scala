@@ -42,6 +42,52 @@ object PlanAudit {
   private def countOf(plan: String, token: String): Int =
     token.r.findAllIn(plan).length
 
+  /** Tables whose row count scales with SF — a PINNED broadcast hint
+    * on any of these is a plan that dies at 100 TB (the q5 lesson,
+    * VERDICT r10): the hint overrides AQE's size check, so the build
+    * side is forced resident no matter how big the table grew. The
+    * house discipline (BASELINE r2, enforced here registry-wide) is:
+    * pin broadcast ONLY on bounded dims (nation/region) or on
+    * subtrees made bounded by construction — an Aggregate (grouped on
+    * a bounded key space), a Limit, or a Sample between the hint and
+    * any scaled scan. AQE still broadcasts unhinted small sides at
+    * bench scale; at 100 TB it shuffles them — same semantics. */
+  private val ScaledTables = Set("customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Broadcast-hint subtrees in `df`'s analyzed plan that reach an
+    * SF-scaled parquet scan with NO bounding node (Aggregate, Limit,
+    * Sample, Deduplicate) on the path. Returns one description per
+    * offending hint; empty = the query obeys the scale-hint
+    * discipline. Walks the ANALYZED plan because the optimizer erases
+    * ResolvedHint into per-join hints. */
+  def pinnedScaledBroadcasts(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+
+    def unboundedScaledLeaves(p: LogicalPlan): Seq[String] = p match {
+      // bounding nodes: whatever is beneath them, the hinted side's
+      // cardinality no longer scales with the corpus
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Sample |
+           _: Deduplicate => Nil
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val paths = fs.location.rootPaths.map(_.toString)
+          ScaledTables.filter(t =>
+            paths.exists(_.contains(s"$t.parquet"))).toSeq
+        case _ => Nil
+      }
+      case other => other.children.flatMap(unboundedScaledLeaves)
+    }
+
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        unboundedScaledLeaves(h.child)
+    }.flatten.distinct.map(t => s"pinned broadcast reaches scaled table '$t'")
+  }
+
   def audit(spark: SparkSession, sfDir: String,
       name: String): Either[String, Audit] =
     try {

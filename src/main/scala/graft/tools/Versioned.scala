@@ -82,9 +82,15 @@ object Versioned {
     // keep v-1 for in-flight readers; drop anything older — including
     // the pre-versioned FLAT data files, which count as "version 0"
     // and so are dropped once v2 lands. Staging debris for versions
-    // ≤ v is also dead: a writer staging `.staging/v<k>_tmp_*`, k ≤ v, can
-    // never win its claim rename (v<k> exists or was superseded), so
-    // its leftovers are safe to GC here.
+    // STRICTLY BELOW v is also dead: a writer staging
+    // `.staging/v<k>_tmp_*`, k < v, can never win its claim rename
+    // (v<k> was superseded), so its leftovers are safe to GC here.
+    // k == v staging dirs are NOT touched (ADVICE r10): one may be a
+    // concurrent publisher still writing — it will lose its claim and
+    // delete its own staging on the clean 'already landed' abort, and
+    // deleting it mid-write here would turn that into an arbitrary IO
+    // error. A CRASHED k == v attempt is GC'd by the next commit,
+    // when k < v holds.
     fs.listStatus(new Path(dir)).foreach { st =>
       val n = st.getPath.getName
       val isOldVersion = n.startsWith("v") && n.drop(1).nonEmpty &&
@@ -98,7 +104,7 @@ object Versioned {
     if (fs.exists(stagingRoot))
       fs.listStatus(stagingRoot).foreach { st =>
         val isDeadStaging = StagingRe.findFirstMatchIn(st.getPath.getName)
-          .exists(_.group(1).toInt <= v)
+          .exists(_.group(1).toInt < v)
         if (isDeadStaging) fs.delete(st.getPath, true)
       }
   }
@@ -124,8 +130,9 @@ object Versioned {
     * nobody ever deletes a directory another writer is filling (the
     * old delete-then-write cleared debris ANY concurrent writer might
     * still be producing). A crashed attempt's staging dir is GC'd by
-    * the next successful commit (its claim can never succeed once its
-    * version number is taken or superseded). */
+    * the first commit that SUPERSEDES its version number (k < live;
+    * same-version staging gets a grace window because it may be a
+    * live concurrent publisher — ADVICE r10). */
   def publish(spark: SparkSession, dir: String)(
       writer: String => Unit)(verify: String => Unit = _ => ()): Int = {
     val next = current(spark, dir).getOrElse(0) + 1

@@ -19,6 +19,8 @@ class CdcEventTimeSpec extends SparkSpec {
   private val t0 = 1700000000L
   private def at(sec: Long, l: Listing) = Cdc.Sighting(
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), l)
+  private def atMs(ms: Long, l: Listing) = Cdc.Sighting(
+    new java.sql.Timestamp(ms), l)
 
   private def awaitRows(table: String, want: Seq[ListingEvent] => Boolean,
       timeoutMs: Long = 60000): Seq[ListingEvent] = {
@@ -128,6 +130,33 @@ class CdcEventTimeSpec extends SparkSpec {
         .map(e => (e.mls, e.status)).toSeq.sorted
       assert(got == Seq(("A", "new_listing")),
         s"stale sighting must not disturb state, got $got")
+    } finally q.stop()
+  }
+
+  test("sub-second price change (same floor-second, later ms) is applied") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Cdc.Sighting]
+    val q = Cdc.streamingEventsEventTime(input.toDS(), stalenessSec = 300)
+      .writeStream.format("memory").queryName("cdc_ms")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(atMs(t0 * 1000 + 100, Listing.minimal("A", 100)))
+      q.processAllAvailable()
+      // 400ms later — SAME floor second, genuinely later, new price.
+      // Millisecond-granularity state (ADVICE r10) applies it; the old
+      // second-granularity state silently dropped it, diverging from
+      // the per-sighting batch twin.
+      input.addData(atMs(t0 * 1000 + 500, Listing.minimal("A", 90)))
+      q.processAllAvailable()
+      // a cross-batch replay of the exact same millisecond stays a
+      // no-op (state advance is still strict)
+      input.addData(atMs(t0 * 1000 + 500, Listing.minimal("A", 90)))
+      q.processAllAvailable()
+      val got = spark.table("cdc_ms").as[ListingEvent].collect()
+        .map(e => (e.mls, e.status, e.oldPrice, e.price)).toSeq.sorted
+      assert(got == Seq(("A", "new_listing", None, 100L),
+        ("A", "price_change", Some(100L), 90L)).sorted,
+        s"sub-second change must be applied exactly once, got $got")
     } finally q.stop()
   }
 

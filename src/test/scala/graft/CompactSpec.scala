@@ -147,8 +147,16 @@ class CompactSpec extends SparkSpec {
       dead.toPath.resolve("part-orphan.parquet"), "junk")
     Compact.runVersioned(spark, dir, 1L << 20) // lands v2, GC runs
     assert(Versioned.current(spark, dir) === Some(2))
+    // GRACE (ADVICE r10): a v2 staging dir at the v2 commit might be
+    // a concurrent publisher still writing (it loses its claim and
+    // cleans up after ITSELF) — the commit must not delete it
+    // mid-write, so only k < v staging is reaped.
+    assert(dead.exists(),
+      "same-version staging must survive its own version's commit")
+    Compact.runVersioned(spark, dir, 1L << 20) // lands v3 → v2 staging dead
+    assert(Versioned.current(spark, dir) === Some(3))
     assert(!dead.exists(),
-      "dead staging (version ≤ live) must be reaped at commit")
+      "dead staging (version < live) must be reaped at the next commit")
     assert(Versioned.read(spark, dir).count() === 50L)
   }
 

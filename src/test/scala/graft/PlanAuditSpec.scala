@@ -76,6 +76,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no pinned broadcast hint reaches an SF-scaled table unreduced") {
+    // The q5 lesson (VERDICT r10): broadcast(supplier) works at bench
+    // scale and dies at 100 TB because the hint overrides AQE's size
+    // check. Registry-wide gate: every broadcast() hint's subtree must
+    // be bounded — a nation/region dim, or pass through an
+    // Aggregate/Limit/Sample before any scaled scan. AQE broadcasts
+    // the unhinted small sides at bench scale anyway (ScaleLayoutSpec
+    // proves the q5 plan is unchanged).
+    hermetic()
+    // Queries whose broadcast side is a CONSTANT KEY-RANGE filter on
+    // a scaled table (`vec_id < 20` — the ANN probe set): ≤20 rows at
+    // any SF by the id's uniqueness, but the structural walk can't
+    // prove a filter bounds cardinality, so they're allowlisted here
+    // by name with this justification (the BoundedGlobalWindows
+    // pattern). Anything else that broadcasts a scaled subtree
+    // without an Aggregate/Limit/Sample fails the gate.
+    val boundedByKeyRange = Set("sim_cosine_topk", "sim_ivf_trained_topk")
+    val audits = Registry.all.map { q =>
+      val df = Registry.byName(q.name).run(spark, sf("sf0.001"))
+      q.name -> PlanAudit.pinnedScaledBroadcasts(df)
+    }
+    val offenders = audits.collect {
+      case (n, ms) if ms.nonEmpty && !boundedByKeyRange.contains(n) =>
+        ms.map(m => s"$n: $m")
+    }.flatten
+    assert(offenders.isEmpty,
+      s"pinned broadcast on scaled tables:\n${offenders.mkString("\n")}")
+    // the allowlist stays honest: both probe-set queries still pin
+    // their bounded broadcast (drop the entry when they stop)
+    for (n <- boundedByKeyRange)
+      assert(audits.toMap.apply(n).nonEmpty,
+        s"$n no longer pins its probe-set broadcast — drop it from the allowlist")
+  }
+
   test("round-8 additions keep their designed plan shapes") {
     hermetic()
     def auditOf(name: String) =

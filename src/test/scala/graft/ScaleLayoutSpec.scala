@@ -387,6 +387,31 @@ class ScaleLayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q5_region_trade: unhinted supplier broadcasts at bench scale, degrades to SMJ, same rows") {
+    // r11 unpinned broadcast(supplier) (SF-scaled — the hint cannot
+    // survive 100 TB). This proves the unpin is free at bench scale:
+    // AQE/CBO still picks BroadcastHashJoin for the supplier join
+    // under the default threshold, and with broadcasting impossible
+    // (the dim-too-big case) the same rows come back via SortMergeJoin.
+    val q = Registry.byName("q5_region_trade")
+    val bcast = q.run(spark, sf("sf0.001"))
+    val bRows = bcast.collect()
+    val bPlan = bcast.queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smj = q.run(spark, sf("sf0.001"))
+      val rows = smj.collect()
+      val sPlan = smj.queryExecution.executedPlan.toString
+      assert(sPlan.contains("SortMergeJoin"), sPlan)
+      // q5 ends in an orderBy and sums in decimal → bit-identical
+      // ordered output regardless of join strategy
+      assert(rows.map(_.toString).toSeq == bRows.map(_.toString).toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     // one hot key carries ~95% of the left side — the lang='en' shape.
     // With broadcast off, a plain SMJ puts the hot key in one task;
