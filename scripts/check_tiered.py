@@ -23,7 +23,12 @@ Tiers emitted per query:
 import sys, os, json, math, time, queue
 import multiprocessing as mp
 
-CERTIFICATE_QUERIES = {"mm_crossmodal_keep_list"}
+CERTIFICATE_QUERIES = {
+    # oracle's recursive pair-closure is quadratic in component size;
+    # checked by the linear labeling certificate instead
+    "mm_crossmodal_keep_list",  # scripts/check_crossmodal.py
+    "dd_keep_list",             # scripts/check_keeplist.py
+}
 
 def canon(df):
     import pandas as pd
@@ -62,7 +67,73 @@ def views_sql(sf_dir):
             stmts.append((t, f"read_parquet('{p}')"))
     return stmts
 
-def oracle_proc(sf_dir, sql, spark_path, q):
+def native_set_compare(con, sql, spark_path):
+    """Full-strength set-equality compare executed ENTIRELY inside
+    DuckDB — no pandas. The r10 sweep proved the per-cell Python canon
+    (float printf + repr sort) is the bottleneck above ~1M rows, not
+    the oracle SQL: q_cdc_events/q_cdc_scd2/q_window_functions sat in
+    rows_slope with sub-minute oracles because canon() alone needed
+    100M+ interpreter calls. This path applies the SAME normalization
+    contract (floats to 6 significant digits, NaN pinned, columns
+    sorted by name) symmetrically to both sides via printf inside
+    DuckDB, then compares as bags with two EXCEPT ALLs — hash-based,
+    multithreaded, no global sort. A pass here is rows+schema+values
+    equality, the same strength as the pandas path."""
+    con.execute(f"CREATE OR REPLACE TEMP TABLE wn_raw AS {sql}")
+    con.execute("CREATE OR REPLACE TEMP TABLE gn_raw AS "
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
+    wcols = {r[0]: r[1] for r in con.execute("DESCRIBE wn_raw").fetchall()}
+    gcols = {r[0]: r[1] for r in con.execute("DESCRIBE gn_raw").fetchall()}
+    if sorted(wcols) != sorted(gcols):
+        return {"status": "mismatch",
+                "detail": f"schema {sorted(gcols)} vs {sorted(wcols)}"}
+    wrows = con.execute("SELECT count(*) FROM wn_raw").fetchone()[0]
+    grows = con.execute("SELECT count(*) FROM gn_raw").fetchone()[0]
+    if wrows != grows:
+        return {"status": "mismatch", "detail": f"rows {grows} vs {wrows}"}
+
+    def norm_expr(c, t_want, t_got):
+        ts = (t_want, t_got)
+        quoted = f'"{c}"'
+        def is_float(t):
+            return t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL")
+        if any(is_float(t) for t in ts):
+            return (f"CASE WHEN isnan(CAST({quoted} AS DOUBLE)) THEN 'NaN' "
+                    f"ELSE printf('%.6g', CAST({quoted} AS DOUBLE)) END "
+                    f"AS {quoted}")
+        ints = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+        if all(t in ints for t in ts):
+            return f"CAST({quoted} AS HUGEINT) AS {quoted}"
+        if any(t.endswith("[]") for t in ts):
+            inner = ts[0][:-2] if ts[0].endswith("[]") else ts[1][:-2]
+            if is_float(inner):
+                return (f"list_transform({quoted}, x -> CASE WHEN "
+                        f"isnan(CAST(x AS DOUBLE)) THEN 'NaN' ELSE "
+                        f"printf('%.6g', CAST(x AS DOUBLE)) END) AS {quoted}")
+            return f"CAST({quoted} AS BIGINT[]) AS {quoted}"
+        if any(t.startswith("TIMESTAMP") for t in ts):
+            return f"CAST(CAST({quoted} AS TIMESTAMP) AS VARCHAR) AS {quoted}"
+        return f"{quoted} AS {quoted}"
+
+    sel = ", ".join(norm_expr(c, wcols[c], gcols[c]) for c in sorted(wcols))
+    con.execute(f"CREATE OR REPLACE TEMP TABLE wn AS SELECT {sel} FROM wn_raw")
+    con.execute(f"CREATE OR REPLACE TEMP TABLE gn AS SELECT {sel} FROM gn_raw")
+    ndiff = con.execute(
+        "SELECT count(*) FROM ("
+        "(SELECT * FROM wn EXCEPT ALL SELECT * FROM gn) UNION ALL "
+        "(SELECT * FROM gn EXCEPT ALL SELECT * FROM wn))").fetchone()[0]
+    if ndiff:
+        sample = con.execute(
+            "SELECT * FROM (SELECT * FROM gn EXCEPT ALL SELECT * FROM wn) "
+            "LIMIT 2").fetchall()
+        return {"status": "mismatch",
+                "detail": f"{ndiff} bag-diff rows; spark-only sample: "
+                          f"{sample}"[:300]}
+    return {"status": "match", "rows": grows, "method": "duckdb_native"}
+
+
+def oracle_proc(sf_dir, sql, spark_path, q, got_rows=0):
     """Subprocess: run one oracle + compare; put verdict on the queue."""
     try:
         import duckdb, pandas as pd
@@ -77,6 +148,10 @@ def oracle_proc(sf_dir, sql, spark_path, q):
                     src = (f"(SELECT * REPLACE (make_timestamp(ts // 1000)"
                            f" AS ts) FROM {src})")
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        native_above = int(os.environ.get("NATIVE_CMP_ABOVE", "200000"))
+        if got_rows > native_above:
+            q.put(native_set_compare(con, sql, spark_path))
+            return
         want = canon(con.execute(sql).fetchdf())
         got = canon(pd.read_parquet(spark_path))
         if list(want.columns) != list(got.columns):
@@ -135,9 +210,11 @@ def main():
         if name in ref and ref[name].get("rows"):
             slope = round(got_rows / ref[name]["rows"], 2)
         if name in CERTIFICATE_QUERIES:
+            script = ("check_keeplist.py" if name == "dd_keep_list"
+                      else "check_crossmodal.py")
             results[name] = {"tier": "certificate", "rows": got_rows,
                              "slope_vs_ref": slope,
-                             "detail": "checked by scripts/check_crossmodal.py"}
+                             "detail": f"checked by scripts/{script}"}
             counts["certificate"] += 1
             print(f"CERT     {name} ({got_rows} rows)")
             continue
@@ -150,7 +227,7 @@ def main():
 
         q = mp.Queue()
         p = mp.Process(target=oracle_proc,
-                       args=(sf_dir, oracles[name], spark_path, q))
+                       args=(sf_dir, oracles[name], spark_path, q, got_rows))
         p.start()
         p.join(budget)
         if p.is_alive():
@@ -178,8 +255,11 @@ def main():
             results[name] = {"tier": "compare", "match": True,
                              "rows": got_rows, "slope_vs_ref": slope,
                              "oracle_sec": sec}
+            if verdict.get("method"):
+                results[name]["method"] = verdict["method"]
             counts["match"] += 1
-            print(f"OK       {name} ({got_rows} rows, {sec}s)")
+            print(f"OK       {name} ({got_rows} rows, {sec}s"
+                  f"{', ' + verdict['method'] if verdict.get('method') else ''})")
         elif verdict["status"] == "oracle_error":
             results[name] = {"tier": "rows_slope", "rows": got_rows,
                              "slope_vs_ref": slope,
