@@ -67,7 +67,13 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+    // off by default so the driver-recorded tail stays clean; turn on
+    // to attribute log noise (e.g. DAGScheduler task-binary WARNs) to
+    // the query that was executing when it fired
+    val trace = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRACE", "0") == "1"
     def exec(q: GraftQuery): Double = {
+      if (trace) System.err.println(
+        s"[bench-trace] ${java.time.Instant.now()} ${q.name}")
       val t0 = System.nanoTime()
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
