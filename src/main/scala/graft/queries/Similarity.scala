@@ -390,14 +390,18 @@ object Similarity {
           .groupBy($"cell")
           .agg(transform(array_sort(collect_list(struct($"pos", $"sv"))),
             x => x("sv")).as("ncv"))
-        cent.select($"cell", $"cv".as("ocv"))
-          .join(sums, Seq("cell"), "left")
-          .select($"cell", coalesce($"ncv", $"ocv").as("cv"))
-          .localCheckpoint(true)
+        // the centroid table is the MODEL — k rows, corpus-independent
+        // — so it pins to a driver-local relation, not a checkpoint: a
+        // checkpointed aggregate's residual task closure rides every
+        // downstream stage at ~1-2 MiB (see Checkpoints.pinBounded)
+        graft.tools.Checkpoints.pinBounded(
+          cent.select($"cell", $"cv".as("ocv"))
+            .join(sums, Seq("cell"), "left")
+            .select($"cell", coalesce($"ncv", $"ocv").as("cv")))
       }
-      var cent = e.filter($"vec_id" < k)
-        .select($"vec_id".cast("int").as("cell"), $"q".as("cv"))
-        .localCheckpoint(true)
+      var cent = graft.tools.Checkpoints.pinBounded(
+        e.filter($"vec_id" < k)
+          .select($"vec_id".cast("int").as("cell"), $"q".as("cv")))
       for (_ <- 1 to iters) cent = recenter(cent, assignTo(cent))
       assignTo(cent)
   }
@@ -599,14 +603,16 @@ object Similarity {
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("sv")))),
             x => x("sv")).as("ncv"))
-        cent.select(col("cell"), col("cv").as("ocv"))
-          .join(sums, Seq("cell"), "left")
-          .select(col("cell"), coalesce(col("ncv"), col("ocv")).as("cv"))
-          .localCheckpoint(true)
+        // codebook = model table (16 rows/subspace): driver-pinned,
+        // same rationale as kmeansAssign's centroids
+        graft.tools.Checkpoints.pinBounded(
+          cent.select(col("cell"), col("cv").as("ocv"))
+            .join(sums, Seq("cell"), "left")
+            .select(col("cell"), coalesce(col("ncv"), col("ocv")).as("cv")))
       }
-      val seeds = ej.filter(col("vec_id") < k)
-        .select(col("vec_id").cast("int").as("cell"), col("q").as("cv"))
-        .localCheckpoint(true)
+      val seeds = graft.tools.Checkpoints.pinBounded(
+        ej.filter(col("vec_id") < k)
+          .select(col("vec_id").cast("int").as("cell"), col("q").as("cv")))
       val book = recenter(seeds, pqAssignTo(ej, seeds))
       (ej, book, pqAssignTo(ej, book))
     }
