@@ -51,6 +51,13 @@ import duckdb
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # keep spill out of the CWD (an unset temp_directory spills to
+    # ./.tmp — at sf10 that filled the repo volume) and bound the
+    # resident set so big derivations spill instead of OOM-killing
+    con.execute(f"SET temp_directory='/tmp/duckdb_crossmodal_{os.getpid()}'")
+    con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '16')}")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
     doc_path = f"{sf_dir}/documents.parquet"
     src = (f"read_parquet('{doc_path}/*.parquet')" if os.path.isdir(doc_path)
            else f"read_parquet('{doc_path}')")

@@ -53,6 +53,10 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     con.execute(f"SET temp_directory='/tmp/duckdb_keeplist_{os.getpid()}'")
     con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '16')}")
+    # bound the resident set so a 70M-edge derivation spills to the
+    # temp dir instead of OOM-killing the process (sf10 lesson)
+    con.execute(
+        f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
     doc_path = f"{sf_dir}/documents.parquet"
     src = (f"read_parquet('{doc_path}/*.parquet')" if os.path.isdir(doc_path)
            else f"read_parquet('{doc_path}')")
@@ -77,12 +81,21 @@ def main(sf_dir, out_dir):
     spark_dir = f"{out_dir}/dd_keep_list"
     con.execute("CREATE TEMP TABLE O AS SELECT * FROM "
                 f"read_parquet('{spark_dir}/*.parquet')")
+    # compact label table + undirected half of E: the label checks
+    # only need each edge once and a 2-int label row, which keeps the
+    # 70M-edge joins streaming instead of spilling
+    con.execute("""CREATE TEMP TABLE LAB AS
+        SELECT doc_id, coalesce(dup_of, doc_id) AS l FROM O""")
+    con.execute("CREATE TEMP TABLE EH AS "
+                "SELECT src, dst FROM E WHERE src < dst")
 
     fails = []
 
     def check(name, bad_sql):
+        t0 = time.time()
         n = con.execute(bad_sql).fetchone()[0]
-        print(f"[cert] {name}: {'OK' if n == 0 else f'FAIL ({n})'}")
+        print(f"[cert] {name}: {'OK' if n == 0 else f'FAIL ({n})'} "
+              f"({time.time() - t0:.0f}s)")
         if n:
             fails.append(name)
 
@@ -106,12 +119,12 @@ def main(sf_dir, out_dir):
         WHERE NOT O.keep AND O.reason <>
           (CASE WHEN O.doc_id <> CANON.exact_canonical
                 THEN 'exact_dup' ELSE 'near_dup' END)""")
-    # (d) labels constant across every edge
+    # (d) labels constant across every edge (undirected half suffices)
     check("edge label consistency", """
-        SELECT count(*) FROM E
-        JOIN O a ON a.doc_id = E.src
-        JOIN O b ON b.doc_id = E.dst
-        WHERE coalesce(a.dup_of, a.doc_id) <> coalesce(b.dup_of, b.doc_id)""")
+        SELECT count(*) FROM EH
+        JOIN LAB a ON a.doc_id = EH.src
+        JOIN LAB b ON b.doc_id = EH.dst
+        WHERE a.l <> b.l""")
     # (e) every referenced label keeps itself and is its group minimum
     check("label minimality", """
         WITH lab AS (

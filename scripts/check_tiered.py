@@ -140,6 +140,10 @@ def oracle_proc(sf_dir, sql, spark_path, q, got_rows=0):
         con = duckdb.connect()
         con.execute(f"SET temp_directory='/tmp/duckdb_tiered_{os.getpid()}'")
         con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '16')}")
+        # spill instead of dying: an unbounded resident set let the
+        # sf10 sim_ivfpq training-replay oracle OOM-kill its subprocess
+        con.execute(
+            f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
         for t, src in views_sql(sf_dir):
             if t == "events":
                 ts_t = con.execute(
