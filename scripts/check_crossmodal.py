@@ -58,6 +58,9 @@ def main(sf_dir, out_dir):
     con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '16')}")
     con.execute(
         f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
+    # the cert only checks SET membership — don't pay ordered
+    # materialization buffering on the 36M-edge temp tables
+    con.execute("SET preserve_insertion_order=false")
     doc_path = f"{sf_dir}/documents.parquet"
     src = (f"read_parquet('{doc_path}/*.parquet')" if os.path.isdir(doc_path)
            else f"read_parquet('{doc_path}')")
@@ -82,6 +85,14 @@ def main(sf_dir, out_dir):
     spark_dir = f"{out_dir}/mm_crossmodal_keep_list"
     con.execute("CREATE TEMP TABLE O AS SELECT * FROM "
                 f"read_parquet('{spark_dir}/*.parquet')")
+    # compact label table + undirected half of E (sf10 lesson, same
+    # as check_keeplist): the label checks need each edge once and a
+    # 2-int label row, which keeps the 36M-edge join streaming
+    # instead of spilling past the disk budget
+    con.execute("""CREATE TEMP TABLE LAB AS
+        SELECT doc_id, coalesce(dup_of, doc_id) AS l FROM O""")
+    con.execute("CREATE TEMP TABLE EH AS "
+                "SELECT src, dst FROM E WHERE src < dst")
 
     fails = []
 
@@ -114,12 +125,12 @@ def main(sf_dir, out_dir):
     # (c) keep <=> dup_of null
     check("keep/dup_of coherence",
           "SELECT count(*) FROM O WHERE keep <> (dup_of IS NULL)")
-    # (d) labels constant across every edge
+    # (d) labels constant across every edge (undirected half suffices)
     check("edge label consistency", """
-        SELECT count(*) FROM E
-        JOIN O a ON a.doc_id = E.src
-        JOIN O b ON b.doc_id = E.dst
-        WHERE coalesce(a.dup_of, a.doc_id) <> coalesce(b.dup_of, b.doc_id)""")
+        SELECT count(*) FROM EH
+        JOIN LAB a ON a.doc_id = EH.src
+        JOIN LAB b ON b.doc_id = EH.dst
+        WHERE a.l <> b.l""")
     # (e) every referenced label keeps itself and is its group minimum
     check("label minimality", """
         WITH lab AS (
