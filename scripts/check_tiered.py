@@ -237,6 +237,13 @@ def main():
         if p.is_alive():
             p.terminate()
             p.join()
+            # reap the dead child's DuckDB spill: terminate() skips its
+            # in-process cleanup, and a 2400s budget kill can leave
+            # ~70GB of temp storage that ENOSPCs every later oracle in
+            # the sweep (observed at sf10, round 11)
+            import shutil
+            shutil.rmtree(f"/tmp/duckdb_tiered_{p.pid}",
+                          ignore_errors=True)
             results[name] = {"tier": "rows_slope", "rows": got_rows,
                              "slope_vs_ref": slope,
                              "detail": f"oracle exceeded {budget:.0f}s budget"}
