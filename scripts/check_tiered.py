@@ -144,6 +144,11 @@ def oracle_proc(sf_dir, sql, spark_path, q, got_rows=0):
         # sf10 sim_ivfpq training-replay oracle OOM-kill its subprocess
         con.execute(
             f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
+        # the compare canonicalizes (sorted hash / set compare), so
+        # result order never matters — and ordered materialization
+        # buffering is what pushed the big sf10 oracles past the /tmp
+        # spill budget (same lesson as the certificate scripts)
+        con.execute("SET preserve_insertion_order=false")
         for t, src in views_sql(sf_dir):
             if t == "events":
                 ts_t = con.execute(
