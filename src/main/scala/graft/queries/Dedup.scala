@@ -79,7 +79,7 @@ object Dedup {
        FROM s)"""
 
   private[queries] val bandsCte =
-    """bands AS (
+    """bands AS MATERIALIZED (
         SELECT doc_id, b.band,
           CAST(CASE b.band WHEN 0 THEN mh0 WHEN 1 THEN mh2 WHEN 2 THEN mh4 ELSE mh6 END AS VARCHAR)
             || '_' ||
@@ -355,12 +355,18 @@ object Dedup {
     * CTEs `cand`, `edges`, `reach`, `clusters` (clusters has doc_id,
     * cluster_id). Requires $sigCte as WITH RECURSIVE + $bandsCte in
     * front. Shared by the dup-clusters and keep-list oracles. */
+  /** MATERIALIZED on bands/cand/edges is load-bearing at scale: the
+    * recursive `reach` references `edges` every iteration, and an
+    * inlined `edges` re-derives `cand`'s band self-join — which
+    * re-derives the 8-fold minhash chain — once per round. At sf10
+    * that replay blew the 2400s oracle budget (same mechanism the
+    * kcore oracle hit at sf1); materialized, each CTE computes once. */
   private[queries] val clusterCtes =
-    """cand AS (
+    """cand AS MATERIALIZED (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM bands l JOIN bands r
           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM cand
         UNION SELECT doc_b, doc_a FROM cand),
       reach AS (
