@@ -98,7 +98,13 @@ def native_set_compare(con, sql, spark_path):
         def is_float(t):
             return t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL")
         if any(is_float(t) for t in ts):
-            return (f"CASE WHEN isnan(CAST({quoted} AS DOUBLE)) THEN 'NaN' "
+            # NULL pins to 'NaN' to match the pandas tier exactly:
+            # fetchdf turns SQL NULL into NaN, so canon() conflates the
+            # two — without the IS NULL arm this tier would be STRICTER
+            # than the driver gate and the verdict would depend on
+            # which tier ran (ADVICE r11)
+            return (f"CASE WHEN {quoted} IS NULL THEN 'NaN' "
+                    f"WHEN isnan(CAST({quoted} AS DOUBLE)) THEN 'NaN' "
                     f"ELSE printf('%.6g', CAST({quoted} AS DOUBLE)) END "
                     f"AS {quoted}")
         ints = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
@@ -109,9 +115,17 @@ def native_set_compare(con, sql, spark_path):
             inner = ts[0][:-2] if ts[0].endswith("[]") else ts[1][:-2]
             if is_float(inner):
                 return (f"list_transform({quoted}, x -> CASE WHEN "
+                        f"x IS NULL THEN 'NaN' WHEN "
                         f"isnan(CAST(x AS DOUBLE)) THEN 'NaN' ELSE "
                         f"printf('%.6g', CAST(x AS DOUBLE)) END) AS {quoted}")
-            return f"CAST({quoted} AS BIGINT[]) AS {quoted}"
+            ints_inner = all(t[:-2] in ints for t in ts if t.endswith("[]"))
+            if ints_inner:
+                return f"CAST({quoted} AS BIGINT[]) AS {quoted}"
+            # VARCHAR[]/struct-list columns pass through unchanged: a
+            # forced BIGINT[] cast throws, the throw was caught as
+            # oracle_error, and the query silently downgraded to
+            # rows_slope even though the oracle was fine (ADVICE r11)
+            return f"{quoted} AS {quoted}"
         if any(t.startswith("TIMESTAMP") for t in ts):
             return f"CAST(CAST({quoted} AS TIMESTAMP) AS VARCHAR) AS {quoted}"
         return f"{quoted} AS {quoted}"
@@ -266,6 +280,13 @@ def main():
         except queue.Empty:
             verdict = {"status": "oracle_error",
                        "detail": "subprocess died (OOM?)"}
+        if verdict["status"] == "oracle_error":
+            # reap the child's DuckDB spill on THIS path too: an
+            # OOM/SIGKILL'd child skips DuckDB's temp cleanup exactly
+            # like the budget terminate() above, and a caught-exception
+            # child may still have spilled before raising (ADVICE r11)
+            import shutil
+            shutil.rmtree(f"/tmp/duckdb_tiered_{p.pid}", ignore_errors=True)
         sec = round(time.time() - t0, 1)
         if verdict["status"] == "match":
             results[name] = {"tier": "compare", "match": True,

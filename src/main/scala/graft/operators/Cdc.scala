@@ -122,8 +122,28 @@ object Cdc {
     * the applied sighting — same floor-second, later ms — is applied,
     * not silently dropped (ADVICE r10). Off-market timing still
     * quantizes to the floor second (the documented day math), so this
-    * widens what is APPLIED without moving any emitted timestamp. */
-  final case class SeenState(listing: Listing, lastSeenMs: Long)
+    * widens what is APPLIED without moving any emitted timestamp.
+    *
+    * `stateVer` exists for exactly one reason: Spark's state-store
+    * schema check compares TYPES ignoring field names, so when
+    * lastSeenSec became lastSeenMs (same Long slot) a restart from a
+    * checkpoint written by the seconds-granularity build would have
+    * LOADED seconds and read them as milliseconds — floorDiv(ms,1000)
+    * collapses to ~1970, the timeout clamps to watermark+1, and the
+    * operator silently emits spurious off_market events with absurd
+    * day counts (ADVICE r11). The extra INT field changes the state
+    * schema's SHAPE, which the checker does compare — so restarting
+    * over an old checkpoint now fails fast with
+    * StateSchemaNotCompatible (spec-pinned) instead of corrupting
+    * timers. Bump [[Cdc.StateVer]] on any future reinterpretation of
+    * an existing slot; same-shape reinterpretations must also change
+    * the field count or a field type, or the checker cannot see them. */
+  final case class SeenState(listing: Listing, lastSeenMs: Long,
+      stateVer: Int)
+
+  /** Event-time CDC state schema version — v2 = millisecond
+    * `lastSeenMs` (v1, implicit: two fields, second granularity). */
+  val StateVer: Int = 2
 
   /** EVENT-TIME CDC — the replayable twin of [[streamingEvents]].
     *
@@ -160,6 +180,10 @@ object Cdc {
         case (_, rows, state: GroupState[SeenState]) =>
           if (state.hasTimedOut) {
             val st = state.get
+            // schema-compatible state from a different interpretation
+            // epoch must never be read silently (see SeenState scaladoc)
+            require(st.stateVer == StateVer,
+              s"event-time CDC state version ${st.stateVer} != $StateVer")
             state.remove()
             val offSec = Math.floorDiv(st.lastSeenMs, 1000L) + stalenessSec
             val days = ((offSec - st.listing.foundDate) / 86400).toInt
@@ -170,6 +194,8 @@ object Cdc {
             val sorted = rows.toVector
               .sortBy(s => (s.ts.getTime, s.listing.price))
             var st = state.getOption
+            st.foreach(v => require(v.stateVer == StateVer,
+              s"event-time CDC state version ${v.stateVer} != $StateVer"))
             val out = Vector.newBuilder[ListingEvent]
             sorted.foreach { s =>
               val n = s.listing
@@ -198,7 +224,7 @@ object Cdc {
                     out += priceChange(n, o.listing)
                   case _ => () // unchanged → no-op (T5)
                 }
-                st = Some(SeenState(n, ms))
+                st = Some(SeenState(n, ms, StateVer))
               }
             }
             st.foreach { v =>

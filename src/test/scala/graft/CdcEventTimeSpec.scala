@@ -160,6 +160,70 @@ class CdcEventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart over a legacy seconds-granularity checkpoint fails fast") {
+    // The r10→r11 state change reinterpreted SeenState's Long slot
+    // (lastSeenSec → lastSeenMs). Spark's state schema check compares
+    // types IGNORING field names, so a 2-field (Listing, Long) legacy
+    // checkpoint would have loaded cleanly and been read at the wrong
+    // unit — seconds collapsing to ~1970 under floorDiv(ms, 1000),
+    // timers clamping to watermark+1, spurious off_market events
+    // (ADVICE r11). SeenState now carries an explicit version FIELD:
+    // the schema SHAPE differs, so the restart must throw
+    // StateSchemaNotCompatible instead of silently corrupting timers.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("cdc_legacy_ckpt").toString
+    val out = Files.createTempDirectory("cdc_legacy_out").toString
+
+    // run 1: write state with the LEGACY shape — same field types and
+    // order as the r10 SeenState (Listing struct + Long seconds)
+    val in1 = MemoryStream[Cdc.Sighting]
+    val legacy = in1.toDS().withWatermark("ts", "0 seconds")
+      .groupByKey(_.listing.mls)
+      .flatMapGroupsWithState[(Listing, Long), ListingEvent](
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state) =>
+          val s = rows.toVector.maxBy(_.ts.getTime)
+          state.update((s.listing, s.ts.getTime / 1000L))
+          state.setTimeoutTimestamp(
+            math.max((s.ts.getTime / 1000L + 300L) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          Iterator.single(ListingEvent(s.listing.mls, "new_listing", None,
+            s.listing.price, None, None, None, s.listing.source))
+      }
+    val q1 = legacy.writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append)
+      .start()
+    try {
+      in1.addData(at(t0, Listing.minimal("A", 100)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // run 2: the current ms-granularity operator over the SAME
+    // checkpoint — must fail fast on the state schema, not run
+    val in2 = MemoryStream[Cdc.Sighting]
+    val q2 = Cdc.streamingEventsEventTime(in2.toDS(), stalenessSec = 300)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append)
+      .start()
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        // first batch replays the committed offset (MemoryStream
+        // restart contract — same as the recovery test above); the
+        // second is genuinely new, forcing a stateful batch to plan
+        in2.addData(at(t0, Listing.minimal("A", 100)))
+        in2.addData(at(t0 + 60, Listing.minimal("A", 90)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    val msgs = chain(thrown).map(t =>
+      s"${t.getClass.getName}: ${t.getMessage}").mkString("\n")
+    assert(msgs.toLowerCase.contains("schema"),
+      s"restart must fail on STATE SCHEMA incompatibility, got:\n$msgs")
+  }
+
   test("kill/restart across the expiry: recovered state still expires on time") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("cdc_et_ckpt").toString
