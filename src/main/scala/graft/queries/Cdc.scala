@@ -389,12 +389,18 @@ object Cdc {
     // shuffle_hash hint dies with "can't acquire memory to build
     // hash relation" once an AQE-coalesced build partition outgrows
     // a task's execution-memory share — measured at sf10)
+    // deserCheckpoint, not serCheckpoint: this loop retains ONE edge
+    // table + one degree table for its whole life (no per-round
+    // re-checkpoint like the k-core/LPA peels), reads each 3–4 times,
+    // and never spilled at sf10 under either storage level — so the
+    // serialized insurance only charged ser/deser to every round
+    // (+27% at sf10, BASELINE.md r11 trade note)
     val edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
       .repartition($"a").sortWithinPartitions($"a")
-      .serCheckpoint()
+      .deserCheckpoint()
     val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
       .sortWithinPartitions($"a")
-      .serCheckpoint()
+      .deserCheckpoint()
     var pr = deg.select($"a".as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {
       val contrib = pr.join(deg, pr("node") === deg("a"))
@@ -810,46 +816,64 @@ object Cdc {
 
   /** Bounded-round k-core peel shared by the registry query and
     * KcoreSpec's constructed-cascade fixture. Input is a
-    * directed-distinct edge list (a, b); each round computes residual
-    * degree over the surviving subgraph, peels every node below k
-    * (recording the round and the degree it held when peeled), and
-    * drops its edges — so a removal can cascade into the next round.
-    * Survivors report round 0 with their residual degree. */
+    * directed-distinct edge list (a, b); each round peels every node
+    * whose residual degree fell below k (recording the round and the
+    * degree it held when peeled) and drops its edges — so a removal
+    * can cascade into the next round. Survivors report round 0 with
+    * their residual degree.
+    *
+    * Degrees are maintained FRONTIER-DELTA, not recomputed: the full
+    * degree aggregate runs exactly once, and each round subtracts the
+    * per-survivor count of edges into that round's peeled set. At
+    * k=10 the cascade settles after a small first peel, so rounds 2+
+    * previously re-aggregated a nearly-full edge list for a handful
+    * of changed degrees — at sf10 that full-graph aggregate was ~1/3
+    * of the round cost, 3× over (the r11 bench's top query at 173s).
+    * The delta formulation is exact, not approximate: after the anti
+    * join removes edges incident to peeled nodes, a survivor's degree
+    * drops by precisely its edge count into the peeled set (edges
+    * between two peeled nodes never touch a survivor's count), and a
+    * survivor losing ALL its edges keeps its row at dg = 0 — the same
+    * value the old alive-set left join read for it. The degree table
+    * doubles as the alive set (one row per surviving node), so the
+    * unrolled per-round-recompute oracle hashes identically. */
   private[graft] def kcoreOver(s: org.apache.spark.sql.SparkSession,
       e0: DataFrame, k: Int, rounds: Int): DataFrame = {
     import s.implicits._
-    // partitioned AND sorted by `a` pre-checkpoint: every round's
-    // degree aggregate reads the edge list exchange-free, and an
-    // SMJ-round anti join needs no sort on the edge side (LogicalRDD
+    // partitioned AND sorted by `a` pre-checkpoint: the one-time
+    // degree aggregate reads the edge list exchange-free, and the
+    // per-round anti joins need no sort on the edge side (LogicalRDD
     // keeps partitioning + ordering across the per-round re-checkpoint)
     var edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
       .repartition($"a").sortWithinPartitions($"a")
       .serCheckpoint()
-    var alive = edges.select($"a").distinct().serCheckpoint()
+    // the ONLY full-graph degree aggregate; rounds maintain it by delta
+    var deg = edges.groupBy($"a").agg(count(lit(1)).as("dg"))
+      .serCheckpoint()
     var out: DataFrame = Seq.empty[(String, Int, Long)]
       .toDF("node", "peel_round", "deg")
     for (r <- 1 to rounds) {
-      // LEFT JOIN from the alive set: a node whose every edge was
-      // peeled away has NO degree row — it must read as 0, not vanish.
-      val degNow = alive
-        .join(edges.groupBy($"a").agg(count(lit(1)).as("dg")),
-          Seq("a"), "left")
-        .select($"a", coalesce($"dg", lit(0L)).as("dg"))
-        .serCheckpoint() // peel + survivor split both read it
       // checkpoint the (small) peeled slice so `out` reads round-sized
-      // blocks, not the full degNow table — degNow is then dead at
-      // round end and its storage releasable (Checkpoints scaladoc)
-      val peeled = degNow.filter($"dg" < k)
+      // blocks and the delta join probes a materialized table
+      val peeled = deg.filter($"dg" < k)
         .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg"))
         .serCheckpoint()
       out = out.unionByName(peeled)
-      val aliveNext = degNow.filter($"dg" >= k).select($"a")
+      // frontier delta: how many edges each node loses to this peel.
+      // peeled is round-sized → AQE broadcasts it against the
+      // pre-partitioned edge list (no shuffle of edges), and the
+      // aggregate runs over only the matched — frontier-sized — slice.
+      val lost = edges.join(peeled.select($"node".as("b")), Seq("b"))
+        .groupBy($"a").agg(count(lit(1)).as("lost"))
+      val degNext = deg.filter($"dg" >= k)
+        .join(lost, Seq("a"), "left")
+        .select($"a", ($"dg" - coalesce($"lost", lit(0L))).as("dg"))
         .serCheckpoint()
       // drop edges touching the ROUND-SIZED peeled set (anti), not
       // edges surviving the CORPUS-SIZED alive set (semi): once the
       // cascade settles the peeled set is tiny, AQE broadcasts it,
       // and the edge list is filtered in place — no shuffle, no sort,
-      // partitioning preserved for the next round's degree aggregate.
+      // partitioning preserved for the next round's delta join.
       // Equivalent by the loop invariant (edge endpoints ⊆ alive).
       // b-side first so a shuffle round (a big first peel) leaves the
       // checkpoint partitioned by `a` again.
@@ -859,18 +883,16 @@ object Cdc {
         .serCheckpoint()
       // round r's tables are all eagerly materialized above — the
       // superseded round's blocks are dead; release them so retention
-      // stays O(current graph + peeled output), not O(rounds × graph)
-      graft.tools.Checkpoints.release(degNow)
-      graft.tools.Checkpoints.release(alive)
+      // stays O(current graph + peeled output), not O(rounds × graph).
+      // peeled stays live: `out` reads its blocks at the final union.
+      graft.tools.Checkpoints.release(deg)
       graft.tools.Checkpoints.release(edges)
-      alive = aliveNext
+      deg = degNext
       edges = edgesNext
     }
-    val finalDeg = alive
-      .join(edges.groupBy($"a").agg(count(lit(1)).as("dg")), Seq("a"), "left")
-      .select($"a".as("node"), lit(0).as("peel_round"),
-        coalesce($"dg", lit(0L)).as("deg"))
-    out.unionByName(finalDeg)
+    // deg IS the survivors' residual degree table — no final aggregate
+    out.unionByName(
+      deg.select($"a".as("node"), lit(0).as("peel_round"), $"dg".as("deg")))
   }
 
   /** k-core decomposition (bounded peel) on the customer–supplier
@@ -886,15 +908,15 @@ object Cdc {
     * more (aggregate + two semi-joins); the round count is a dial,
     * not a structural limit.
     *
-    * Scale shape: per round ONE degree hash-aggregate over the
-    * pre-partitioned surviving edges (exchange-free) plus two
-    * left-anti joins against the ROUND-SIZED peeled set (AQE
-    * broadcasts it once the cascade settles), every intermediate
-    * checkpointed exactly like the pagerank/LPA rounds; nothing is
-    * collected, and the oracle
-    * unrolls the identical three rounds so the hash gate proves the
-    * cascade (a peel lowering its neighbor below k next round) step
-    * for step. */
+    * Scale shape: ONE full-graph degree hash-aggregate total (over
+    * the pre-partitioned edge list, exchange-free); each round then
+    * costs only frontier-sized work — a delta count of edges into the
+    * peeled set plus two left-anti joins against it (AQE broadcasts
+    * the round-sized side once the cascade settles), every
+    * intermediate checkpointed exactly like the pagerank/LPA rounds;
+    * nothing is collected, and the oracle unrolls the identical three
+    * per-round-recompute rounds so the hash gate proves the delta
+    * maintenance equals recomputation cascade step for step. */
   val qGraphKcore = GraftQuery(
     "q_graph_kcore",
     (s, d) => kcoreOver(s, tradeEdges(s, d, lit(true)), k = 10, rounds = 3),
@@ -951,34 +973,35 @@ object Cdc {
   private[graft] def kcoreFixpointOver(s: org.apache.spark.sql.SparkSession,
       e0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     import s.implicits._
-    // same probe-key pre-partitioning + pre-sort as kcoreOver
+    // same probe-key pre-partitioning + pre-sort and the same
+    // frontier-delta degree maintenance as kcoreOver (one full-graph
+    // aggregate total; each round subtracts edge losses into the
+    // round-sized peeled set — see kcoreOver for the exactness proof)
     var edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
       .repartition($"a").sortWithinPartitions($"a")
       .serCheckpoint()
-    var alive = edges.select($"a").distinct().serCheckpoint()
+    var deg = edges.groupBy($"a").agg(count(lit(1)).as("dg"))
+      .serCheckpoint()
     var out: DataFrame = Seq.empty[(String, Int, Long)]
       .toDF("node", "peel_round", "deg")
     var r = 1
     var converged = false
     while (!converged && r <= maxRounds) {
-      val degNow = alive
-        .join(edges.groupBy($"a").agg(count(lit(1)).as("dg")),
-          Seq("a"), "left")
-        .select($"a", coalesce($"dg", lit(0L)).as("dg"))
-        .serCheckpoint()
       // materialized round-sized slice: the emptiness probe reads
-      // blocks, `out` keeps only peeled rows, and degNow becomes
-      // releasable at round end (Checkpoints scaladoc)
-      val peeled = degNow.filter($"dg" < k)
+      // blocks, `out` keeps only peeled rows
+      val peeled = deg.filter($"dg" < k)
         .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg"))
         .serCheckpoint()
       if (peeled.isEmpty) {
         converged = true
         graft.tools.Checkpoints.release(peeled)
-        graft.tools.Checkpoints.release(degNow)
       } else {
         out = out.unionByName(peeled)
-        val aliveNext = degNow.filter($"dg" >= k).select($"a")
+        val lost = edges.join(peeled.select($"node".as("b")), Seq("b"))
+          .groupBy($"a").agg(count(lit(1)).as("lost"))
+        val degNext = deg.filter($"dg" >= k)
+          .join(lost, Seq("a"), "left")
+          .select($"a", ($"dg" - coalesce($"lost", lit(0L))).as("dg"))
           .serCheckpoint()
         // round-sized anti joins, AQE-broadcast once the cascade
         // settles — see kcoreOver for the equivalence argument
@@ -986,19 +1009,16 @@ object Cdc {
           .join(peeled.select($"node".as("b")), Seq("b"), "left_anti")
           .join(peeled.select($"node".as("a")), Seq("a"), "left_anti")
           .serCheckpoint()
-        graft.tools.Checkpoints.release(degNow)
-        graft.tools.Checkpoints.release(alive)
+        graft.tools.Checkpoints.release(deg)
         graft.tools.Checkpoints.release(edges)
-        alive = aliveNext
+        deg = degNext
         edges = edgesNext
         r += 1
       }
     }
-    val finalDeg = alive
-      .join(edges.groupBy($"a").agg(count(lit(1)).as("dg")), Seq("a"), "left")
-      .select($"a".as("node"), lit(0).as("peel_round"),
-        coalesce($"dg", lit(0L)).as("deg"))
-    out.unionByName(finalDeg)
+    // deg IS the survivors' residual degree table — no final aggregate
+    out.unionByName(
+      deg.select($"a".as("node"), lit(0).as("peel_round"), $"dg".as("deg")))
   }
 
   /** Full (fixpoint) k-core decomposition on the trade graph — the

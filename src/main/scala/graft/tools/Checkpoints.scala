@@ -44,6 +44,21 @@ object Checkpoints {
     def serCheckpoint(): org.apache.spark.sql.Dataset[T] =
       ds.localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+    /** Deserialized variant for loops that re-read their checkpoints
+      * every round but whose TOTAL retained footprint stays well under
+      * execution memory even two decades above the gate scale. The
+      * serialized default is spill insurance — the k-core/LPA loops
+      * retain edge-scale state per round and spilled 10–89 GB at sf10
+      * without it — but it charges a deserialization to every consumer
+      * stage. PageRank never spilled at sf10 under either level, and
+      * its edge+degree checkpoints are read 3–4 times each, so the SER
+      * level only cost it ser/deser (+27% at sf10, BASELINE.md r11
+      * trade note). The storage level is per-loop: deserialized where
+      * the loop's retained state provably fits, serialized elsewhere. */
+    def deserCheckpoint(): org.apache.spark.sql.Dataset[T] =
+      ds.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Pin a BOUNDED table as a driver-local relation: collect and
