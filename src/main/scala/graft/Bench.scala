@@ -75,7 +75,9 @@ object Bench {
       if (trace) System.err.println(
         s"[bench-trace] ${java.time.Instant.now()} ${q.name}")
       val t0 = System.nanoTime()
-      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      q.withConfs(spark) {
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

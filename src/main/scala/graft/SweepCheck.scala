@@ -95,7 +95,7 @@ object SweepCheck {
       // full noop materialization like Bench — a bare count() lets
       // Catalyst prune expensive subtrees (a windowed projection
       // counted 1M rows in 0.13s because the window never ran)
-      val n = try {
+      val n = try q.withConfs(spark) {
         val df = q.run(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         df.count()

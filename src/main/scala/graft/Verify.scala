@@ -36,13 +36,17 @@ object Verify {
     // check_tiered.py read the dir either way)
     val coalesce1 =
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_COALESCE", "1") != "0"
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, sfDir)
+    // iterates the Registry (the table SparkEntry.queries is derived
+    // from, same names and plans) so each query's conf advisories wrap
+    // its materialization — withConfs must surround the WRITE, which
+    // the bare (SparkSession, String) => DataFrame signature can't
+    Registry.all.foreach { q =>
+      try q.withConfs(spark) {
+        val df = q.run(spark, sfDir)
         (if (coalesce1) df.coalesce(1) else df)
-          .write.mode("overwrite").parquet(s"$outDir/$name")
+          .write.mode("overwrite").parquet(s"$outDir/${q.name}")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

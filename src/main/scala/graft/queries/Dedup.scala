@@ -1035,7 +1035,16 @@ object Dedup {
       WITH ${simhashShCtes()},
       ${graft.operators.HammingBands.oracleSqlTail(
         nBands = 4, bandBits = 15, cap = 256, theta = 3)}"""),
-    bench = true)
+    bench = true,
+    // this query's exchanges are all cap-bounded (band-bucket groups
+    // capped at 256, pair shuffle carries 8-byte sketches) and it ran
+    // spill-free at sf10 under a 32-way start — the registry-wide
+    // 512-way AQE start exists for the edge-scale graph iterations and
+    // only charged simhash per-partition overhead (+38% at sf10,
+    // BASELINE.md r11 trade note). Advisory, applied per-query around
+    // materialization and restored after.
+    confs = Map(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "32"))
 
   /** The pipeline's final answer — one keep/drop decision per
     * document, composing exact dedup and the LSH near-dup clusters:

@@ -29,8 +29,11 @@ object RunQueries {
     spark.sparkContext.setLogLevel("WARN")
     names.split(",").foreach { name =>
       val t0 = System.nanoTime()
-      Registry.byName(name).run(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      val q = Registry.byName(name)
+      q.withConfs(spark) {
+        q.run(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       println(f"[run] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     // refresh the FULL oracle map too, so check.py sees current SQL

@@ -83,7 +83,7 @@ object ShuffleAudit {
     spark.sparkContext.addSparkListener(c)
     try {
       def runOne(q: GraftQuery): Boolean =
-        try {
+        try q.withConfs(spark) {
           q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
           true
         } catch { case e: Throwable =>
