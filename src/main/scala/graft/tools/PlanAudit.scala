@@ -55,6 +55,14 @@ object PlanAudit {
   private val ScaledTables = Set("customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Key columns whose distinct-value space grows with the corpus: an
+    * Aggregate/Deduplicate GROUPED on one of these has SF-scaled
+    * output cardinality, so it does NOT bound a pinned broadcast. */
+  private val ScaledKeyCols: Set[String] = Set(
+    "c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "o_custkey",
+    "l_orderkey", "l_partkey", "l_suppkey", "event_id", "user_id",
+    "doc_id", "vec_id")
+
   /** Broadcast-hint subtrees in `df`'s analyzed plan that reach an
     * SF-scaled parquet scan with NO bounding node (Aggregate, Limit,
     * Sample, Deduplicate) on the path. Returns one description per
@@ -69,9 +77,28 @@ object PlanAudit {
 
     def unboundedScaledLeaves(p: LogicalPlan): Seq[String] = p match {
       // bounding nodes: whatever is beneath them, the hinted side's
-      // cardinality no longer scales with the corpus
-      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Sample |
-           _: Deduplicate => Nil
+      // cardinality no longer scales with the corpus.
+      // An Aggregate bounds ONLY when its grouping key space is itself
+      // bounded: GROUP BY doc_id over documents has corpus-scaled
+      // output, so a pinned broadcast above it still dies at 100 TB —
+      // when any grouping expression references a scaled table's key
+      // column, keep walking instead of declaring the subtree bounded
+      // (ADVICE r11). Residual false negative, accepted and documented:
+      // an alias can launder a scaled key (SELECT doc_id AS g ... GROUP
+      // BY g) past the name check, and a non-key scaled column (e.g.
+      // GROUP BY text) also scales; the check is a tripwire for the
+      // realistic pattern, the allowlist comment is the review anchor.
+      case a: Aggregate =>
+        val grpRefs = a.groupingExpressions
+          .flatMap(_.references.map(_.name.toLowerCase(java.util.Locale.ROOT)))
+        if (grpRefs.exists(ScaledKeyCols)) a.children.flatMap(unboundedScaledLeaves)
+        else Nil
+      case d: Deduplicate =>
+        val keyRefs = d.keys
+          .flatMap(_.references.map(_.name.toLowerCase(java.util.Locale.ROOT)))
+        if (keyRefs.exists(ScaledKeyCols)) d.children.flatMap(unboundedScaledLeaves)
+        else Nil
+      case _: GlobalLimit | _: LocalLimit | _: Sample => Nil
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
           val paths = fs.location.rootPaths.map(_.toString)
