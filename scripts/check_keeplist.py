@@ -1,10 +1,13 @@
 #!/usr/bin/env python3
-"""Certificate-check oracle for dd_keep_list at big SFs.
+"""Certificate-check oracle for the cluster/keeper-shaped queries at
+big SFs: dd_keep_list, dd_dup_clusters, dd_quality_keep_list and
+mm_phash_keep_list.
 
-Usage: python3 scripts/check_keeplist.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check_keeplist.py <sfDir> <verifyOutDir> [query ...]
+       (default: dd_keep_list; several names share one edge derivation)
 
-Why this exists: the driver-gate oracle (oracle_sql.json, run
-unchanged at sf0.01/sf0.1) recomputes the near-dup clustering with a
+Why this exists: the driver-gate oracles (oracle_sql.json, run
+unchanged at sf0.01/sf0.1) recompute the near-dup clustering with a
 recursive transitive-closure CTE over (src, dst) PAIRS — quadratic in
 component size. The synthetic corpus plants ~10 near-duplicate
 replicas per duplicated doc, so at sf10 (500k docs) the closure is
@@ -15,92 +18,138 @@ closure with a certificate of equal strength, every ingredient still
 derived independently by DuckDB.
 
  - The candidate edge set E is derived by DuckDB from raw documents
-   using the SAME minhash/banding CTE chain as the driver-gate oracle
-   (SQL text read from oracle_sql.json, truncated before the closure
-   stage — the two tiers can never drift).
+   using the SAME minhash/banding (or pHash/banding) CTE chain as the
+   driver-gate oracle (the SQL text is read from oracle_sql.json,
+   truncated before the closure stage — the two tiers can never
+   drift). The three dedup-family queries share one chain verbatim
+   (asserted, then derived once per invocation).
  - The exact-fingerprint table (md5 of normalized text) and its
    per-group canonical minimum are derived directly (linear).
- - The Spark output (doc_id, keep, reason, dup_of) is then PROVEN to
-   be the unique minimal connected-component labeling of E plus the
-   keep/reason decoration dd_keep_list defines:
-     (a) exactly one verdict row per corpus document;
-     (b) keep <=> dup_of IS NULL, and reason = 'keep' <=> keep;
+ - The Spark output is then PROVEN to be the unique minimal
+   connected-component labeling of E plus the per-query decoration:
+     (a) exactly one verdict row per in-scope id (corpus documents
+         for the keep lists; E's endpoints for the cluster tables);
+     (b) the per-query decision columns are coherent (keep <=> dup_of
+         IS NULL; reason; is_kept <=> doc_id = keeper);
      (c) every DROPPED doc's reason matches DuckDB's exact-canonical
-         computation ('exact_dup' iff doc_id <> min of its md5 group,
-         'near_dup' otherwise);
+         computation (dd_keep_list only);
      (d) every edge (x, y) in E has label(x) == label(y), where
-         label(v) = coalesce(dup_of, doc_id)  [no component split];
+         label(v) = the query's cluster/keeper column  [no component
+         split — kills under-merge];
      (e) every referenced label labels itself and is the MINIMUM
          doc_id of its label group [minimality];
-     (f) every dropped member is REACHABLE from its label's keeper in
-         E [no two components share a label — kills over-merge];
-     (g) every doc with NO incident E edge keeps itself [isolated
-         docs are their own canonical: an exact-dup group of size >= 2
-         shares all minhash bands, so it always has E edges — pinned
-         by (c)+(g) together].
+     (f) every non-self-labeled member is REACHABLE from its label's
+         representative in E [no two components share a label — kills
+         over-merge]; reachability runs as a vertex-frontier
+         recursive CTE seeded at the representatives — (seed, node)
+         rows, one per node under a correct labeling, never the pair
+         closure;
+     (g) every doc with NO incident E edge keeps itself (keep lists) /
+         has no row (cluster tables — scope is E's endpoints).
    By (d) labels are constant on components; by (f) each label group
    lies inside ONE component; by (e) the label is the component
    minimum; by (g) the labeling is the identity off the edge set —
    which is precisely the oracle's clusters+keeper definition. Any
    deviation flips at least one check, so pass == hash-equality with
    the full recompute, at O(E * diameter) instead of the pair closure.
+ - dd_quality_keep_list adds the quality decoration on top of the
+   proven labels: per-doc scores re-derived by DuckDB from the
+   oracle's own qm/qsc CTE text (spliced past the closure), and the
+   keeper re-derived as the oracle's argmax (score DESC, doc_id ASC)
+   within each PROVEN cluster — a window over cluster labels, linear.
+   Score compares use the %.6g contract of the driver gate.
 """
 import sys, os, json, time
 import duckdb
 
+# query -> (name of the undirected-edge CTE in its oracle SQL)
+EDGE_CTE = {
+    "dd_keep_list": "edges",
+    "dd_dup_clusters": "edges",
+    "dd_quality_keep_list": "edges",
+    "mm_phash_keep_list": "dedges",
+}
 
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    con.execute(f"SET temp_directory='/tmp/duckdb_keeplist_{os.getpid()}'")
-    con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '16')}")
-    # bound the resident set so a 70M-edge derivation spills to the
-    # temp dir instead of OOM-killing the process (sf10 lesson)
-    con.execute(
-        f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
-    doc_path = f"{sf_dir}/documents.parquet"
-    src = (f"read_parquet('{doc_path}/*.parquet')" if os.path.isdir(doc_path)
-           else f"read_parquet('{doc_path}')")
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM {src}")
 
-    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["dd_keep_list"]
-    # CTE chain through cand/edges, skipping the quadratic closure
-    withs = sql[:sql.index("reach AS (")].rstrip().rstrip(",")
+def truncated_prefix(sql):
+    """The oracle's WITH chain up to (not including) the quadratic
+    closure stage."""
+    return sql[:sql.index("reach AS (")].rstrip().rstrip(",")
 
-    t0 = time.time()
-    con.execute(f"CREATE TEMP TABLE E AS {withs} SELECT src, dst FROM edges")
-    n_edges = con.execute("SELECT count(*) FROM E").fetchone()[0]
-    print(f"[cert] independent edge derivation: {n_edges} directed edges "
-          f"in {time.time() - t0:.0f}s")
-    # exact fingerprints + per-group canonical minimum (linear)
-    con.execute(f"""CREATE TEMP TABLE FP AS {withs}
-        SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t""")
-    con.execute("""CREATE TEMP TABLE CANON AS
-        SELECT doc_id, min(doc_id) OVER (PARTITION BY fp)
-          AS exact_canonical FROM FP""")
 
-    spark_dir = f"{out_dir}/dd_keep_list"
-    con.execute("CREATE TEMP TABLE O AS SELECT * FROM "
-                f"read_parquet('{spark_dir}/*.parquet')")
-    # compact label table + undirected half of E: the label checks
-    # only need each edge once and a 2-int label row, which keeps the
-    # 70M-edge joins streaming instead of spilling
-    con.execute("""CREATE TEMP TABLE LAB AS
-        SELECT doc_id, coalesce(dup_of, doc_id) AS l FROM O""")
-    con.execute("CREATE TEMP TABLE EH AS "
-                "SELECT src, dst FROM E WHERE src < dst")
+class Cert:
+    def __init__(self, con, name):
+        self.con, self.name, self.fails = con, name, []
 
-    fails = []
-
-    def check(name, bad_sql):
+    def check(self, what, bad_sql):
         t0 = time.time()
-        n = con.execute(bad_sql).fetchone()[0]
-        print(f"[cert] {name}: {'OK' if n == 0 else f'FAIL ({n})'} "
+        n = self.con.execute(bad_sql).fetchone()[0]
+        print(f"[cert:{self.name}] {what}: "
+              f"{'OK' if n == 0 else f'FAIL ({n})'} "
               f"({time.time() - t0:.0f}s)")
         if n:
-            fails.append(name)
+            self.fails.append(what)
 
+
+def load_output(con, out_dir, name):
+    con.execute("CREATE OR REPLACE TEMP TABLE O AS SELECT * FROM "
+                f"read_parquet('{out_dir}/{name}/*.parquet')")
+    return con.execute("SELECT count(*) FROM O").fetchone()[0]
+
+
+def label_checks(c, label_expr, seeds_pred):
+    """Checks (d)(e)(f) shared by every query: labels constant on
+    edges, referenced labels self-labeled group minima, members
+    reachable from their representative. `label_expr` builds LAB's l
+    from O; `seeds_pred` selects O's non-self-labeled rows."""
+    con = c.con
+    con.execute(f"""CREATE OR REPLACE TEMP TABLE LAB AS
+        SELECT doc_id, {label_expr} AS l FROM O""")
+    # undirected half: the label check needs each edge once, and a
+    # 2-int row keeps the sf10 70M-edge joins streaming, not spilling
+    con.execute("CREATE OR REPLACE TEMP TABLE EH AS "
+                "SELECT src, dst FROM E WHERE src < dst")
+    # (d) labels constant across every edge
+    c.check("edge label consistency", """
+        SELECT count(*) FROM EH
+        JOIN LAB a ON a.doc_id = EH.src
+        JOIN LAB b ON b.doc_id = EH.dst
+        WHERE a.l <> b.l""")
+    # (e) every referenced label labels itself and is its group minimum
+    c.check("label minimality", f"""
+        SELECT count(*) FROM (
+          SELECT l FROM LAB GROUP BY l HAVING min(doc_id) <> l
+          UNION ALL
+          SELECT r.l FROM (SELECT DISTINCT l FROM LAB) r
+          JOIN LAB o ON o.doc_id = r.l WHERE o.l <> r.l)""")
+    # (f) every non-self-labeled member reachable from its label's rep
+    t0 = time.time()
+    c.check("keeper reachability (no over-merge)", f"""
+        WITH RECURSIVE seeds AS (
+          SELECT DISTINCT l AS seed FROM LAB WHERE {seeds_pred}),
+        r AS (
+          SELECT seed, seed AS node FROM seeds
+          UNION
+          SELECT r.seed, E.dst AS node FROM r JOIN E ON E.src = r.node)
+        SELECT count(*) FROM LAB
+        LEFT JOIN r ON r.seed = LAB.l AND r.node = LAB.doc_id
+        WHERE {seeds_pred} AND r.node IS NULL""")
+    print(f"[cert:{c.name}] reachability fixpoint in "
+          f"{time.time() - t0:.0f}s")
+
+
+def cert_keep_list(con, withs, out_dir):
+    """dd_keep_list: (doc_id, keep, reason, dup_of) over the corpus."""
+    c = Cert(con, "dd_keep_list")
+    # exact fingerprints + per-group canonical minimum (linear)
+    con.execute(f"""CREATE OR REPLACE TEMP TABLE FP AS {withs}
+        SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t""")
+    con.execute("""CREATE OR REPLACE TEMP TABLE CANON AS
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY fp)
+          AS exact_canonical FROM FP""")
+    n_rows = load_output(con, out_dir, "dd_keep_list")
     # (a) one verdict per corpus document
-    check("one row per doc", """
+    c.check("one row per doc", """
         SELECT count(*) FROM (
           SELECT doc_id FROM O GROUP BY doc_id HAVING count(*) <> 1
           UNION ALL
@@ -110,58 +159,170 @@ def main(sf_dir, out_dir):
           SELECT o.doc_id FROM O o LEFT JOIN documents d USING (doc_id)
           WHERE d.doc_id IS NULL)""")
     # (b) one decision, one pointer, coherent reason
-    check("keep/dup_of/reason coherence", """
+    c.check("keep/dup_of/reason coherence", """
         SELECT count(*) FROM O
         WHERE keep <> (dup_of IS NULL) OR (reason = 'keep') <> keep""")
     # (c) dropped reasons match the independent exact-canonical
-    check("dropped reason vs md5 canonical", """
+    c.check("dropped reason vs md5 canonical", """
         SELECT count(*) FROM O JOIN CANON USING (doc_id)
         WHERE NOT O.keep AND O.reason <>
           (CASE WHEN O.doc_id <> CANON.exact_canonical
                 THEN 'exact_dup' ELSE 'near_dup' END)""")
-    # (d) labels constant across every edge (undirected half suffices)
-    check("edge label consistency", """
-        SELECT count(*) FROM EH
-        JOIN LAB a ON a.doc_id = EH.src
-        JOIN LAB b ON b.doc_id = EH.dst
-        WHERE a.l <> b.l""")
-    # (e) every referenced label keeps itself and is its group minimum
-    check("label minimality", """
-        WITH lab AS (
-          SELECT doc_id, coalesce(dup_of, doc_id) AS l FROM O)
-        SELECT count(*) FROM (
-          SELECT l FROM lab GROUP BY l HAVING min(doc_id) <> l
-          UNION ALL
-          SELECT o.dup_of FROM (SELECT DISTINCT dup_of FROM O
-                                WHERE dup_of IS NOT NULL) r
-          JOIN O o ON o.doc_id = r.dup_of WHERE o.dup_of IS NOT NULL)""")
-    # (f) every dropped member reachable from its keeper
-    t0 = time.time()
-    check("keeper reachability (no over-merge)", """
-        WITH RECURSIVE seeds AS (
-          SELECT DISTINCT dup_of AS seed FROM O WHERE dup_of IS NOT NULL),
-        r AS (
-          SELECT seed, seed AS node FROM seeds
-          UNION
-          SELECT r.seed, E.dst AS node FROM r JOIN E ON E.src = r.node)
-        SELECT count(*) FROM O
-        LEFT JOIN r ON r.seed = O.dup_of AND r.node = O.doc_id
-        WHERE O.dup_of IS NOT NULL AND r.node IS NULL""")
-    print(f"[cert] reachability fixpoint in {time.time() - t0:.0f}s")
+    label_checks(c, "coalesce(dup_of, doc_id)", "l <> doc_id")
     # (g) isolated docs keep themselves
-    check("isolated docs keep", """
+    c.check("isolated docs keep", """
         SELECT count(*) FROM O
         LEFT JOIN (SELECT DISTINCT src FROM E) e ON e.src = O.doc_id
         WHERE e.src IS NULL AND NOT O.keep""")
+    return c.fails, n_rows
 
-    n_rows = con.execute("SELECT count(*) FROM O").fetchone()[0]
-    if fails:
-        print(f"\nCERT FAIL dd_keep_list: {fails}")
-        return 1
-    print(f"\nCERT OK dd_keep_list ({n_rows} rows, {n_edges} edges, "
-          f"all 7 checks)")
-    return 0
+
+def cert_dup_clusters(con, out_dir):
+    """dd_dup_clusters: (doc_id, cluster_id) over E's endpoints."""
+    c = Cert(con, "dd_dup_clusters")
+    n_rows = load_output(con, out_dir, "dd_dup_clusters")
+    # (a)+(g) scope: exactly one row per edge endpoint, none off-edge
+    c.check("one row per edge endpoint", """
+        SELECT count(*) FROM (
+          SELECT doc_id FROM O GROUP BY doc_id HAVING count(*) <> 1
+          UNION ALL
+          SELECT e.src FROM (SELECT DISTINCT src FROM E) e
+          LEFT JOIN O ON O.doc_id = e.src WHERE O.doc_id IS NULL
+          UNION ALL
+          SELECT o.doc_id FROM O o
+          LEFT JOIN (SELECT DISTINCT src FROM E) e ON e.src = o.doc_id
+          WHERE e.src IS NULL)""")
+    label_checks(c, "cluster_id", "l <> doc_id")
+    return c.fails, n_rows
+
+
+def cert_quality_keep_list(con, sql, out_dir):
+    """dd_quality_keep_list: dup_clusters' labeling plus the quality
+    decoration (scores + argmax keeper)."""
+    c = Cert(con, "dd_quality_keep_list")
+    n_rows = load_output(con, out_dir, "dd_quality_keep_list")
+    # (a)+(g) scope, as dup_clusters
+    c.check("one row per edge endpoint", """
+        SELECT count(*) FROM (
+          SELECT doc_id FROM O GROUP BY doc_id HAVING count(*) <> 1
+          UNION ALL
+          SELECT e.src FROM (SELECT DISTINCT src FROM E) e
+          LEFT JOIN O ON O.doc_id = e.src WHERE O.doc_id IS NULL
+          UNION ALL
+          SELECT o.doc_id FROM O o
+          LEFT JOIN (SELECT DISTINCT src FROM E) e ON e.src = o.doc_id
+          WHERE e.src IS NULL)""")
+    label_checks(c, "cluster_id", "l <> doc_id")
+    # independent per-doc scores: splice the oracle's own qm/qsc CTEs
+    # past the closure (they only need `t` from the shared prefix)
+    withs = truncated_prefix(sql)
+    qm_qsc = sql[sql.index("qm AS ("):sql.index("qk AS (")] \
+        .rstrip().rstrip(",")
+    con.execute(f"CREATE OR REPLACE TEMP TABLE QSC AS {withs},\n"
+                f"{qm_qsc} SELECT doc_id, score FROM qsc")
+    # per-doc score matches, under the driver gate's %.6g contract
+    c.check("quality_score vs independent qsc", """
+        SELECT count(*) FROM O JOIN QSC USING (doc_id)
+        WHERE printf('%.6g', O.quality_score)
+           <> printf('%.6g', round(QSC.score, 6))""")
+    # keeper re-derived as the oracle's argmax (raw score DESC, doc_id
+    # ASC) within each PROVEN cluster — linear window over labels
+    con.execute("""CREATE OR REPLACE TEMP TABLE ARG AS
+        SELECT cluster_id, doc_id AS keeper, score AS keeper_score FROM (
+          SELECT O.cluster_id, O.doc_id, QSC.score,
+            ROW_NUMBER() OVER (PARTITION BY O.cluster_id
+              ORDER BY QSC.score DESC, O.doc_id ASC) AS rn
+          FROM O JOIN QSC USING (doc_id))
+        WHERE rn = 1""")
+    c.check("keeper is the per-cluster quality argmax", """
+        SELECT count(*) FROM O JOIN ARG USING (cluster_id)
+        WHERE O.keeper <> ARG.keeper
+           OR printf('%.6g', O.keeper_score)
+           <> printf('%.6g', round(ARG.keeper_score, 6))""")
+    # (b) is_kept coherence
+    c.check("is_kept coherence",
+            "SELECT count(*) FROM O WHERE is_kept <> (doc_id = keeper)")
+    return c.fails, n_rows
+
+
+def cert_phash_keep_list(con, out_dir):
+    """mm_phash_keep_list: (doc_id, keep, dup_of) over the corpus."""
+    c = Cert(con, "mm_phash_keep_list")
+    n_rows = load_output(con, out_dir, "mm_phash_keep_list")
+    # (a) one verdict per corpus document
+    c.check("one row per doc", """
+        SELECT count(*) FROM (
+          SELECT doc_id FROM O GROUP BY doc_id HAVING count(*) <> 1
+          UNION ALL
+          SELECT d.doc_id FROM documents d LEFT JOIN O USING (doc_id)
+          WHERE O.doc_id IS NULL
+          UNION ALL
+          SELECT o.doc_id FROM O o LEFT JOIN documents d USING (doc_id)
+          WHERE d.doc_id IS NULL)""")
+    # (b) one decision, one pointer
+    c.check("keep/dup_of coherence",
+            "SELECT count(*) FROM O WHERE keep <> (dup_of IS NULL)")
+    label_checks(c, "coalesce(dup_of, doc_id)", "l <> doc_id")
+    # (g) isolated docs keep themselves
+    c.check("isolated docs keep", """
+        SELECT count(*) FROM O
+        LEFT JOIN (SELECT DISTINCT src FROM E) e ON e.src = O.doc_id
+        WHERE e.src IS NULL AND NOT O.keep""")
+    return c.fails, n_rows
+
+
+def main(sf_dir, out_dir, names):
+    con = duckdb.connect()
+    con.execute(f"SET temp_directory='/tmp/duckdb_keeplist_{os.getpid()}'")
+    con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '16')}")
+    # bound the resident set so a 70M-edge derivation spills to the
+    # temp dir instead of OOM-killing the process (sf10 lesson)
+    con.execute(
+        f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
+    # set membership only — skip ordered materialization buffering
+    con.execute("SET preserve_insertion_order=false")
+    doc_path = f"{sf_dir}/documents.parquet"
+    src = (f"read_parquet('{doc_path}/*.parquet')" if os.path.isdir(doc_path)
+           else f"read_parquet('{doc_path}')")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM {src}")
+
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    all_fails = {}
+    derived_from = None  # the prefix E currently holds (dedup family shares)
+    for name in names:
+        sql = oracles[name]
+        withs = truncated_prefix(sql)
+        key = (withs, EDGE_CTE[name])
+        if key != derived_from:
+            t0 = time.time()
+            con.execute(f"CREATE OR REPLACE TEMP TABLE E AS {withs} "
+                        f"SELECT src, dst FROM {EDGE_CTE[name]}")
+            derived_from = key
+            n_edges = con.execute("SELECT count(*) FROM E").fetchone()[0]
+            print(f"[cert:{name}] independent edge derivation: {n_edges} "
+                  f"directed edges in {time.time() - t0:.0f}s")
+        else:
+            n_edges = con.execute("SELECT count(*) FROM E").fetchone()[0]
+            print(f"[cert:{name}] reusing shared edge derivation "
+                  f"({n_edges} edges — identical truncated CTE prefix)")
+        if name == "dd_keep_list":
+            fails, n_rows = cert_keep_list(con, withs, out_dir)
+        elif name == "dd_dup_clusters":
+            fails, n_rows = cert_dup_clusters(con, out_dir)
+        elif name == "dd_quality_keep_list":
+            fails, n_rows = cert_quality_keep_list(con, sql, out_dir)
+        elif name == "mm_phash_keep_list":
+            fails, n_rows = cert_phash_keep_list(con, out_dir)
+        else:
+            raise SystemExit(f"no certificate defined for {name}")
+        if fails:
+            print(f"\nCERT FAIL {name}: {fails}\n")
+            all_fails[name] = fails
+        else:
+            print(f"\nCERT OK {name} ({n_rows} rows, {n_edges} edges)\n")
+    return 1 if all_fails else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    qnames = sys.argv[3:] or ["dd_keep_list"]
+    sys.exit(main(sys.argv[1], sys.argv[2], qnames))

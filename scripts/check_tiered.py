@@ -28,6 +28,9 @@ CERTIFICATE_QUERIES = {
     # checked by the linear labeling certificate instead
     "mm_crossmodal_keep_list",  # scripts/check_crossmodal.py
     "dd_keep_list",             # scripts/check_keeplist.py
+    "dd_dup_clusters",          # scripts/check_keeplist.py
+    "dd_quality_keep_list",     # scripts/check_keeplist.py
+    "mm_phash_keep_list",       # scripts/check_keeplist.py
 }
 
 def canon(df):
@@ -196,7 +199,9 @@ def main():
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a.startswith("--"):
-            opts[a[2:]] = argv[i + 1]
+            nxt = argv[i + 1] if i + 1 < len(argv) else ""
+            # valueless flags (e.g. --compare-certs) map to ""
+            opts[a[2:]] = "" if nxt.startswith("--") or nxt == "" else nxt
     sf_dir, out_dir, out_json = args[0], args[1], args[2]
     budget = float(opts.get("timeout", 600))
     label = opts.get("label", sf_dir)
@@ -232,9 +237,13 @@ def main():
         slope = None
         if name in ref and ref[name].get("rows"):
             slope = round(got_rows / ref[name]["rows"], 2)
-        if name in CERTIFICATE_QUERIES:
-            script = ("check_keeplist.py" if name == "dd_keep_list"
-                      else "check_crossmodal.py")
+        # --compare-certs: at scales where the closure oracle still fits
+        # the budget (sf1), run the FULL compare for certificate queries
+        # too — the certificate tier is for the scale where the closure
+        # representation, not the engine, is the super-linear stage
+        if name in CERTIFICATE_QUERIES and "compare-certs" not in opts:
+            script = ("check_crossmodal.py" if name == "mm_crossmodal_keep_list"
+                      else "check_keeplist.py")
             results[name] = {"tier": "certificate", "rows": got_rows,
                              "slope_vs_ref": slope,
                              "detail": f"checked by scripts/{script}"}
