@@ -41,11 +41,15 @@ object Similarity {
     * the native output (TopKAggregate drops its NaN cosine) but rank
     * FIRST in the oracle (DuckDB's IEEE ordering sorts NaN greatest
     * under DESC) — a latent cross-engine parity break. */
+  // q is MATERIALIZED: every consumer oracle references it 2+ times
+  // (assignments, recenters, scoring), and an inlined q re-quantizes
+  // the embedding table per reference — part of the sf10 /tmp spill
+  // blowup (see kmeansCtes). ~0.5 KB/row, linear in the corpus.
   private def quantNormCte(extraCols: String = ""): String =
     s"""q0 AS (
         SELECT vec_id$extraCols, ${quantSql.format("embedding")} AS q
         FROM embeddings),
-      q AS (SELECT * FROM q0
+      q AS MATERIALIZED (SELECT * FROM q0
         WHERE list_sum(list_transform(q, x -> x * x)) > 0)"""
 
   /** Brute-force cosine top-k: 5 nearest neighbors for each probe
@@ -447,10 +451,17 @@ object Similarity {
     * own WITH). Shared by sim_kmeans_cells, sim_ivf_trained_topk and
     * Dedup's dd_semantic_dedup. */
   private[graft] lazy val kmeansCtes: String = {
+    // Every stage CTE is MATERIALIZED (the a062fee / kcore-oracle
+    // lesson): DuckDB inlines CTEs by default, and downstream oracles
+    // reference a3 (and q) more than once — inlined, each reference
+    // re-derives the whole 2-round training chain, and at sf10 the
+    // recomputed assignment windows spilled past the box's /tmp
+    // (sim_cluster_quality's oracle died on ENOSPC, round 11).
+    // Materialized, each stage computes exactly once.
     // assignment CTE over centroid table `c`: argmax_cell of the
     // rounded exact-int cosine, ties to lowest cell
     def assignSql(name: String, cents: String): String = s"""
-      $name AS (
+      $name AS MATERIALIZED (
         SELECT vec_id, cell FROM (
           SELECT q.vec_id, c.cell,
             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
@@ -469,7 +480,7 @@ object Similarity {
         GROUP BY a.cell, i),
       ${name}_l AS (
         SELECT cell, list(sv ORDER BY i) AS ncv FROM ${name}_s GROUP BY cell),
-      $name AS (
+      $name AS MATERIALIZED (
         SELECT p.cell, coalesce(l.ncv, p.cv) AS cv
         FROM $prev p LEFT JOIN ${name}_l l USING (cell))"""
     s"""
@@ -1125,7 +1136,8 @@ object Similarity {
         FROM q JOIN a3 a USING (vec_id),
              (SELECT unnest(range(1, 65)) AS i) idx
         GROUP BY a.cell, i),
-      c3 AS (SELECT cell, list(sv ORDER BY i) AS cv FROM c3s GROUP BY cell),
+      c3 AS MATERIALIZED (
+        SELECT cell, list(sv ORDER BY i) AS cv FROM c3s GROUP BY cell),
       intra AS (
         SELECT a.cell,
           CAST(floor(
