@@ -28,7 +28,18 @@ import org.apache.spark.sql.types.StructType
   *    stateful new/price_change/off_market machine, plus a
   *    KILL/RESTART midway through the replay: the restart resumes
   *    from the checkpoint and the recovery lag (start() to first
-  *    committed batch) and the replayed tail are timed separately.
+  *    committed batch) and the replayed tail are timed separately;
+  *  - `dedup_fullbatch` / `dedup_rocksdb` (round 12): the same dedup
+  *    plan at the full-corpus batch size (every slice in ONE
+  *    micro-batch — the batch-size axis of the rows/s claim) and on
+  *    the RocksDB state-store provider;
+  *  - `ann_attached` / `pq_attached` / `phash_attached` (round 12):
+  *    the artifact-backed triage/encode twins against PRE-MATERIALIZED
+  *    indexes (LSH bucket index, PQ codebooks — read from the attached
+  *    Artifacts set when present — and the pHash band index), index
+  *    prep timed separately from the steady-state ingest replay; these
+  *    carry zero state-store rows by design (the index IS the state
+  *    and it lives in storage).
   *
   * Replay protocol: inputs are staged as `slices` range-partitioned
   * parquet files sorted by event time (file k = k-th time slice), and
@@ -128,6 +139,120 @@ object StreamBench {
       q.stop(); st
     }
 
+    // ---- dedup at full-corpus batch size (VERDICT r11 #3): the
+    // prose claim "feed it 50k-doc batches and the same plan runs at
+    // document-ingest volume" measured instead of asserted — all
+    // slices in ONE micro-batch ----
+    val dedupBigStats = {
+      val q = StreamingDedup.dedupByFingerprint(
+          spark.readStream.schema(docSchema)
+            .option("maxFilesPerTrigger", slices.toString)
+            .parquet(s"$work/docs_in"), "ts", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", s"$work/dedup_big_out")
+        .option("checkpointLocation", s"$work/ckpt_dedup_big").start()
+      val (_, wall) = timed { q.processAllAvailable() }
+      val st = statsOf(q, nDocs, wall,
+        spark.read.parquet(s"$work/dedup_big_out").count())
+      q.stop(); st
+    }
+
+    // ---- dedup on the RocksDB state-store provider: the same
+    // 20-slice replay, state spilled to local RocksDB instead of the
+    // HDFS-backed in-memory map ----
+    val dedupRocksStats = {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = util.Try(spark.conf.get(providerKey)).toOption
+      spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = StreamingDedup.dedupByFingerprint(
+            fileStream(s"$work/docs_in", docSchema), "ts", "1 hour")
+          .writeStream.format("parquet")
+          .option("path", s"$work/dedup_rocks_out")
+          .option("checkpointLocation", s"$work/ckpt_dedup_rocks").start()
+        val (_, wall) = timed { q.processAllAvailable() }
+        val st = statsOf(q, nDocs, wall,
+          spark.read.parquet(s"$work/dedup_rocks_out").count())
+        q.stop(); st
+      } finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+
+    // ---- attached-index triage twins (VERDICT r11 #3): the
+    // production ingest shape — the index is a PRE-MATERIALIZED
+    // artifact (trained/built once, lives in storage, zero state-store
+    // rows), every micro-batch pays batch-sized probe work only.
+    // Index prep is timed separately; the stream numbers are the
+    // steady-state ingest operating point. ----
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    emb.repartitionByRange(slices, $"vec_id").sortWithinPartitions($"vec_id")
+      .write.parquet(s"$work/emb_in")
+    val nVecs = spark.read.parquet(s"$work/emb_in").count()
+    val embSchema = spark.read.parquet(s"$work/emb_in").schema
+
+    val (annIdx, annPrep) = timed {
+      graft.streaming.StreamingAnn.buildIndex(emb, tables = 2,
+        bits = graft.queries.Dedup.bitsFor(nVecs, 20), cap = 128)
+    }
+    val annStats = {
+      val q = graft.streaming.StreamingAnn.triageStream(
+          fileStream(s"$work/emb_in", embSchema), annIdx,
+          threshold = 0.9, s"$work/ckpt_ann") { (verdicts, _) =>
+        verdicts.write.mode("append").parquet(s"$work/ann_out")
+      }
+      val (_, wall) = timed { q.processAllAvailable() }
+      val st = statsOf(q, nVecs, wall,
+        spark.read.parquet(s"$work/ann_out").count())
+      q.stop(); st
+    }
+
+    // PQ prefers the ATTACHED artifact codebooks (the tokenizer-style
+    // read path); falls back to a one-off train when no artifact set
+    // is materialized for this corpus
+    val artDir = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS_DIR",
+      s"/tmp/graft_stream_artifacts_${new java.io.File(sfDir).getName}")
+    val (pqIdx, pqAttached, pqPrep) = {
+      val t0 = System.nanoTime()
+      val attached = util.Try {
+        Artifacts.ensureFor(spark, sfDir, artDir)
+        graft.streaming.StreamingPq.attachedIndex(spark, sfDir)
+      }.toOption.flatten
+      val idx = attached.getOrElse(
+        graft.streaming.StreamingPq.buildIndex(emb))
+      (idx, attached.nonEmpty, (System.nanoTime() - t0) / 1e9)
+    }
+    val pqStats = {
+      val q = graft.streaming.StreamingPq.encodeStream(
+          fileStream(s"$work/emb_in", embSchema), pqIdx,
+          s"$work/ckpt_pq") { (codes, _) =>
+        codes.write.mode("append").parquet(s"$work/pq_out")
+      }
+      val (_, wall) = timed { q.processAllAvailable() }
+      val st = statsOf(q, nVecs, wall,
+        spark.read.parquet(s"$work/pq_out").count())
+      q.stop(); st
+    }
+
+    val (phIdx, phPrep) = timed {
+      graft.streaming.StreamingPhash.buildIndex(
+        Tables.documents(spark, sfDir).select($"doc_id", $"text"))
+    }
+    val phashStats = {
+      val q = graft.streaming.StreamingPhash.triageStream(
+          fileStream(s"$work/docs_in", docSchema), phIdx,
+          s"$work/ckpt_phash") { (verdicts, _) =>
+        verdicts.write.mode("append").parquet(s"$work/phash_out")
+      }
+      val (_, wall) = timed { q.processAllAvailable() }
+      val st = statsOf(q, nDocs, wall,
+        spark.read.parquet(s"$work/phash_out").count())
+      q.stop(); st
+    }
+
     // ---- cdc: stateful event machine + kill/restart midway ----
     def sightings(in: DataFrame) = in
       .select($"ts", $"user_id", $"value").as[(java.sql.Timestamp, Long, Double)]
@@ -174,8 +299,16 @@ object StreamBench {
     }
     println(
       s"""{"metric":"stream_bench","sf_dir":"$sfDir","slices":$slices,""" +
-        s""""events":$nEvents,"docs":$nDocs,""" +
+        s""""events":$nEvents,"docs":$nDocs,"vecs":$nVecs,""" +
         fmt("cusum", cusumStats) + "," + fmt("dedup", dedupStats) + "," +
+        fmt("dedup_fullbatch", dedupBigStats) + "," +
+        fmt("dedup_rocksdb", dedupRocksStats) + "," +
+        fmt("ann_attached", annStats) + "," +
+        fmt("pq_attached", pqStats) + "," +
+        fmt("phash_attached", phashStats) + "," +
+        s""""ann_prep_sec":${f"$annPrep%.2f"},""" +
+        s""""pq_prep_sec":${f"$pqPrep%.2f"},"pq_from_artifact":$pqAttached,""" +
+        s""""phash_prep_sec":${f"$phPrep%.2f"},""" +
         fmt("cdc_tail", cdcStats) + "," +
         s""""cdc_phase1":{"batches":$phase1Batches,"rows":$phase1Rows},""" +
         s""""cdc_recovery_sec":${f"$recoverySec%.2f"}}""")
