@@ -68,6 +68,12 @@ EDGE_CTE = {
     "dd_dup_clusters": "edges",
     "dd_quality_keep_list": "edges",
     "mm_phash_keep_list": "dedges",
+    # dd_cluster_stats needs no edge set of its own: it is certified as
+    # the exact DuckDB aggregation of the dd_dup_clusters output, which
+    # must be certificate-green in the SAME invocation (precondition
+    # enforced below) — stats over a proven-equal cluster table equal
+    # stats over the oracle's own closure
+    "dd_cluster_stats": "edges",
 }
 
 
@@ -245,6 +251,35 @@ def cert_quality_keep_list(con, sql, out_dir):
     return c.fails, n_rows
 
 
+def cert_cluster_stats(con, out_dir, dup_clusters_green):
+    """dd_cluster_stats: the exact DuckDB aggregation of the (proven)
+    dd_dup_clusters output, bag-compared against the Spark output.
+    Valid ONLY when dd_dup_clusters' own certificate is green in this
+    invocation — stats over a proven-equal cluster table equal stats
+    over the oracle's closure."""
+    c = Cert(con, "dd_cluster_stats")
+    if not dup_clusters_green:
+        print("[cert:dd_cluster_stats] SKIP — requires a green "
+              "dd_dup_clusters certificate in the same invocation")
+        return ["precondition: dd_dup_clusters not certified green"], 0
+    n_rows = load_output(con, out_dir, "dd_cluster_stats")
+    con.execute(f"""CREATE OR REPLACE TEMP TABLE WANT AS
+        WITH cl AS (SELECT * FROM
+               read_parquet('{out_dir}/dd_dup_clusters/*.parquet')),
+             cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                    FROM cl GROUP BY 1)
+        SELECT cluster_size, COUNT(*) AS n_clusters,
+          CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+          CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_droppable
+        FROM cs GROUP BY cluster_size""")
+    c.check("stats equal the aggregation of the proven cluster table", """
+        SELECT count(*) FROM (
+          (SELECT * FROM WANT EXCEPT ALL SELECT * FROM O)
+          UNION ALL
+          (SELECT * FROM O EXCEPT ALL SELECT * FROM WANT))""")
+    return c.fails, n_rows
+
+
 def cert_phash_keep_list(con, out_dir):
     """mm_phash_keep_list: (doc_id, keep, dup_of) over the corpus."""
     c = Cert(con, "mm_phash_keep_list")
@@ -288,8 +323,20 @@ def main(sf_dir, out_dir, names):
 
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     all_fails = {}
+    green = set()
     derived_from = None  # the prefix E currently holds (dedup family shares)
     for name in names:
+        if name == "dd_cluster_stats":
+            fails, n_rows = cert_cluster_stats(
+                con, out_dir, "dd_dup_clusters" in green)
+            if fails:
+                print(f"\nCERT FAIL {name}: {fails}\n")
+                all_fails[name] = fails
+            else:
+                green.add(name)
+                print(f"\nCERT OK {name} ({n_rows} rows, exact "
+                      f"aggregation of the certified cluster table)\n")
+            continue
         sql = oracles[name]
         withs = truncated_prefix(sql)
         key = (withs, EDGE_CTE[name])
@@ -319,6 +366,7 @@ def main(sf_dir, out_dir, names):
             print(f"\nCERT FAIL {name}: {fails}\n")
             all_fails[name] = fails
         else:
+            green.add(name)
             print(f"\nCERT OK {name} ({n_rows} rows, {n_edges} edges)\n")
     return 1 if all_fails else 0
 

@@ -31,6 +31,8 @@ CERTIFICATE_QUERIES = {
     "dd_dup_clusters",          # scripts/check_keeplist.py
     "dd_quality_keep_list",     # scripts/check_keeplist.py
     "mm_phash_keep_list",       # scripts/check_keeplist.py
+    "dd_cluster_stats",         # scripts/check_keeplist.py (aggregation
+                                # of the certified cluster table)
 }
 
 def canon(df):
