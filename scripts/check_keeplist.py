@@ -280,6 +280,38 @@ def cert_cluster_stats(con, out_dir, dup_clusters_green):
     return c.fails, n_rows
 
 
+def cert_corpus_yield(con, sql, out_dir, keep_list_green):
+    """t_corpus_yield: its oracle is linear EXCEPT the keeper closure.
+    With dd_keep_list certificate-proven equal to the oracle's keeper
+    labeling, keeper(doc) = coalesce(dup_of, doc_id) substitutes for
+    the closure exactly; the rest of the oracle chain (tokenization,
+    quality, lang-id, the final rollup) reruns VERBATIM from its own
+    SQL text over raw documents, and the result bag-compares against
+    the Spark output. Valid ONLY when dd_keep_list's certificate is
+    green in this invocation."""
+    c = Cert(con, "t_corpus_yield")
+    if not keep_list_green:
+        print("[cert:t_corpus_yield] SKIP — requires a green "
+              "dd_keep_list certificate in the same invocation")
+        return ["precondition: dd_keep_list not certified green"], 0
+    n_rows = load_output(con, out_dir, "t_corpus_yield")
+    # the proven keeper table, named like the oracle's CTE so the
+    # spliced chain resolves it as a base table
+    con.execute(f"""CREATE OR REPLACE TEMP TABLE keeper AS
+        SELECT doc_id, coalesce(dup_of, doc_id) AS keeper
+        FROM read_parquet('{out_dir}/dd_keep_list/*.parquet')""")
+    # the oracle's own linear tail, verbatim from its SQL text
+    tail = "WITH " + sql[sql.index("d2 AS ("):]
+    con.execute(f"CREATE OR REPLACE TEMP TABLE WANT AS {tail}")
+    c.check("yield report equals oracle tail over proven keepers", """
+        SELECT count(*) FROM (
+          (SELECT * FROM WANT EXCEPT ALL SELECT * FROM O)
+          UNION ALL
+          (SELECT * FROM O EXCEPT ALL SELECT * FROM WANT))""")
+    con.execute("DROP TABLE keeper")
+    return c.fails, n_rows
+
+
 def cert_phash_keep_list(con, out_dir):
     """mm_phash_keep_list: (doc_id, keep, dup_of) over the corpus."""
     c = Cert(con, "mm_phash_keep_list")
@@ -326,16 +358,19 @@ def main(sf_dir, out_dir, names):
     green = set()
     derived_from = None  # the prefix E currently holds (dedup family shares)
     for name in names:
-        if name == "dd_cluster_stats":
-            fails, n_rows = cert_cluster_stats(
-                con, out_dir, "dd_dup_clusters" in green)
+        if name in ("dd_cluster_stats", "t_corpus_yield"):
+            fails, n_rows = (
+                cert_cluster_stats(con, out_dir, "dd_dup_clusters" in green)
+                if name == "dd_cluster_stats"
+                else cert_corpus_yield(con, oracles[name], out_dir,
+                                       "dd_keep_list" in green))
             if fails:
                 print(f"\nCERT FAIL {name}: {fails}\n")
                 all_fails[name] = fails
             else:
                 green.add(name)
-                print(f"\nCERT OK {name} ({n_rows} rows, exact "
-                      f"aggregation of the certified cluster table)\n")
+                print(f"\nCERT OK {name} ({n_rows} rows, oracle tail "
+                      f"over the certified labeling)\n")
             continue
         sql = oracles[name]
         withs = truncated_prefix(sql)

@@ -33,6 +33,8 @@ CERTIFICATE_QUERIES = {
     "mm_phash_keep_list",       # scripts/check_keeplist.py
     "dd_cluster_stats",         # scripts/check_keeplist.py (aggregation
                                 # of the certified cluster table)
+    "t_corpus_yield",           # scripts/check_keeplist.py (oracle's own
+                                # linear tail over the certified keepers)
 }
 
 def canon(df):
