@@ -61,7 +61,13 @@ object Bench {
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
 
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2: solo-probe subset for perf triage
+    // (isolating one query's heap/GC behavior from the full pass).
+    // Recorded round tables always run the full flagged set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = Registry.all.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name)))
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
 
     def loadAvg: Double =

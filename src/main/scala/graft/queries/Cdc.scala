@@ -824,11 +824,7 @@ object Cdc {
     *
     * Degrees are maintained FRONTIER-DELTA, not recomputed: the full
     * degree aggregate runs exactly once, and each round subtracts the
-    * per-survivor count of edges into that round's peeled set. At
-    * k=10 the cascade settles after a small first peel, so rounds 2+
-    * previously re-aggregated a nearly-full edge list for a handful
-    * of changed degrees — at sf10 that full-graph aggregate was ~1/3
-    * of the round cost, 3× over (the r11 bench's top query at 173s).
+    * per-survivor count of edges into that round's peeled set.
     * The delta formulation is exact, not approximate: after the anti
     * join removes edges incident to peeled nodes, a survivor's degree
     * drops by precisely its edge count into the peeled set (edges
@@ -836,60 +832,94 @@ object Cdc {
     * survivor losing ALL its edges keeps its row at dg = 0 — the same
     * value the old alive-set left join read for it. The degree table
     * doubles as the alive set (one row per surviving node), so the
-    * unrolled per-round-recompute oracle hashes identically. */
+    * unrolled per-round-recompute oracle hashes identically.
+    *
+    * An EMPTY peel is a fixpoint and terminates the loop: the peel
+    * condition reads only `deg`, and a round that peels nothing
+    * changes neither `deg` nor `edges`, so every later round peels
+    * nothing too — identical output, and the bounded-round contract
+    * ("peel at most `rounds` times") is unchanged. This is where the
+    * sf10 time actually went: at k=10 the cascade settles after one
+    * small peel (8,100 of 1.6M nodes, rounds 2–3 empty), yet each
+    * no-op round still paid two edge-scale anti-join scans AND a full
+    * edge re-checkpoint — measured 201s → the early exit removes
+    * 2/3 of the round work. (The round-2 degree-aggregate hypothesis
+    * the r11 verdict floated measured WORSE when tried — the per-round
+    * aggregate was exchange-free all along; see the `lost` join note
+    * for the shuffle-direction lesson.) */
   private[graft] def kcoreOver(s: org.apache.spark.sql.SparkSession,
       e0: DataFrame, k: Int, rounds: Int): DataFrame = {
     import s.implicits._
-    // partitioned AND sorted by `a` pre-checkpoint: the one-time
-    // degree aggregate reads the edge list exchange-free, and the
-    // per-round anti joins need no sort on the edge side (LogicalRDD
-    // keeps partitioning + ordering across the per-round re-checkpoint)
-    var edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+    // The edge list is IMMUTABLE here: checkpointed once (partitioned
+    // and sorted by `a`) and never rewritten. Maintaining the shrunken
+    // subgraph per round — two edge-scale anti-join scans plus a full
+    // edge re-checkpoint — was the dominant round cost at sf10, and
+    // the bounded-round peel never reads survivors' edges again (the
+    // survivors' residual degree lives in `deg`). Each edge is instead
+    // subtracted from `deg` exactly once: in the round its first
+    // endpoint is peeled. Rows the probe produces for NON-survivors
+    // (the other endpoint peeled earlier or in the same round) drop
+    // out of the degree update by construction, because the update
+    // joins FROM the surviving slice of `deg` — no cumulative
+    // anti-join bookkeeping needed. (The fixpoint variant below keeps
+    // the shrinking-edges design: at k=60 round 1 peels ~87% of the
+    // graph, so its rounds 2+ want the collapsed list.)
+    val edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
       .repartition($"a").sortWithinPartitions($"a")
       .serCheckpoint()
-    // the ONLY full-graph degree aggregate; rounds maintain it by delta
+    // the ONLY full-graph degree aggregate (exchange-free over the
+    // pre-partitioned list); rounds maintain it by delta
     var deg = edges.groupBy($"a").agg(count(lit(1)).as("dg"))
       .serCheckpoint()
     var out: DataFrame = Seq.empty[(String, Int, Long)]
       .toDF("node", "peel_round", "deg")
-    for (r <- 1 to rounds) {
+    var r = 1
+    var settled = false
+    while (!settled && r <= rounds) {
       // checkpoint the (small) peeled slice so `out` reads round-sized
       // blocks and the delta join probes a materialized table
       val peeled = deg.filter($"dg" < k)
         .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg"))
         .serCheckpoint()
-      out = out.unionByName(peeled)
-      // frontier delta: how many edges each node loses to this peel.
-      // peeled is round-sized → AQE broadcasts it against the
-      // pre-partitioned edge list (no shuffle of edges), and the
-      // aggregate runs over only the matched — frontier-sized — slice.
-      val lost = edges.join(peeled.select($"node".as("b")), Seq("b"))
-        .groupBy($"a").agg(count(lit(1)).as("lost"))
-      val degNext = deg.filter($"dg" >= k)
-        .join(lost, Seq("a"), "left")
-        .select($"a", ($"dg" - coalesce($"lost", lit(0L))).as("dg"))
-        .serCheckpoint()
-      // drop edges touching the ROUND-SIZED peeled set (anti), not
-      // edges surviving the CORPUS-SIZED alive set (semi): once the
-      // cascade settles the peeled set is tiny, AQE broadcasts it,
-      // and the edge list is filtered in place — no shuffle, no sort,
-      // partitioning preserved for the next round's delta join.
-      // Equivalent by the loop invariant (edge endpoints ⊆ alive).
-      // b-side first so a shuffle round (a big first peel) leaves the
-      // checkpoint partitioned by `a` again.
-      val edgesNext = edges
-        .join(peeled.select($"node".as("b")), Seq("b"), "left_anti")
-        .join(peeled.select($"node".as("a")), Seq("a"), "left_anti")
-        .serCheckpoint()
-      // round r's tables are all eagerly materialized above — the
-      // superseded round's blocks are dead; release them so retention
-      // stays O(current graph + peeled output), not O(rounds × graph).
-      // peeled stays live: `out` reads its blocks at the final union.
-      graft.tools.Checkpoints.release(deg)
-      graft.tools.Checkpoints.release(edges)
-      deg = degNext
-      edges = edgesNext
+      if (peeled.isEmpty) {
+        // fixpoint: `deg` is untouched, so rounds r+1..rounds would
+        // all peel nothing — stop paying for them (measured: at sf10
+        // k=10 settles after one 8,100-node peel; rounds 2–3 were
+        // pure no-op cost)
+        settled = true
+        graft.tools.Checkpoints.release(peeled)
+      } else {
+        out = out.unionByName(peeled)
+        // frontier delta: how many edges each node loses to this
+        // peel. Probe from the PEELED side of the symmetric list: the
+        // join keys on `a` (the edge partitioning key — aligned,
+        // never an edge-scale shuffle even when a first peel outgrows
+        // the broadcast threshold), and the groupBy($"b") shuffles
+        // only the matched slice — bounded by the peeled set's
+        // ORIGINAL degree sum (the immutable list replays a late
+        // peel's already-removed edges too; they drop in the update
+        // join below), so frontier-proportional, never edge-scale.
+        // The b-keyed variant measured +14% at sf10 — a big first
+        // peel re-shuffled the FULL edge list on `b`.
+        val lost = edges.join(peeled.select($"node".as("a")), Seq("a"))
+          .groupBy($"b").agg(count(lit(1)).as("lost"))
+          .select($"b".as("a"), $"lost")
+        // survivors-only update: `lost` rows keyed by peeled nodes
+        // (either round) miss the dg >= k slice and vanish — exactly
+        // the edges that must not count
+        val degNext = deg.filter($"dg" >= k)
+          .join(lost, Seq("a"), "left")
+          .select($"a", ($"dg" - coalesce($"lost", lit(0L))).as("dg"))
+          .serCheckpoint()
+        // superseded degree table is dead; edges and the peeled
+        // slices stay live (edges feeds every round's probe, peeled
+        // blocks feed the final union)
+        graft.tools.Checkpoints.release(deg)
+        deg = degNext
+        r += 1
+      }
     }
+    graft.tools.Checkpoints.release(edges)
     // deg IS the survivors' residual degree table — no final aggregate
     out.unionByName(
       deg.select($"a".as("node"), lit(0).as("peel_round"), $"dg".as("deg")))
@@ -976,7 +1006,12 @@ object Cdc {
     // same probe-key pre-partitioning + pre-sort and the same
     // frontier-delta degree maintenance as kcoreOver (one full-graph
     // aggregate total; each round subtracts edge losses into the
-    // round-sized peeled set — see kcoreOver for the exactness proof)
+    // round-sized peeled set — see kcoreOver for the exactness
+    // proof). UNLIKE kcoreOver, the edge list IS rewritten per round:
+    // at k=60 the first peel removes ~87% of the graph, so rounds 2+
+    // read a collapsed list — worth the one-time round-1 anti-join +
+    // re-checkpoint that kcoreOver's settled-cascade regime never
+    // recoups.
     var edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
       .repartition($"a").sortWithinPartitions($"a")
       .serCheckpoint()
@@ -997,6 +1032,15 @@ object Cdc {
         graft.tools.Checkpoints.release(peeled)
       } else {
         out = out.unionByName(peeled)
+        // b-keyed ON PURPOSE, unlike kcoreOver's a-keyed probe: at
+        // k=60 round 1 peels ~87% of the graph, so the probe is
+        // edge-scale either way — but keying the lost join on `b`
+        // lets Spark REUSE the edges-by-b exchange for the first
+        // edgesNext anti join below (ReusedExchange), and that reuse
+        // beats the aligned a-keyed probe by ~1.4× at sf10 (measured
+        // 119.9s vs 167.6s solo A/B). The a-keyed form only wins in
+        // kcoreOver's small-peel regime, where it never pays an
+        // edge-scale shuffle at all.
         val lost = edges.join(peeled.select($"node".as("b")), Seq("b"))
           .groupBy($"a").agg(count(lit(1)).as("lost"))
         val degNext = deg.filter($"dg" >= k)
