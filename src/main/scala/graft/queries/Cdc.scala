@@ -415,8 +415,15 @@ object Cdc {
   }
 
   private val pagerankOracle: String = {
+    // AS MATERIALIZED on e/deg and each iteration table: without it
+    // DuckDB re-inlines the 60M-row orders⨝lineitem edge derivation
+    // into every p_i (3× recompute), and at sf10 the overlapping
+    // spills exhausted /tmp (>74 GB) — the same lesson the LPA and
+    // k-means oracles learned in a062fee/8c56470. Each p_i is only
+    // V-scale (1.6M rows), so materializing the chain scopes the
+    // spill to one iteration at a time.
     def round(prev: String, out: String) =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
         SELECT e.b AS node,
           CAST(150000 + (850000 * SUM(p.pr // d.deg)) // 1000000
             AS BIGINT) AS pr
@@ -426,8 +433,8 @@ object Cdc {
     WITH e0 AS (
       SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-    e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
-    deg AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY 1),
+    e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    deg AS MATERIALIZED (SELECT a, COUNT(*) AS deg FROM e GROUP BY 1),
     p0 AS (SELECT a AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
     ${round("p0", "p1")},
     ${round("p1", "p2")},
