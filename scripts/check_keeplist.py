@@ -376,6 +376,15 @@ def main(sf_dir, out_dir, names):
         withs = truncated_prefix(sql)
         key = (withs, EDGE_CTE[name])
         if key != derived_from:
+            if derived_from is not None:
+                # switching edge families (doc-corpus -> phash): drop the
+                # previous family's working tables BEFORE the new edge
+                # derivation, not after — at sf10 the resident 70M-edge
+                # doc tables plus the phash derivation's spill exceeded
+                # /tmp and ENOSPC'd the whole run (observed round 12)
+                for t in ("E", "LAB", "EH", "FP", "CANON", "QSC", "ARG",
+                          "WANT", "keeper"):
+                    con.execute(f"DROP TABLE IF EXISTS {t}")
             t0 = time.time()
             con.execute(f"CREATE OR REPLACE TEMP TABLE E AS {withs} "
                         f"SELECT src, dst FROM {EDGE_CTE[name]}")
