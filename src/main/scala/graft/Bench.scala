@@ -66,6 +66,18 @@ object Bench {
     // Recorded round tables always run the full flagged set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd/stale name would silently shrink the set and the run
+    // would "measure" nothing — fail fast instead (ADVICE r12)
+    only.foreach { names =>
+      val unknown = names -- Registry.all.map(_.name).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the registry: " +
+          unknown.toSeq.sorted.mkString(", "))
+      val unflagged = names -- Registry.all.filter(_.bench).map(_.name).toSet
+      if (unflagged.nonEmpty) System.err.println(
+        s"[bench] WARNING: not bench-flagged, skipped: " +
+          unflagged.toSeq.sorted.mkString(", "))
+    }
     val qs = Registry.all.filter(_.bench)
       .filter(q => only.forall(_.contains(q.name)))
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
@@ -81,10 +93,18 @@ object Bench {
       if (trace) System.err.println(
         s"[bench-trace] ${java.time.Instant.now()} ${q.name}")
       val t0 = System.nanoTime()
-      q.withConfs(spark) {
-        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        q.withConfs(spark) {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+        (System.nanoTime() - t0) / 1e9
+      } finally
+        // free this run's registered scratch checkpoints (loop edge
+        // lists, multi-consumer intermediates) so pass N+1 doesn't run
+        // under pass N's dead blocks — at sf10 the accumulated
+        // generations inflated downstream queries up to 2× (r12).
+        // Outside the timed window: release is non-blocking metadata.
+        graft.tools.Checkpoints.drainDeferred(spark)
     }
 
     def median(xs: Seq[Double]): Double = {

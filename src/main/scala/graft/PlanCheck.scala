@@ -25,6 +25,9 @@ object PlanCheck {
         println(s"\n======== ${q.name} ========")
         try q.run(spark, sfDir).explain("formatted")
         catch { case e: Throwable => println(s"FAILED: ${e.getMessage}") }
+        // localCheckpoint is EAGER — building the plan materialized any
+        // loop scratch even though nothing was saved; free it per query
+        finally tools.Checkpoints.drainDeferred(spark)
       }
     spark.stop()
   }

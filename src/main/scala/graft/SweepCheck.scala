@@ -25,6 +25,10 @@ object SweepCheck {
     * when no live DataFrame still depends on a checkpointed plan —
     * true between sweep queries. */
   def clearSessionArtifacts(spark: SparkSession): Unit = {
+    // the full-store unpersist below subsumes the deferred scratch
+    // releases — drain first so the registry drops its strong frame
+    // references instead of growing for the whole sweep
+    tools.Checkpoints.drainDeferred(spark)
     queries.Dedup.clearSignatureCache()
     queries.Cdc.clearBaseEdgeCache()
     queries.Cdc.clearWeightedBaseEdgeCache()

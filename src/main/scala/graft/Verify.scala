@@ -47,7 +47,12 @@ object Verify {
           .write.mode("overwrite").parquet(s"$outDir/${q.name}")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
-      }
+      } finally
+        // free this query's registered scratch checkpoints — 150
+        // queries share one session here, and retained loop state
+        // (E-scale graph edges, corpus-scale window cores) otherwise
+        // accumulates for the whole dump (the r12 sf10 bench lesson)
+        tools.Checkpoints.drainDeferred(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -395,12 +395,19 @@ object Cdc {
     // and never spilled at sf10 under either storage level — so the
     // serialized insurance only charged ser/deser to every round
     // (+27% at sf10, BASELINE.md r11 trade note)
-    val edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
-      .repartition($"a").sortWithinPartitions($"a")
-      .deserCheckpoint()
-    val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
-      .sortWithinPartitions($"a")
-      .deserCheckpoint()
+    // per-run scratch: the output's lazy lineage reads these, so they
+    // cannot be released inside the builder — registered for release
+    // after the runner materializes. Left resident they stacked one
+    // DESERIALIZED E-scale generation per bench pass (the r12 sf10
+    // regression: triangles +107% running right after this query)
+    val edges = graft.tools.Checkpoints.defer(
+      e0.union(e0.select($"b".as("a"), $"a".as("b")))
+        .repartition($"a").sortWithinPartitions($"a")
+        .deserCheckpoint())
+    val deg = graft.tools.Checkpoints.defer(
+      edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+        .sortWithinPartitions($"a")
+        .deserCheckpoint())
     var pr = deg.select($"a".as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {
       val contrib = pr.join(deg, pr("node") === deg("a"))
@@ -579,8 +586,9 @@ object Cdc {
     "q_graph_triangles",
     (s, d) => {
       import s.implicits._
-      val edges = supplierTopKEdges(s, d, 5)
-        .serCheckpoint() // three probe sides of one artifact
+      val edges = graft.tools.Checkpoints.defer(
+        supplierTopKEdges(s, d, 5)
+          .serCheckpoint()) // three probe sides of one per-run artifact
       val wedges = edges
         .join(edges.select($"x".as("x2"), $"y".as("y2")),
           $"x" === $"x2" && $"y" < $"y2")
@@ -683,13 +691,17 @@ object Cdc {
     // sort spills gracefully (a forced shuffle_hash build aborts
     // outright when a coalesced partition outgrows task memory —
     // measured at sf10 on this very join)
-    val edges = e0
+    // per-run scratch (the pagerankOver discipline): registered for
+    // post-materialization release — edges is E-scale and retained
+    // for the loop's whole life
+    val edges = graft.tools.Checkpoints.defer(e0
       .union(e0.select($"b".as("a"), $"a".as("b"), $"w"))
       .repartition($"b").sortWithinPartitions($"b")
-      .serCheckpoint()
-    val selfW = edges.groupBy($"a").agg(max($"w").as("sw"))
-      .sortWithinPartitions($"a")
-      .serCheckpoint()
+      .serCheckpoint())
+    val selfW = graft.tools.Checkpoints.defer(
+      edges.groupBy($"a").agg(max($"w").as("sw"))
+        .sortWithinPartitions($"a")
+        .serCheckpoint())
     var lab = selfW.select($"a".as("node"), $"a".as("lab"))
     var prevLab: Option[DataFrame] = None
     for (_ <- 1 to 3) {
@@ -705,8 +717,13 @@ object Cdc {
         .select($"node", (-$"m.tie").as("lab"))
         // materialize per round: the next round reads lab twice
         // (neighbor gather + self-vote) and the lazy lineage would
-        // re-execute every prior round once per consumer
+        // re-execute every prior round once per consumer. Registered
+        // as scratch too — the FINAL round feeds the output, so only
+        // the runner's post-materialization drain can free it
+        // (superseded rounds are still released eagerly below;
+        // double-release is a no-op)
         .serCheckpoint()
+      lab = graft.tools.Checkpoints.defer(lab)
       // the new round is materialized — the superseded round's label
       // blocks are dead; keep retention O(1) rounds, not O(rounds)
       prevLab.foreach(graft.tools.Checkpoints.release)
@@ -875,9 +892,13 @@ object Cdc {
       .repartition($"a").sortWithinPartitions($"a")
       .serCheckpoint()
     // the ONLY full-graph degree aggregate (exchange-free over the
-    // pre-partitioned list); rounds maintain it by delta
-    var deg = edges.groupBy($"a").agg(count(lit(1)).as("dg"))
-      .serCheckpoint()
+    // pre-partitioned list); rounds maintain it by delta. The final
+    // deg and the peeled slices feed the OUTPUT, so they are deferred
+    // to the runner's post-materialization drain (superseded rounds
+    // still release eagerly in-loop)
+    var deg = graft.tools.Checkpoints.defer(
+      edges.groupBy($"a").agg(count(lit(1)).as("dg"))
+        .serCheckpoint())
     var out: DataFrame = Seq.empty[(String, Int, Long)]
       .toDF("node", "peel_round", "deg")
     var r = 1
@@ -885,9 +906,10 @@ object Cdc {
     while (!settled && r <= rounds) {
       // checkpoint the (small) peeled slice so `out` reads round-sized
       // blocks and the delta join probes a materialized table
-      val peeled = deg.filter($"dg" < k)
-        .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg"))
-        .serCheckpoint()
+      val peeled = graft.tools.Checkpoints.defer(
+        deg.filter($"dg" < k)
+          .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg"))
+          .serCheckpoint())
       if (peeled.isEmpty) {
         // fixpoint: `deg` is untouched, so rounds r+1..rounds would
         // all peel nothing — stop paying for them (measured: at sf10
@@ -914,10 +936,11 @@ object Cdc {
         // survivors-only update: `lost` rows keyed by peeled nodes
         // (either round) miss the dg >= k slice and vanish — exactly
         // the edges that must not count
-        val degNext = deg.filter($"dg" >= k)
-          .join(lost, Seq("a"), "left")
-          .select($"a", ($"dg" - coalesce($"lost", lit(0L))).as("dg"))
-          .serCheckpoint()
+        val degNext = graft.tools.Checkpoints.defer(
+          deg.filter($"dg" >= k)
+            .join(lost, Seq("a"), "left")
+            .select($"a", ($"dg" - coalesce($"lost", lit(0L))).as("dg"))
+            .serCheckpoint())
         // superseded degree table is dead; edges and the peeled
         // slices stay live (edges feeds every round's probe, peeled
         // blocks feed the final union)
@@ -1019,11 +1042,16 @@ object Cdc {
     // read a collapsed list — worth the one-time round-1 anti-join +
     // re-checkpoint that kcoreOver's settled-cascade regime never
     // recoups.
-    var edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
-      .repartition($"a").sortWithinPartitions($"a")
-      .serCheckpoint()
-    var deg = edges.groupBy($"a").agg(count(lit(1)).as("dg"))
-      .serCheckpoint()
+    // per-run scratch, deferred like kcoreOver's: the final edges/deg
+    // and every peeled slice survive to the output's lineage, so the
+    // runner's post-materialization drain frees them
+    var edges = graft.tools.Checkpoints.defer(
+      e0.union(e0.select($"b".as("a"), $"a".as("b")))
+        .repartition($"a").sortWithinPartitions($"a")
+        .serCheckpoint())
+    var deg = graft.tools.Checkpoints.defer(
+      edges.groupBy($"a").agg(count(lit(1)).as("dg"))
+        .serCheckpoint())
     var out: DataFrame = Seq.empty[(String, Int, Long)]
       .toDF("node", "peel_round", "deg")
     var r = 1
@@ -1031,35 +1059,37 @@ object Cdc {
     while (!converged && r <= maxRounds) {
       // materialized round-sized slice: the emptiness probe reads
       // blocks, `out` keeps only peeled rows
-      val peeled = deg.filter($"dg" < k)
-        .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg"))
-        .serCheckpoint()
+      val peeled = graft.tools.Checkpoints.defer(
+        deg.filter($"dg" < k)
+          .select($"a".as("node"), lit(r).as("peel_round"), $"dg".as("deg"))
+          .serCheckpoint())
       if (peeled.isEmpty) {
         converged = true
         graft.tools.Checkpoints.release(peeled)
       } else {
         out = out.unionByName(peeled)
-        // b-keyed ON PURPOSE, unlike kcoreOver's a-keyed probe: at
-        // k=60 round 1 peels ~87% of the graph, so the probe is
-        // edge-scale either way — but keying the lost join on `b`
-        // lets Spark REUSE the edges-by-b exchange for the first
-        // edgesNext anti join below (ReusedExchange), and that reuse
-        // beats the aligned a-keyed probe by ~1.4× at sf10 (measured
-        // 119.9s vs 167.6s solo A/B). The a-keyed form only wins in
-        // kcoreOver's small-peel regime, where it never pays an
-        // edge-scale shuffle at all.
-        val lost = edges.join(peeled.select($"node".as("b")), Seq("b"))
-          .groupBy($"a").agg(count(lit(1)).as("lost"))
-        val degNext = deg.filter($"dg" >= k)
-          .join(lost, Seq("a"), "left")
-          .select($"a", ($"dg" - coalesce($"lost", lit(0L))).as("dg"))
-          .serCheckpoint()
         // round-sized anti joins, AQE-broadcast once the cascade
         // settles — see kcoreOver for the equivalence argument
-        val edgesNext = edges
+        val edgesNext = graft.tools.Checkpoints.defer(edges
           .join(peeled.select($"node".as("b")), Seq("b"), "left_anti")
           .join(peeled.select($"node".as("a")), Seq("a"), "left_anti")
-          .serCheckpoint()
+          .serCheckpoint())
+        // degrees RECOMPUTED from the collapsed list (the pre-r12
+        // form), not frontier-delta like kcoreOver: this loop already
+        // pays the edge rewrite, the collapsed checkpoint is a-keyed
+        // so the aggregate is exchange-free, and the r12 delta graft
+        // (a b-keyed lost probe + a deg-join per round) measured
+        // 5.95s vs 5.20s solo at sf0.1 AGAINST this form — the delta
+        // only wins in kcoreOver's immutable-edge regime, where it
+        // replaces the rewrite instead of riding on top of it. The
+        // survivor left-join keeps zero-degree survivors visible
+        // (they must peel next round, the oracle's d_{r+1} shape).
+        val degNext = graft.tools.Checkpoints.defer(
+          deg.filter($"dg" >= k).select($"a")
+            .join(edgesNext.groupBy($"a").agg(count(lit(1)).as("cnt")),
+              Seq("a"), "left")
+            .select($"a", coalesce($"cnt", lit(0L)).as("dg"))
+            .serCheckpoint())
         graft.tools.Checkpoints.release(deg)
         graft.tools.Checkpoints.release(edges)
         deg = degNext

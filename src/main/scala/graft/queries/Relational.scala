@@ -607,7 +607,10 @@ object Relational {
       // assembly all read this artifact instead of re-deriving the
       // window subtree (the plan audit showed 3 full recomputations
       // in the self-join formulation this replaces)
-      val core = windowCore(orders, nb, splitsIn).localCheckpoint(true)
+      // corpus-scale per-run scratch: the output reads it, so release
+      // waits for the runner's post-materialization drain
+      val core = graft.tools.Checkpoints.defer(
+        windowCore(orders, nb, splitsIn).localCheckpoint(true))
       // priorities×buckets count table (tiny): cumulative offset of
       // each bucket in DESC order plus the per-priority total; its
       // windows run over nb·priorities aggregated rows, not the corpus
@@ -1378,11 +1381,14 @@ object Relational {
     "q_basket_pairs",
     (s, d) => {
       import s.implicits._
-      val ob = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-        .join(Tables.part(s, d)
-          .select($"p_partkey".as("l_partkey"), $"p_brand"), "l_partkey")
-        .select($"l_orderkey", $"p_brand").distinct()
-        .localCheckpoint(true)
+      // order×brand-scale per-run scratch (three consumers), deferred
+      // to the runner's post-materialization drain
+      val ob = graft.tools.Checkpoints.defer(
+        Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+          .join(Tables.part(s, d)
+            .select($"p_partkey".as("l_partkey"), $"p_brand"), "l_partkey")
+          .select($"l_orderkey", $"p_brand").distinct()
+          .localCheckpoint(true))
       val tot = ob.agg(countDistinct($"l_orderkey").as("n_orders"))
       val ca = ob.groupBy($"p_brand").agg(count(lit(1)).as("c"))
       ob.as("x").join(ob.as("y"), "l_orderkey")

@@ -91,6 +91,61 @@ object Checkpoints {
       df.schema)
   }
 
+  /** Session-scoped registry of per-run SCRATCH checkpoints — loop
+    * state and multi-consumer intermediates whose blocks the query's
+    * OUTPUT still references, so they cannot be released inside the
+    * query builder (the runner has not materialized the result yet and
+    * a released localCheckpoint can never be recomputed). Queries
+    * register them with [[defer]]; every runner that materializes one
+    * query at a time (Bench, Verify, RunQueries — SweepCheck's
+    * full-store teardown subsumes it) calls [[drainDeferred]] AFTER
+    * the materialization.
+    *
+    * Why this must exist: in a shared long-lived session the retained
+    * scratch of completed queries stacks — each bench pass re-runs
+    * every builder, so 4 passes × the graph family retained 4
+    * generations of E-scale edge checkpoints. Measured at sf10
+    * (round 12): with pagerank's edges held DESERIALIZED the
+    * accumulated dead blocks inflated the queries that run after it —
+    * q_graph_triangles +107%, q_graph_kcore 190s in-bench vs 77s
+    * solo — pure storage/GC pressure, zero plan difference.
+    *
+    * Deliberately NOT registered: session ARTIFACT caches (signature/
+    * cluster/shingle tables, trained indexes, BPE merge tables, the
+    * incremental base-edge history) — their whole point is reuse
+    * across queries, and later consumers still hold their frames. */
+  private val deferred =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.ArrayList[DataFrame]]
+
+  /** Register a scratch checkpoint for release at the next
+    * [[drainDeferred]]; returns the frame unchanged so call sites
+    * wrap construction. Double-release (e.g. a loop already released
+    * a superseded round eagerly) is a no-op at the RDD layer. */
+  def defer[T](ds: org.apache.spark.sql.Dataset[T]): ds.type = {
+    deferred.synchronized {
+      var l = deferred.get(ds.sparkSession)
+      if (l == null) {
+        l = new java.util.ArrayList[DataFrame]
+        deferred.put(ds.sparkSession, l)
+      }
+      l.add(ds.toDF())
+    }
+    ds
+  }
+
+  /** Release every scratch checkpoint registered for `s` since the
+    * last drain. Call ONLY after the current query's result has been
+    * fully materialized. Returns the number of frames drained. */
+  def drainDeferred(s: org.apache.spark.sql.SparkSession): Int = {
+    val l = deferred.synchronized(deferred.remove(s))
+    if (l == null) 0
+    else {
+      l.forEach(release(_))
+      l.size
+    }
+  }
+
   /** Unpersist the checkpointed RDDs in `df`'s plan (non-blocking). */
   def release(df: DataFrame): Unit = {
     val rdds = df.queryExecution.analyzed.collect {

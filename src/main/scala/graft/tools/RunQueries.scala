@@ -30,10 +30,10 @@ object RunQueries {
     names.split(",").foreach { name =>
       val t0 = System.nanoTime()
       val q = Registry.byName(name)
-      q.withConfs(spark) {
+      try q.withConfs(spark) {
         q.run(spark, sfDir)
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      }
+      } finally Checkpoints.drainDeferred(spark)
       println(f"[run] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     // refresh the FULL oracle map too, so check.py sees current SQL
