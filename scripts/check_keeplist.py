@@ -381,10 +381,16 @@ def main(sf_dir, out_dir, names):
                 # previous family's working tables BEFORE the new edge
                 # derivation, not after — at sf10 the resident 70M-edge
                 # doc tables plus the phash derivation's spill exceeded
-                # /tmp and ENOSPC'd the whole run (observed round 12)
-                for t in ("E", "LAB", "EH", "FP", "CANON", "QSC", "ARG",
-                          "WANT", "keeper"):
-                    con.execute(f"DROP TABLE IF EXISTS {t}")
+                # /tmp and ENOSPC'd the whole run (observed round 12).
+                # Enumerate the session's temp tables instead of keeping
+                # a hand-synced name list: a cert function adding a temp
+                # table must not silently stay resident (ADVICE r12 —
+                # the hardcoded list had already drifted from reality).
+                temps = [r[0] for r in con.execute(
+                    "SELECT table_name FROM duckdb_tables() "
+                    "WHERE temporary").fetchall()]
+                for t in temps:
+                    con.execute(f'DROP TABLE IF EXISTS "{t}"')
             t0 = time.time()
             con.execute(f"CREATE OR REPLACE TEMP TABLE E AS {withs} "
                         f"SELECT src, dst FROM {EDGE_CTE[name]}")
@@ -412,9 +418,106 @@ def main(sf_dir, out_dir, names):
         else:
             green.add(name)
             print(f"\nCERT OK {name} ({n_rows} rows, {n_edges} edges)\n")
-    return 1 if all_fails else 0
+    return all_fails
+
+
+def adversarial(sf_dir, out_dir):
+    """Checker-of-the-checker: perturb a CORRECT Spark output and
+    assert that EXACTLY the intended certificate check flips — a
+    vacuous certificate (every check trivially 0 rows) or an
+    over-eager one (perturbation trips unrelated checks) both fail
+    here. Two canonical corruptions:
+      - over-merge: relabel one whole cluster onto another cluster's
+        representative (reasons/coherence kept consistent, and the
+        absorbing rep chosen as the global minimum so minimality
+        still holds) -> only reachability (f) may fire;
+      - non-argmax keeper: within one multi-member cluster, point
+        keeper/keeper_score/is_kept at a coherent NON-argmax member
+        -> only the argmax decoration may fire.
+    Requires the unperturbed outputs to be certificate-green first."""
+    import tempfile, shutil
+
+    def run_perturbed(name, select_sql, expect):
+        tmp = tempfile.mkdtemp(prefix="cert_adv_")
+        try:
+            shutil.copy(f"{out_dir}/oracle_sql.json",
+                        f"{tmp}/oracle_sql.json")
+            os.makedirs(f"{tmp}/{name}")
+            con = duckdb.connect()
+            con.execute(f"COPY ({select_sql}) TO "
+                        f"'{tmp}/{name}/part-0.parquet' (FORMAT parquet)")
+            con.close()
+            fails = main(sf_dir, tmp, [name]).get(name, [])
+            hit = [f for f in fails if expect in f]
+            others = [f for f in fails if expect not in f]
+            if not hit:
+                print(f"ADVERSARIAL FAIL {name}: perturbation was NOT "
+                      f"caught by '{expect}' (fails: {fails})")
+                return False
+            if others:
+                print(f"ADVERSARIAL FAIL {name}: perturbation tripped "
+                      f"unrelated checks too: {others}")
+                return False
+            print(f"ADVERSARIAL OK {name}: '{expect}' (and only it) "
+                  f"flipped as designed")
+            return True
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # baseline: the real outputs must be green before perturbing
+    base = main(sf_dir, out_dir,
+                ["dd_keep_list", "dd_quality_keep_list"])
+    if base:
+        print(f"ADVERSARIAL ABORT: unperturbed outputs not green: {base}")
+        return 1
+
+    overmerge = f"""
+        WITH O AS (SELECT * FROM
+               read_parquet('{out_dir}/dd_keep_list/*.parquet')),
+        lab AS (SELECT doc_id, coalesce(dup_of, doc_id) AS l FROM O),
+        multi AS (SELECT l FROM lab GROUP BY l HAVING count(*) >= 2),
+        two AS (SELECT (SELECT min(l) FROM multi) AS r1,
+          (SELECT min(l) FROM multi
+           WHERE l > (SELECT min(l) FROM multi)) AS r2)
+        SELECT O.doc_id,
+          CASE WHEN lab.l = two.r2 THEN false ELSE O.keep END AS keep,
+          CASE WHEN O.doc_id = two.r2 THEN 'near_dup'
+               ELSE O.reason END AS reason,
+          CASE WHEN lab.l = two.r2 THEN two.r1
+               ELSE O.dup_of END AS dup_of
+        FROM O JOIN lab USING (doc_id) CROSS JOIN two"""
+
+    nonargmax = f"""
+        WITH O AS (SELECT * FROM
+               read_parquet('{out_dir}/dd_quality_keep_list/*.parquet')),
+        tgt AS (SELECT cluster_id FROM O GROUP BY cluster_id
+                HAVING count(*) >= 2 ORDER BY cluster_id LIMIT 1),
+        alt AS (SELECT O.cluster_id,
+                  max(CASE WHEN O.doc_id <> O.keeper
+                      THEN O.doc_id END) AS nk
+                FROM O JOIN tgt USING (cluster_id) GROUP BY O.cluster_id),
+        sc AS (SELECT O.cluster_id, O.quality_score AS ns
+               FROM O JOIN alt ON O.cluster_id = alt.cluster_id
+                AND O.doc_id = alt.nk)
+        SELECT O.cluster_id, O.doc_id, O.quality_score,
+          CASE WHEN alt.nk IS NOT NULL THEN alt.nk
+               ELSE O.keeper END AS keeper,
+          CASE WHEN alt.nk IS NOT NULL THEN sc.ns
+               ELSE O.keeper_score END AS keeper_score,
+          CASE WHEN alt.nk IS NOT NULL THEN (O.doc_id = alt.nk)
+               ELSE O.is_kept END AS is_kept
+        FROM O LEFT JOIN alt USING (cluster_id)
+        LEFT JOIN sc USING (cluster_id)"""
+
+    ok = run_perturbed("dd_keep_list", overmerge,
+                       "keeper reachability")
+    ok = run_perturbed("dd_quality_keep_list", nonargmax,
+                       "keeper is the per-cluster quality argmax") and ok
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
+    if "--adversarial" in sys.argv:
+        sys.exit(adversarial(sys.argv[1], sys.argv[2]))
     qnames = sys.argv[3:] or ["dd_keep_list"]
-    sys.exit(main(sys.argv[1], sys.argv[2], qnames))
+    sys.exit(1 if main(sys.argv[1], sys.argv[2], qnames) else 0)

@@ -250,7 +250,8 @@ def main():
                       else "check_keeplist.py")
             results[name] = {"tier": "certificate", "rows": got_rows,
                              "slope_vs_ref": slope,
-                             "detail": f"checked by scripts/{script}"}
+                             "detail": f"checked by scripts/{script} — "
+                                       "protocol in CERTIFICATES.md"}
             counts["certificate"] += 1
             print(f"CERT     {name} ({got_rows} rows)")
             continue

@@ -41,9 +41,11 @@ object Checkpoints {
     * for that headroom. Session-cached ARTIFACTS probed many times
     * stay deserialized — their read count amortizes the footprint. */
   implicit class SerCheckpoint[T](private val ds: org.apache.spark.sql.Dataset[T]) {
-    def serCheckpoint(): org.apache.spark.sql.Dataset[T] =
+    def serCheckpoint(): org.apache.spark.sql.Dataset[T] = {
+      tapPlan(ds)
       ds.localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
 
     /** Deserialized variant for loops that re-read their checkpoints
       * every round but whose TOTAL retained footprint stays well under
@@ -56,10 +58,29 @@ object Checkpoints {
       * level only cost it ser/deser (+27% at sf10, BASELINE.md r11
       * trade note). The storage level is per-loop: deserialized where
       * the loop's retained state provably fits, serialized elsewhere. */
-    def deserCheckpoint(): org.apache.spark.sql.Dataset[T] =
+    def deserCheckpoint(): org.apache.spark.sql.Dataset[T] = {
+      tapPlan(ds)
       ds.localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
   }
+
+  /** Plan tap for [[PlanAudit]]: an eager checkpoint EXECUTES its
+    * subplan during the query builder, so the final frame's
+    * executedPlan only shows LogicalRDD reads — with the immutable-
+    * edge k-core both kcore rows audited all-zero and the gated
+    * zero-CartesianProduct invariant stopped inspecting any of the
+    * loop's per-round plans (ADVICE r12). When a tap is installed,
+    * every serCheckpoint/deserCheckpoint first hands its OWN physical
+    * plan string to the tap, so an audit sees the loop rounds too.
+    * Accessing executedPlan here only forces planning the Dataset was
+    * about to plan anyway. Direct localCheckpoint call sites (session
+    * artifact caches) stay untapped — artifacts are audited through
+    * their consumers. */
+  @volatile private[graft] var planTap: Option[String => Unit] = None
+
+  private def tapPlan(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    planTap.foreach(f => f(ds.queryExecution.executedPlan.toString))
 
   /** Pin a BOUNDED table as a driver-local relation: collect and
     * re-create, so downstream plans embed it as data instead of

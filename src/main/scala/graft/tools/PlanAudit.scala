@@ -75,28 +75,60 @@ object PlanAudit {
     import org.apache.spark.sql.execution.datasources.{
       HadoopFsRelation, LogicalRelation}
 
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+
+    // Does any of `names` trace — transitively through the Project/
+    // Aggregate aliases of `below` — to a scaled key column? Closes
+    // the r11 residual false negative: SELECT doc_id AS g ... GROUP
+    // BY g laundered the key past a direct name check (ADVICE r11,
+    // VERDICT r12 #5). Name-level closure over-approximates on
+    // colliding names across branches — the safe direction for a
+    // gate (flags loudly, never erodes silently). Still accepted as
+    // residual: a NON-KEY scaled column (GROUP BY text) — bounded
+    // value columns (flags, brands) on scaled tables are legitimate
+    // group keys, so a column-name blocklist is the wrong shape.
+    def tracesToScaledKey(names: Set[String], below: LogicalPlan): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      val edges: Map[String, Set[String]] = below.collect {
+        case pr: Project => pr.projectList.collect {
+          case al: Alias =>
+            lc(al.name) -> al.child.references.map(r => lc(r.name)).toSet
+        }
+        case ag: Aggregate => ag.aggregateExpressions.collect {
+          case al: Alias =>
+            lc(al.name) -> al.child.references.map(r => lc(r.name)).toSet
+        }
+      }.flatten.groupMapReduce(_._1)(_._2)(_ ++ _)
+      var seen = names
+      var frontier = names
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(n => edges.getOrElse(n, Set.empty)) -- seen
+        seen ++= next
+        frontier = next
+      }
+      seen.exists(ScaledKeyCols)
+    }
+
     def unboundedScaledLeaves(p: LogicalPlan): Seq[String] = p match {
       // bounding nodes: whatever is beneath them, the hinted side's
       // cardinality no longer scales with the corpus.
       // An Aggregate bounds ONLY when its grouping key space is itself
       // bounded: GROUP BY doc_id over documents has corpus-scaled
       // output, so a pinned broadcast above it still dies at 100 TB —
-      // when any grouping expression references a scaled table's key
-      // column, keep walking instead of declaring the subtree bounded
-      // (ADVICE r11). Residual false negative, accepted and documented:
-      // an alias can launder a scaled key (SELECT doc_id AS g ... GROUP
-      // BY g) past the name check, and a non-key scaled column (e.g.
-      // GROUP BY text) also scales; the check is a tripwire for the
-      // realistic pattern, the allowlist comment is the review anchor.
+      // when any grouping expression traces (through aliases) to a
+      // scaled table's key column, keep walking instead of declaring
+      // the subtree bounded (ADVICE r11 + the r12 alias fix).
       case a: Aggregate =>
         val grpRefs = a.groupingExpressions
-          .flatMap(_.references.map(_.name.toLowerCase(java.util.Locale.ROOT)))
-        if (grpRefs.exists(ScaledKeyCols)) a.children.flatMap(unboundedScaledLeaves)
+          .flatMap(_.references.map(r => lc(r.name))).toSet
+        if (tracesToScaledKey(grpRefs, a))
+          a.children.flatMap(unboundedScaledLeaves)
         else Nil
       case d: Deduplicate =>
         val keyRefs = d.keys
-          .flatMap(_.references.map(_.name.toLowerCase(java.util.Locale.ROOT)))
-        if (keyRefs.exists(ScaledKeyCols)) d.children.flatMap(unboundedScaledLeaves)
+          .flatMap(_.references.map(r => lc(r.name))).toSet
+        if (tracesToScaledKey(keyRefs, d))
+          d.children.flatMap(unboundedScaledLeaves)
         else Nil
       case _: GlobalLimit | _: LocalLimit | _: Sample => Nil
       case lr: LogicalRelation => lr.relation match {
@@ -118,12 +150,25 @@ object PlanAudit {
   def audit(spark: SparkSession, sfDir: String,
       name: String): Either[String, Audit] =
     try {
-      val df = Registry.byName(name).run(spark, sfDir)
-      val plan = df.queryExecution.executedPlan.toString
+      // tap every eager ser/deser checkpoint's OWN physical plan:
+      // iterative queries execute their round plans inside run(), so
+      // the final frame's executedPlan alone would audit an
+      // all-LogicalRDD tail and miss every loop round (ADVICE r12 —
+      // the immutable-edge k-core audited all-zero). The audited
+      // plan below is the tail PLUS all tapped round plans.
+      val tapped = new scala.collection.mutable.ArrayBuffer[String]
+      Checkpoints.planTap = Some(tapped += _)
+      val df =
+        try Registry.byName(name).run(spark, sfDir)
+        finally Checkpoints.planTap = None
+      val plan = (df.queryExecution.executedPlan.toString +: tapped.toSeq)
+        .mkString("\n")
       val globalWins = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
             if w.partitionSpec.isEmpty => w
       }.length
+      // the eager checkpoints the builder just ran are per-run scratch
+      Checkpoints.drainDeferred(spark)
       Right(Audit(name,
         scans = countOf(plan, "Scan parquet"),
         exchanges = countOf(plan, "Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)"),
@@ -163,7 +208,13 @@ object PlanAudit {
       "# PLAN_AUDIT — physical-plan shape per registry query",
       "",
       s"Generated by `graft.tools.PlanAudit` at $sfDir (AQE initial",
-      "plans; see the tool's scaladoc for column meanings). The",
+      "plans; see the tool's scaladoc for column meanings). Counts",
+      "include every eager ser/deser checkpoint's OWN plan via the",
+      "Checkpoints plan tap — iterative queries execute their rounds",
+      "inside the builder, so the output frame's executedPlan alone",
+      "would audit an all-LogicalRDD tail and miss the loop joins",
+      "(ADVICE r12; both k-core rows read all-zero before the tap).",
+      "gwin is still counted on the TAIL's optimized plan only. The",
       "registry-wide invariant — zero CartesianProduct nodes — is",
       "gated by PlanAuditSpec, not just recorded here.",
       "",

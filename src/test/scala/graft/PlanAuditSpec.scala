@@ -110,6 +110,61 @@ class PlanAuditSpec extends SparkSpec {
         s"$n no longer pins its probe-set broadcast — drop it from the allowlist")
   }
 
+  test("aliased scaled keys cannot launder a pinned broadcast past the gate") {
+    // The r11 fix made an Aggregate bound a pinned broadcast only when
+    // its grouping keys avoid scaled key columns — but checked NAMES,
+    // so `doc_id AS g ... GROUP BY g` slipped through (the documented
+    // residual). The walk now traces grouping refs through aliases;
+    // these adversarial frames pin exactly that laundering and must be
+    // FLAGGED, while the genuinely bounded shapes stay clean.
+    hermetic()
+    import org.apache.spark.sql.functions._
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+
+    // adversarial: scaled key renamed once, grouped on the alias
+    val laundered = broadcast(
+      docs.select(col("doc_id").as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c")))
+    val q1 = docs.join(laundered, col("doc_id") === col("g"))
+    assert(PlanAudit.pinnedScaledBroadcasts(q1).nonEmpty,
+      "single-alias laundering escaped the pinned-broadcast gate")
+
+    // adversarial: two alias hops (g -> h) — the closure must chase
+    val laundered2 = broadcast(
+      docs.select(col("doc_id").as("g")).select(col("g").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("c")))
+    val q2 = docs.join(laundered2, col("doc_id") === col("h"))
+    assert(PlanAudit.pinnedScaledBroadcasts(q2).nonEmpty,
+      "transitive alias laundering escaped the pinned-broadcast gate")
+
+    // control: an aggregate grouped on a BOUNDED value column of the
+    // same scaled table (source — a handful of values at any SF) is a
+    // legitimate bounded broadcast and must NOT be flagged
+    val bounded = broadcast(
+      docs.select(col("source").as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c")))
+    val q3 = docs.join(bounded, col("source") === col("g"))
+    assert(PlanAudit.pinnedScaledBroadcasts(q3).isEmpty,
+      "bounded-value grouping was wrongly flagged")
+  }
+
+  test("the audit sees iterative queries' per-round plans (checkpoint tap)") {
+    // With eager checkpoints, loop rounds execute inside run() and the
+    // output frame's executedPlan is an all-LogicalRDD tail — both
+    // k-core rows audited literally all-zero in round 12, so the gated
+    // invariants inspected NONE of the loop's joins (ADVICE r12). The
+    // tap must restore visibility: the k-core audit must now count the
+    // edge-list scan, its repartition exchange, and the per-round
+    // joins that the tail alone cannot contain.
+    hermetic()
+    val a = PlanAudit.audit(spark, sf("sf0.001"), "q_graph_kcore")
+      .toOption.get
+    assert(a.scans >= 2, s"k-core audit lost its table scans: $a")
+    assert(a.exchanges >= 1, s"k-core audit lost its exchanges: $a")
+    assert(a.bhj + a.smj + a.bnl >= 1, s"k-core audit lost its joins: $a")
+  }
+
   test("round-8 additions keep their designed plan shapes") {
     hermetic()
     def auditOf(name: String) =
