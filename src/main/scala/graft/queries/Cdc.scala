@@ -449,11 +449,26 @@ object Cdc {
     SELECT node, pr AS pr_micro FROM p3"""
   }
 
+  /** Shared conf advisory for the Pregel-lite loops whose per-round
+    * gather shuffles an edge-scale stream (pagerank's contribution
+    * inbox, LPA's neighbor votes): at the default 64 MB advisory AQE
+    * coalesces those shuffles into partitions whose decompressed
+    * sort/aggregate state sits on the execution-memory cliff —
+    * measured at sf10: pagerank 24.7 GB memory + 0.6 GB disk spill,
+    * communities 21.8 + 1.5 GB (ShuffleAudit, round 13), with the
+    * spill-or-fit flip driving 30–40% run-to-run swings. 16 MB keeps
+    * every post-coalesce round partition inside a task's share:
+    * spill-free, stable. The k-core peels need no advisory — their
+    * rounds are frontier-sized, audited spill-free at sf10. */
+  private val LoopAdvisory = Map(
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m")
+
   val qGraphPagerank = GraftQuery(
     "q_graph_pagerank",
     (s, d) => pagerankOver(s, tradeEdges(s, d, lit(true))),
     Some(pagerankOracle),
-    bench = true)
+    bench = true,
+    confs = LoopAdvisory)
 
   /** Incremental-maintenance counter for PagerankSpec: how many times
     * the base edge artifact has actually been DERIVED (vs served from
@@ -527,7 +542,8 @@ object Cdc {
         $"o_orderdate" >= lit(split).cast("date"))
       pagerankOver(s, base.unionByName(delta).distinct())
     },
-    Some(pagerankOracle))
+    Some(pagerankOracle),
+    confs = LoopAdvisory)
 
   /** Triangle counting over a bounded-degree supplier co-occurrence
     * graph — the clustering-structure analytic (community cores,
@@ -629,7 +645,21 @@ object Cdc {
         UNION ALL SELECT c FROM tri)
       SELECT s_suppkey, COUNT(*) AS n_triangles
       FROM corners GROUP BY s_suppkey"""),
-    bench = true)
+    bench = true,
+    // The co-occurrence pair aggregate shuffles ~4 GB at sf10 with a
+    // near-unique (sa, sb) key space; at the default 64 MB advisory
+    // AQE coalesces it to ~66 partitions whose decompressed hash
+    // tables sit exactly on the execution-memory cliff — measured at
+    // sf10: 3 GB memory spill + disk spill, and 37–106s run-to-run
+    // swings as borderline partitions flip between fitting and
+    // spilling (the compressed sizes AQE plans on are data-ORDER
+    // dependent, so a corpus rewrite moved the cliff). A 16 MB
+    // advisory keeps every post-coalesce aggregate partition safely
+    // inside a task's memory share: spill-free and stable. Advisory,
+    // per-query around materialization, restored after (the
+    // dd_simhash_neardup mechanism).
+    confs = Map(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m"))
 
   /** Community detection via deterministic weighted label propagation
     * — the clustering member of the graph family ([[qGraphPagerank]]
@@ -772,11 +802,21 @@ object Cdc {
       FROM l3 JOIN cs USING (lab)"""
   }
 
+  /** LPA needs a tighter advisory than pagerank: its per-round gather
+    * aggregates an E-scale (node, label, weight) stream whose PARTIAL
+    * (map-side) hash tables follow the join-output partition size, not
+    * just the post-shuffle size — at 16 MB it still spilled 19 GB at
+    * sf10 (vs 21.8 pre-advisory); 8 MB halves the per-partition state
+    * again. */
+  private val LpaAdvisory = Map(
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m")
+
   val qGraphCommunities = GraftQuery(
     "q_graph_communities",
     (s, d) => lpaOver(s, weightedTradeEdges(s, d, lit(true))),
     Some(communitiesOracle),
-    bench = true)
+    bench = true,
+    confs = LpaAdvisory)
 
   /** Session-scoped weighted base-edge artifact for the incremental
     * communities refresh — same WeakHashMap lifetime rules as
@@ -836,7 +876,8 @@ object Cdc {
         .groupBy($"a", $"b").agg(sum($"w").as("w"))
       lpaOver(s, merged)
     },
-    Some(communitiesOracle))
+    Some(communitiesOracle),
+    confs = LpaAdvisory)
 
   /** Bounded-round k-core peel shared by the registry query and
     * KcoreSpec's constructed-cascade fixture. Input is a
