@@ -471,6 +471,32 @@ def adversarial(sf_dir, out_dir):
         print(f"ADVERSARIAL ABORT: unperturbed outputs not green: {base}")
         return 1
 
+    # the perturbations below need material to perturb: with fewer
+    # than two multi-member clusters, two.r2 is NULL and the overmerge
+    # SELECT degenerates to an identity copy, which would surface as a
+    # misleading "perturbation was NOT caught" instead of the real
+    # diagnosis (corpus too small). Same for the nonargmax target
+    # cluster. Abort explicitly instead (ADVICE r13).
+    con = duckdb.connect()
+    n_multi = con.execute(
+        f"""SELECT count(*) FROM (
+              SELECT coalesce(dup_of, doc_id) AS l
+              FROM read_parquet('{out_dir}/dd_keep_list/*.parquet')
+              GROUP BY l HAVING count(*) >= 2)""").fetchone()[0]
+    n_qmulti = con.execute(
+        f"""SELECT count(*) FROM (
+              SELECT cluster_id
+              FROM read_parquet(
+                '{out_dir}/dd_quality_keep_list/*.parquet')
+              GROUP BY cluster_id HAVING count(*) >= 2)""").fetchone()[0]
+    con.close()
+    if n_multi < 2 or n_qmulti < 1:
+        print(f"ADVERSARIAL ABORT: dataset too small for adversarial "
+              f"harness (multi-member keep-list clusters: {n_multi}, "
+              f"need >= 2; multi-member quality clusters: {n_qmulti}, "
+              f"need >= 1) — run against a larger sf dir")
+        return 1
+
     overmerge = f"""
         WITH O AS (SELECT * FROM
                read_parquet('{out_dir}/dd_keep_list/*.parquet')),

@@ -134,35 +134,51 @@ object Checkpoints {
     * Deliberately NOT registered: session ARTIFACT caches (signature/
     * cluster/shingle tables, trained indexes, BPE merge tables, the
     * incremental base-edge history) — their whole point is reuse
-    * across queries, and later consumers still hold their frames. */
+    * across queries, and later consumers still hold their frames.
+    *
+    * Values are the checkpoints' RDDs, extracted at registration —
+    * NOT the DataFrames. A Dataset strongly references its
+    * SparkSession, so DataFrame values would pin the WeakHashMap's
+    * session key forever (ADVICE r13): any path that registers but
+    * never drains (ad-hoc use, an aborting runner, plain specs) would
+    * retain the frames for the JVM's lifetime. An RDD references only
+    * the SparkContext, so an undrained session's entry becomes
+    * collectable the moment the session itself is unreachable. */
   private val deferred =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.ArrayList[DataFrame]]
+      java.util.ArrayList[org.apache.spark.rdd.RDD[_]]]
 
   /** Register a scratch checkpoint for release at the next
     * [[drainDeferred]]; returns the frame unchanged so call sites
-    * wrap construction. Double-release (e.g. a loop already released
-    * a superseded round eagerly) is a no-op at the RDD layer. */
+    * wrap construction. The checkpointed RDDs are extracted HERE (the
+    * frame's plan is already the checkpoint's LogicalRDD at every
+    * call site), so the registry holds no Dataset reference. Double-
+    * release (e.g. a loop already released a superseded round
+    * eagerly) is a no-op at the RDD layer. */
   def defer[T](ds: org.apache.spark.sql.Dataset[T]): ds.type = {
+    val rdds = ds.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
     deferred.synchronized {
       var l = deferred.get(ds.sparkSession)
       if (l == null) {
-        l = new java.util.ArrayList[DataFrame]
+        l = new java.util.ArrayList[org.apache.spark.rdd.RDD[_]]
         deferred.put(ds.sparkSession, l)
       }
-      l.add(ds.toDF())
+      rdds.foreach(l.add(_))
     }
     ds
   }
 
   /** Release every scratch checkpoint registered for `s` since the
     * last drain. Call ONLY after the current query's result has been
-    * fully materialized. Returns the number of frames drained. */
+    * fully materialized. Returns the number of RDDs drained. */
   def drainDeferred(s: org.apache.spark.sql.SparkSession): Int = {
     val l = deferred.synchronized(deferred.remove(s))
     if (l == null) 0
     else {
-      l.forEach(release(_))
+      if (!s.sparkContext.isStopped)
+        silencingRddLogger(l.forEach(_.unpersist(blocking = false)))
       l.size
     }
   }
@@ -172,14 +188,22 @@ object Checkpoints {
     val rdds = df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
-    if (rdds.nonEmpty) {
-      import org.apache.logging.log4j.{Level, LogManager}
-      import org.apache.logging.log4j.core.config.Configurator
-      val rddLogger = "org.apache.spark.rdd"
-      val prev = LogManager.getLogger(rddLogger).getLevel
-      Configurator.setLevel(rddLogger, Level.ERROR)
-      try rdds.foreach(_.unpersist(blocking = false))
-      finally Configurator.setLevel(rddLogger, prev)
-    }
+    if (rdds.nonEmpty)
+      silencingRddLogger(rdds.foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Run `body` with the org.apache.spark.rdd logger at ERROR: every
+    * unpersist of a locally-checkpointed RDD WARNs that the truncated
+    * lineage can't recompute it — deliberate and by-construction safe
+    * here (see the object scaladoc), and the WARNs were burying the
+    * Bench metric line (VERDICT r9). */
+  private def silencingRddLogger[A](body: => A): A = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val rddLogger = "org.apache.spark.rdd"
+    val prev = LogManager.getLogger(rddLogger).getLevel
+    Configurator.setLevel(rddLogger, Level.ERROR)
+    try body
+    finally Configurator.setLevel(rddLogger, prev)
   }
 }

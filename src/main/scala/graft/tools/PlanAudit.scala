@@ -98,6 +98,18 @@ object PlanAudit {
           case al: Alias =>
             lc(al.name) -> al.child.references.map(r => lc(r.name)).toSet
         }
+        // laundering via a window output (max(doc_id) OVER (...) AS g
+        // ... GROUP BY g) or a generator output (explode(keys) AS g)
+        // slipped the closure when only Project/Aggregate aliases were
+        // edges (ADVICE r13) — both node types alias scaled inputs to
+        // fresh names just like a Project does
+        case w: Window => w.windowExpressions.collect {
+          case al: Alias =>
+            lc(al.name) -> al.child.references.map(r => lc(r.name)).toSet
+        }
+        case g: Generate =>
+          val gen = g.generator.references.map(r => lc(r.name)).toSet
+          g.generatorOutput.map(a => lc(a.name) -> gen)
       }.flatten.groupMapReduce(_._1)(_._2)(_ ++ _)
       var seen = names
       var frontier = names
@@ -147,6 +159,12 @@ object PlanAudit {
     }.flatten.distinct.map(t => s"pinned broadcast reaches scaled table '$t'")
   }
 
+  /** Audit one query's plan shape. Single-threaded by contract: the
+    * Checkpoints.planTap it installs is a process-global (a
+    * concurrent audit would interleave tapped plans across queries),
+    * and the per-session drain assumes this is the only query
+    * in flight — both match how the tool's main and every spec use
+    * it. */
   def audit(spark: SparkSession, sfDir: String,
       name: String): Either[String, Audit] =
     try {
@@ -158,17 +176,28 @@ object PlanAudit {
       // plan below is the tail PLUS all tapped round plans.
       val tapped = new scala.collection.mutable.ArrayBuffer[String]
       Checkpoints.planTap = Some(tapped += _)
-      val df =
-        try Registry.byName(name).run(spark, sfDir)
-        finally Checkpoints.planTap = None
-      val plan = (df.queryExecution.executedPlan.toString +: tapped.toSeq)
-        .mkString("\n")
-      val globalWins = df.queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.isEmpty => w
-      }.length
-      // the eager checkpoints the builder just ran are per-run scratch
-      Checkpoints.drainDeferred(spark)
+      // drain in a finally: run() may have materialized (and
+      // registered) loop checkpoints before throwing, and a
+      // success-path-only drain would leave them resident until the
+      // NEXT query's drain — or forever if this was the last one
+      // (ADVICE r13)
+      val (plan, globalWins) =
+        try {
+          val df =
+            try Registry.byName(name).run(spark, sfDir)
+            finally Checkpoints.planTap = None
+          val p = (df.queryExecution.executedPlan.toString +: tapped.toSeq)
+            .mkString("\n")
+          val gw = df.queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.isEmpty => w
+          }.length
+          (p, gw)
+        } finally {
+          Checkpoints.planTap = None
+          // the eager checkpoints the builder ran are per-run scratch
+          Checkpoints.drainDeferred(spark)
+        }
       Right(Audit(name,
         scans = countOf(plan, "Scan parquet"),
         exchanges = countOf(plan, "Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)"),

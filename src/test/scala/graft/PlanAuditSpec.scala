@@ -147,6 +147,31 @@ class PlanAuditSpec extends SparkSpec {
     val q3 = docs.join(bounded, col("source") === col("g"))
     assert(PlanAudit.pinnedScaledBroadcasts(q3).isEmpty,
       "bounded-value grouping was wrongly flagged")
+
+    // adversarial (ADVICE r13): laundering through a WINDOW output
+    // alias — max(doc_id) OVER (...) AS g ... GROUP BY g has
+    // corpus-scaled distinct g, and window aliases were not closure
+    // edges before round 14
+    val winLaundered = broadcast(
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("g", max(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))))
+        .groupBy(col("g")).agg(count(lit(1)).as("c")))
+    val q4 = docs.join(winLaundered, col("doc_id") === col("g"))
+    assert(PlanAudit.pinnedScaledBroadcasts(q4).nonEmpty,
+      "window-alias laundering escaped the pinned-broadcast gate")
+
+    // adversarial (ADVICE r13): laundering through a GENERATE output
+    // alias — explode over a scaled-key-derived array yields a fresh
+    // attribute whose only lineage edge is the generator's references
+    val genLaundered = broadcast(
+      docs.select(array(col("doc_id")).as("arr"))
+        .select(explode(col("arr")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c")))
+    val q5 = docs.join(genLaundered, col("doc_id") === col("g"))
+    assert(PlanAudit.pinnedScaledBroadcasts(q5).nonEmpty,
+      "generator-alias laundering escaped the pinned-broadcast gate")
   }
 
   test("the audit sees iterative queries' per-round plans (checkpoint tap)") {
