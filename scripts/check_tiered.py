@@ -154,6 +154,39 @@ def native_set_compare(con, sql, spark_path):
     return {"status": "match", "rows": grows, "method": "duckdb_native"}
 
 
+def tolerance_proc(sf_dir, out_dir, name, q):
+    """Subprocess: tolerance-tier compare (VERDICT r13 #6) for the
+    sketch surfaces with no cross-engine hash form — approx value
+    gated inside its documented error envelope of the exact twin's
+    DuckDB-computed value. Logic shared with check.py (the sf0.01
+    pre-check), so the envelope definition exists exactly once."""
+    try:
+        import duckdb, check
+        con = duckdb.connect()
+        con.execute(f"SET temp_directory='/tmp/duckdb_tiered_{os.getpid()}'")
+        con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '16')}")
+        con.execute(
+            f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
+        con.execute("SET preserve_insertion_order=false")
+        for t, src in views_sql(sf_dir):
+            if t == "events":
+                ts_t = con.execute(
+                    f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+                if ts_t == "BIGINT":
+                    src = (f"(SELECT * REPLACE (make_timestamp(ts // 1000)"
+                           f" AS ts) FROM {src})")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+        r = check.tolerance_check(con, out_dir, oracles, name)
+        if r is None:
+            q.put({"status": "not_applicable"})
+        else:
+            q.put({"status": "tol_ok" if r[0] else "tol_fail",
+                   "detail": r[1]})
+    except Exception as e:
+        q.put({"status": "oracle_error", "detail": str(e)[:300]})
+
+
 def oracle_proc(sf_dir, sql, spark_path, q, got_rows=0):
     """Subprocess: run one oracle + compare; put verdict on the queue."""
     try:
@@ -225,7 +258,7 @@ def main():
         all_queries = [q for k, q in enumerate(all_queries) if k % n == i]
     results = {}
     counts = {"match": 0, "mismatch": 0, "rows_slope": 0,
-              "rows_only": 0, "certificate": 0, "missing": 0,
+              "rows_only": 0, "tolerance": 0, "certificate": 0, "missing": 0,
               "oracle_error": 0}
 
     for name in all_queries:
@@ -256,6 +289,54 @@ def main():
             print(f"CERT     {name} ({got_rows} rows)")
             continue
         if name not in oracles:
+            # sketch surfaces with an exact twin upgrade to the
+            # quantitative tolerance tier (VERDICT r13 #6); budget
+            # blowout downgrades to rows_only EXPLICITLY, like the
+            # compare tier's rows_slope contract
+            import check as _check
+            if name in _check.TOLERANCE_QUERIES:
+                q = mp.Queue()
+                p = mp.Process(target=tolerance_proc,
+                               args=(sf_dir, out_dir, name, q))
+                p.start()
+                p.join(budget)
+                verdict = {"status": "not_applicable"}
+                if p.is_alive():
+                    p.terminate()
+                    p.join()
+                    import shutil
+                    shutil.rmtree(f"/tmp/duckdb_tiered_{p.pid}",
+                                  ignore_errors=True)
+                    verdict = {"status": "budget"}
+                else:
+                    try:
+                        verdict = q.get(timeout=5)
+                    except queue.Empty:
+                        verdict = {"status": "oracle_error",
+                                   "detail": "subprocess died (OOM?)"}
+                sec = round(time.time() - t0, 1)
+                if verdict["status"] in ("tol_ok", "tol_fail"):
+                    ok = verdict["status"] == "tol_ok"
+                    results[name] = {"tier": "tolerance", "match": ok,
+                                     "rows": got_rows,
+                                     "slope_vs_ref": slope,
+                                     "oracle_sec": sec,
+                                     "detail": verdict["detail"]}
+                    counts["tolerance" if ok else "mismatch"] += 1
+                    print(f"{'OK~' if ok else 'MISMATCH'}      {name} "
+                          f"(tolerance: {verdict['detail']}, {sec}s)")
+                    continue
+                # budget / twin-oracle error: record the downgrade
+                # reason instead of silently reading as rows_only
+                results[name] = {"tier": "rows_only", "rows": got_rows,
+                                 "slope_vs_ref": slope,
+                                 "detail": "tolerance tier unavailable: "
+                                           + verdict.get("detail",
+                                                         verdict["status"])}
+                counts["rows_only"] += 1
+                print(f"ROWSONLY {name} ({got_rows} rows) [tolerance "
+                      f"unavailable: {verdict['status']}]")
+                continue
             results[name] = {"tier": "rows_only", "rows": got_rows,
                              "slope_vs_ref": slope}
             counts["rows_only"] += 1
