@@ -415,9 +415,11 @@ def main():
             "to the driver gate). Tier 'compare' = full rows+schema+hash; "
             "'rows_slope' = oracle compare-bound at this scale, engine "
             "rows + slope vs the reference record stand in; "
-            "'certificate' = dedicated certificate script; 'rows_only' = "
-            "no SQL oracle exists (sketch/tokenizer surfaces, spec-gated "
-            "by exact twins)."),
+            "'certificate' = dedicated certificate script; 'tolerance' = "
+            "sketch value gated inside its documented error envelope of "
+            "the exact twin's DuckDB value (measured deviation recorded); "
+            "'rows_only' = no SQL oracle or tolerance form exists "
+            "(tokenizer surface, spec-gated by an exact twin)."),
         "counts": counts,
         "queries": results,
     }
