@@ -61,6 +61,41 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** CLI: one-table range-layout rewrite —
+    * `scripts/run.sh graft.tools.Layout <src.parquet> <dst.parquet>
+    * <key> [nFiles]`. The corpus-normalization step for physical-
+    * order A/Bs (VERDICT r13 #2: is a bench delta the plan or the
+    * generation history's row order?) and the single-key clustering
+    * maintenance op run standalone. nFiles defaults to the source's
+    * file count so an A/B varies ROW ORDER only. Row-count verified
+    * before exit. */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: Layout <src.parquet> <dst.parquet> <key> [nFiles]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-layout")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // pass nanosecond-precision columns through untouched (the
+      // ScaleUp convention — relevant when laying out events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.read.parquet(args(0))
+    val srcFiles = df.inputFiles.length
+    val n = args.lift(3).map(_.toInt).getOrElse(srcFiles.max(1))
+    val rows = df.count()
+    rangeLayout(df, args(2), n, args(1))
+    val got = spark.read.parquet(args(1)).count()
+    require(got == rows, s"layout rewrite produced $got rows, expected $rows")
+    println(s"[layout] ${args(0)} -> ${args(1)}: $rows rows, " +
+      s"$srcFiles -> $n files, clustered on ${args(2)}")
+    spark.stop()
+  }
+
   /** Promote a re-layout of the live snapshot of `dir` through the
     * [[Versioned]] pointer protocol (count-verified before the flip)
     * — the reader-atomic form of "rewrite the table Z-ordered":
