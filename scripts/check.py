@@ -69,6 +69,12 @@ def _tol_percentiles(con, out_dir, oracles):
         quantile_cont(l_quantity, 1.00) AS hi99,
         COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag""").df()
+    if len(got) == 0 or len(want) == 0:
+        # ADVICE r14: empty frames make every .any() below vacuously
+        # False — an empty (broken) Spark result must FAIL, not read
+        # as 'OK~ ... nan%'
+        return False, (f"empty result (spark {len(got)} rows, "
+                       f"exact twin {len(want)} rows)")
     m = got.merge(want, on="l_returnflag", how="outer", indicator=True)
     if (m["_merge"] != "both").any() or len(m) != len(got):
         return False, "group keys differ from exact twin"
@@ -93,6 +99,10 @@ def _tol_vs_exact_twin(con, out_dir, twin_sql, keys, exact_cols,
     within rel_tol of `exact_ref`."""
     got = pd.read_parquet(out_dir)
     want = con.execute(twin_sql).df()
+    if len(got) == 0 or len(want) == 0:
+        # ADVICE r14: see _tol_percentiles — empty frames must fail
+        return False, (f"empty result (spark {len(got)} rows, "
+                       f"exact twin {len(want)} rows)")
     m = got.merge(want, on=keys, how="outer", suffixes=("", "_ex"),
                   indicator=True)
     if (m["_merge"] != "both").any() or len(m) != len(got):
@@ -137,13 +147,17 @@ def tolerance_check(con, out_dir, oracles, name):
             ["n_rows", "n_nulls"], "n_distinct", "n_distinct", 0.10)
     if (name == "t_approx_distinct_tokens"
             and "t_exact_distinct_tokens" in oracles):
-        # HLL estimate within the 5% TextOpsSpec envelope; the exact
-        # companion columns must match the twin bit-for-bit
+        # HLL++ rsd 0.05 is a STANDARD deviation, not a bound — gate at
+        # 2*rsd = 10% like q_table_profile_approx (ADVICE r14: the old
+        # 1*rsd gate could flake at cardinalities beyond the fixtures;
+        # the tighter 5% envelope remains a TextOpsSpec assertion at
+        # fixture scale, where the measured deviation is ~3%); the
+        # exact companion columns must match the twin bit-for-bit
         return _tol_vs_exact_twin(
             con, f"{out_dir}/t_approx_distinct_tokens",
             oracles["t_exact_distinct_tokens"], ["source"],
             ["exact_distinct_tokens", "n_tokens"],
-            "approx_distinct_tokens", "exact_distinct_tokens", 0.05)
+            "approx_distinct_tokens", "exact_distinct_tokens", 0.10)
     return None
 
 

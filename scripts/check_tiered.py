@@ -314,6 +314,14 @@ def main():
                     except queue.Empty:
                         verdict = {"status": "oracle_error",
                                    "detail": "subprocess died (OOM?)"}
+                        # reap the dead child's DuckDB spill on the
+                        # OOM path too, mirroring the compare tier's
+                        # oracle_error rmtree (ADVICE r14 — the
+                        # q_table_profile twin at sf10 can spill
+                        # before dying and ENOSPC later oracles)
+                        import shutil
+                        shutil.rmtree(f"/tmp/duckdb_tiered_{p.pid}",
+                                      ignore_errors=True)
                 sec = round(time.time() - t0, 1)
                 if verdict["status"] in ("tol_ok", "tol_fail"):
                     ok = verdict["status"] == "tol_ok"

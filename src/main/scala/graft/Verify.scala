@@ -66,7 +66,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // learned-artifact-dependent oracles (t_bpe_encode): generated
+    // from the SAME per-(session, dataset) cached merge table the
+    // query run used, so the inlined literals cannot drift from the
+    // output being checked; a failure here degrades that one query to
+    // the old rows-only record instead of sinking the dump
+    val dynamic =
+      try queries.TextAnalysis.dynamicOracles(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

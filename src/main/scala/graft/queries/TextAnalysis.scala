@@ -244,13 +244,20 @@ object TextAnalysis {
     * half with a fixed regex. Per doc: whitespace token count and the
     * true BPE token count under the learned merges.
     *
-    * Rows-only by design: the learned table is an iterative argmax
-    * artifact no single SQL statement replays (same stance as the
-    * BpeTrainer scaladoc). The encoding is hard-gated instead by
-    * BpeEncodeSpec: zero-merge encoding must equal exact per-doc
-    * character mass (an arithmetic anchor), symbol concatenation must
-    * reconstruct every word (nothing lost or invented), and token
-    * counts must be monotone non-increasing in the merge budget.
+    * Oracle: the TRAINER is an iterative argmax no single SQL
+    * statement replays (same stance as the BpeTrainer scaladoc), so
+    * it stays spec-gated (BpeSpec hand-computable corpus); the
+    * ENCODER, however, is fully cross-engine checkable once the
+    * learned table is in hand — [[bpeEncodeOracleSql]] inlines the k
+    * learned merges (they are the hyperparameter-sized artifact, 20
+    * literal pairs) into DuckDB SQL that replays the encoding, and
+    * [[graft.Verify]] emits it into oracle_sql.json at dump time, so
+    * the driver hash-compares this query like any other (VERDICT r14
+    * #2 — closes the last rows-only registry hole). BpeEncodeSpec
+    * additionally pins the encoder's arithmetic anchors: zero-merge
+    * encoding equals exact per-doc character mass, symbol
+    * concatenation reconstructs every word, token counts are monotone
+    * non-increasing in the merge budget.
     *
     * Scale shape: training per BpeTrainer (word-type table, k
     * argmax rounds); encoding applies the broadcast merge table to
@@ -312,6 +319,70 @@ object TextAnalysis {
 
   /** Drop the cached merge tables (sweep teardown). */
   def clearBpeCache(): Unit = bpeCache.synchronized(bpeCache.clear())
+
+  /** DuckDB SQL replaying [[qBpeEncode]]'s ENCODER against a learned
+    * merge table, with the k merges inlined as literals — emitted into
+    * oracle_sql.json by [[graft.Verify]] after the queries run (the
+    * merges depend on the corpus, so this oracle is generated at dump
+    * time, not statically). The trainer stays spec-gated; this proves
+    * the corpus-scale half (word split, per-type rewrite, join-back,
+    * per-doc aggregation) cross-engine.
+    *
+    * Representation: a word's symbol sequence is rendered as a single
+    * string of chr(1)-wrapped symbols (writing chr(1) as "|"): the
+    * sequence [ab, c] becomes "|ab||c|", so adjacent symbols meet as
+    * "||" and every symbol is boundary-anchored on both sides. One
+    * merge (l, r) is then ONE SQL replace of "|l||r|" with "|lr|":
+    * `replace` scans left-to-right and resumes AFTER the substituted
+    * text, which is exactly BpeTrainer.rewrite's non-overlapping
+    * semantics (BpeEncodeSpec pins the equivalence against
+    * java.lang.String.replace, which shares those semantics; the
+    * DuckDB run itself is the driver's hash-compare). The corpus is
+    * ASCII and chr(1)-free (fixture property, asserted in the spec),
+    * so the wrapper can't collide with symbol content and Spark's
+    * UTF-16 `toCharArray` agrees with RE2's per-codepoint `(.)`. */
+  def bpeEncodeOracleSql(merges: Seq[graft.operators.BpeTrainer.Merge]): String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    def wrap(s: String) = s"chr(1)||${lit(s)}||chr(1)"
+    val rewritten = merges.sortBy(_.rank).foldLeft("s") { (acc, m) =>
+      s"replace($acc, ${wrap(m.left)}||${wrap(m.right)}, ${wrap(m.left + m.right)})"
+    }
+    s"""
+      WITH docwords AS (
+        SELECT doc_id, w, COUNT(*) AS cnt FROM (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents)
+        WHERE length(w) > 0 GROUP BY doc_id, w),
+      -- initial symbols: every char chr(1)-wrapped, </w> marker joined
+      -- into the final char's symbol (BpeTrainer.initialSymbols)
+      t1 AS (
+        SELECT w, regexp_replace(w, '(.)', chr(1)||'\\1'||chr(1), 'g') AS s
+        FROM (SELECT DISTINCT w FROM docwords)),
+      t2 AS (
+        SELECT w, substr(s, 1, length(s)-1) || '</w>' || chr(1) AS s
+        FROM t1),
+      t3 AS (SELECT w, $rewritten AS s FROM t2),
+      -- each symbol carries exactly 2 wrapper chars
+      enc AS (
+        SELECT w,
+               (length(s) - length(replace(s, chr(1), ''))) // 2 AS n_sym
+        FROM t3)
+      SELECT d.doc_id,
+             CAST(SUM(d.cnt) AS BIGINT) AS ws_tokens,
+             CAST(SUM(d.cnt * e.n_sym) AS BIGINT) AS bpe_tokens
+      FROM docwords d JOIN enc e USING (w)
+      GROUP BY d.doc_id"""
+  }
+
+  /** Oracle entries that can only be built AFTER the queries run
+    * against a concrete corpus (learned-artifact-dependent SQL).
+    * Called by [[graft.Verify]] with the same (session, sfDir) the
+    * queries saw — the merge cache guarantees the inlined table is
+    * bit-identical to the one t_bpe_encode's output used. */
+  def dynamicOracles(s: org.apache.spark.sql.SparkSession,
+      d: String): Map[String, String] =
+    Map("t_bpe_encode" -> bpeEncodeOracleSql(trainedBpeMerges(s, d)))
 
   /** Approximate distinct counts (HLL++) per source — the sketch-based
     * companion to exact countDistinct for 100 TB cardinality work. No

@@ -47,7 +47,14 @@ object RunQueries {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = graft.SparkEntry.oracleSql
+    // learned-artifact-dependent oracle (see graft.Verify) — only when
+    // its query was part of this subset (training is cached, but an
+    // unrelated iteration shouldn't pay for it)
+    val dynamic =
+      if (names.split(",").contains("t_bpe_encode"))
+        graft.queries.TextAnalysis.dynamicOracles(spark, sfDir)
+      else Map.empty[String, String]
+    val json = (graft.SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)

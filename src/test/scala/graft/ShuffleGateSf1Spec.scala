@@ -30,12 +30,14 @@ class ShuffleGateSf1Spec extends SparkSpec {
 
   test("zero shuffle spill for the graph family at sf1") {
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
-    // every SF-scaled table must be present, not just any marker — a
-    // partial previous generation must regenerate, not half-gate
+    // every SF-scaled table must be present AND committed (_SUCCESS),
+    // not just any marker — a ScaleUp killed mid-write leaves the last
+    // table's directory present but partial, which would otherwise
+    // never regenerate and degrade this gate on every later run
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     val complete = tables.forall(t =>
-      new java.io.File(s"$sf1/$t.parquet").exists())
+      new java.io.File(s"$sf1/$t.parquet/_SUCCESS").exists())
     if (!complete) ScaleUp.run(spark, sf("sf0.1"), sf1, 10)
 
     val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
