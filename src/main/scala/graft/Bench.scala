@@ -36,6 +36,35 @@ object Bench {
   private[graft] val ArtifactBacked =
     Set("dd_keep_list", "t_corpus_yield", "sim_ivfpq_topk", "t_bpe_encode")
 
+  /** The round-14 canonical medians at sf0.1 (BASELINE.md "Round-14
+    * canonical baseline") — embedded so every bench line carries its
+    * own per-query ratios and a box-state verdict (VERDICT r14 #7:
+    * the 2× comparison self-normalizes instead of needing a
+    * same-loadavg forensic paragraph each round). Update alongside
+    * any future canonical re-record. */
+  private[graft] val CanonicalSf01: Map[String, Double] = Map(
+    "q1_pricing_summary" -> 0.75, "q2_top_orders_per_customer" -> 0.61,
+    "q3_revenue_by_nation" -> 0.84, "q6_forecast_revenue" -> 0.32,
+    "q10_returned_revenue" -> 1.01, "q18_large_orders" -> 0.85,
+    "q_table_profile" -> 4.59, "q_basket_pairs" -> 2.70,
+    "t_bpe_encode" -> 0.94, "t_corpus_yield" -> 2.30,
+    "dd_keep_list" -> 0.58, "dd_simhash_neardup" -> 1.42,
+    "sim_cosine_topk" -> 0.58, "sim_ivfpq_topk" -> 4.86,
+    "w_tumbling_hourly" -> 0.42, "w_sessionize_30m" -> 0.71,
+    "q_graph_pagerank" -> 5.85, "q_graph_triangles" -> 3.34,
+    "q_graph_communities" -> 5.78, "q_graph_kcore" -> 4.48,
+    "q_graph_kcore_full" -> 5.52)
+  private[graft] val CanonicalSf01Total = 48.44
+
+  /** Scan-bound sub-second queries whose plans have not changed in
+    * rounds: their median canonical ratio is a pure box-load gauge
+    * (a loaded box inflates THEM as much as anything heavy, a plan
+    * regression does not). */
+  private[graft] val LightQueries = Seq(
+    "q1_pricing_summary", "q2_top_orders_per_customer",
+    "q3_revenue_by_nation", "q6_forecast_revenue", "q10_returned_revenue",
+    "q18_large_orders", "w_tumbling_hourly", "w_sessionize_30m")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -89,6 +118,7 @@ object Bench {
     // to attribute log noise (e.g. DAGScheduler task-binary WARNs) to
     // the query that was executing when it fired
     val trace = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRACE", "0") == "1"
+    val teardown = sys.env.getOrElse("SPARK_GRAFT_BENCH_TEARDOWN", "0") == "1"
     def exec(q: GraftQuery): Double = {
       if (trace) System.err.println(
         s"[bench-trace] ${java.time.Instant.now()} ${q.name}")
@@ -98,13 +128,23 @@ object Bench {
           q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
         (System.nanoTime() - t0) / 1e9
-      } finally
+      } finally {
         // free this run's registered scratch checkpoints (loop edge
         // lists, multi-consumer intermediates) so pass N+1 doesn't run
         // under pass N's dead blocks — at sf10 the accumulated
         // generations inflated downstream queries up to 2× (r12).
         // Outside the timed window: release is non-blocking metadata.
         graft.tools.Checkpoints.drainDeferred(spark)
+        // SPARK_GRAFT_BENCH_TEARDOWN=1 (VERDICT r14 #4): full session
+        // teardown between queries — caches, persisted RDDs, SQL
+        // cache — so each in-bench number runs in a solo-equivalent
+        // storage state and the in-bench-vs-solo premium can be
+        // attributed (blockmanager residue vs JVM/GC neighborhood).
+        // Changes what's measured (artifact reuse is gone): recorded
+        // round tables keep the default protocol; the emitted
+        // "protocol" field marks teardown lines unambiguously.
+        if (teardown) SweepCheck.clearSessionArtifacts(spark)
+      }
     }
 
     def median(xs: Seq[Double]): Double = {
@@ -192,10 +232,36 @@ object Bench {
         ""
       }
 
+    // self-normalizing comparator fields (VERDICT r14 #7): per-query
+    // ratios against the embedded canonical table, the light-query
+    // load gauge, and a box-state verdict — only where the canonical
+    // applies (a full bench-flagged set at sf0.1)
+    val canonFields =
+      if (new java.io.File(sfDir).getName != "sf0.1" || only.isDefined) ""
+      else {
+        val ratios = byName.collect {
+          case (n, med, _) if med >= 0 && CanonicalSf01.contains(n) =>
+            n -> med / CanonicalSf01(n)
+        }
+        val rmap = ratios.toMap
+        val lightMed = median(LightQueries.flatMap(rmap.get))
+        // >1.3 on queries whose plans are static means the box (or the
+        // sweep's own neighborhood) is inflating everything — read
+        // heavy-query deltas against lightMed, not against 1.0
+        val verdict =
+          if (lightMed > 1.3 || loadStart > 2.0) "loaded" else "idle"
+        f""","canonical_total":$CanonicalSf01Total%.2f""" +
+          s""","canonical_ratio":${obj(ratios)}""" +
+          f""","light_ratio_median":$lightMed%.3f""" +
+          s""","box_verdict":"$verdict""""
+      }
+    val protocol =
+      s"median_of_$passes${if (teardown) "_teardown" else ""}"
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,""" +
-      s""""protocol":"median_of_$passes","total_min":$totalMin,"queries_min":$mins,""" +
-      s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd$attachedFields,"sf":"$sfDir"}"""
+      s""""protocol":"$protocol","total_min":$totalMin,"queries_min":$mins,""" +
+      s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd$attachedFields""" +
+      s"""$canonFields,"sf":"$sfDir"}"""
     // file artifact first (VERDICT r9: a WARN-flooded tail left the
     // driver's parsed field null — the file survives any stdout noise)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

@@ -88,14 +88,15 @@ object Dedup {
           mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
         FROM sig, (SELECT unnest(range(0, 4)) AS band) b)"""
 
-  /** Exact dedup: canonical doc per md5(normalized text). */
+  /** Exact dedup: canonical doc per md5(normalized text). Reads the
+    * session fingerprint artifact ([[cachedFingerprints]]) — same
+    * expression when derived, zero text scan when attached. */
   val qDedupExact = GraftQuery(
     "dd_exact",
     (s, d) => {
       import s.implicits._
-      val norm = array_join(split(trim($"text"), "\\s+"), " ")
-      Tables.documents(s, d)
-        .groupBy(md5(norm).as("fp"))
+      cachedFingerprints(s, d)
+        .groupBy($"fp")
         .agg(min($"doc_id").as("canonical_id"),
              count(lit(1)).as("n_copies"))
     },
@@ -169,6 +170,8 @@ object Dedup {
       d: String): DataFrame = cachedClusters(s, d)
   def sessionShingleSets(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = cachedShingleSets(s, d)
+  def sessionFingerprints(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = cachedFingerprints(s, d)
 
   /** Drop all cached signature and cluster tables (e.g. after
     * rewriting a dataset path in place); the next consumer recomputes. */
@@ -176,6 +179,46 @@ object Dedup {
     sigCache.synchronized(sigCache.clear())
     clusterCache.synchronized(clusterCache.clear())
     shingleCache.synchronized(shingleCache.clear())
+    fpCache.synchronized(fpCache.clear())
+  }
+
+  /** The normalized-text exact-dup fingerprint — ONE expression shared
+    * by dd_exact, the keeper derivation, incremental triage and the
+    * corpus-drop job, so no consumer can drift on normalization. */
+  private[graft] def fingerprintExpr: Column =
+    md5(array_join(split(trim(col("text")), "\\s+"), " "))
+
+  /** Per-doc fingerprint table for an arbitrary document frame —
+    * the batch-side derivation the corpus-drop job applies to a new
+    * ingest batch (per-row expression, zero shuffle). */
+  private[graft] def fingerprintTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprintExpr.as("fp"))
+
+  /** Session-scoped fingerprint cache — the fourth dedup artifact
+    * (alongside signatures, clusters, shingles): dd_exact, the
+    * keeper frame (dd_keep_list, t_corpus_yield) and dd_incremental
+    * all read (doc_id, fp), and the corpus-drop job needs the OLD
+    * corpus's fingerprints persisted to classify a new batch without
+    * re-scanning corpus text. Same WeakHashMap lifetime +
+    * immutability rules as [[cachedSignatures]]. */
+  private val fpCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]
+  private def cachedFingerprints(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val perSession = fpCache.synchronized {
+      var m = fpCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        fpCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(d,
+      graft.tools.Artifacts.lookup(s, d, "fingerprints").getOrElse {
+        artifactDerivations.incrementAndGet()
+        fingerprintTable(Tables.documents(s, d)).localCheckpoint(true)
+      })
   }
 
   /** Session-scoped cluster cache, same shape and lifetime rules as
@@ -249,7 +292,7 @@ object Dedup {
   /** (doc_id, band, bucket, mh0..mh7) rows — 4 bands × 2 signature
     * rows per doc; the probe table both the self-join pair generator
     * and the incremental batch-vs-corpus probe read. */
-  private def bandFrame(sig: DataFrame): DataFrame =
+  private[graft] def bandFrame(sig: DataFrame): DataFrame =
     (0 until 4).map { b =>
       val cols = Seq(col("doc_id"), lit(b).as("band"),
         concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bucket")) ++
@@ -258,7 +301,7 @@ object Dedup {
     }.reduce(_ union _)
 
   /** Signature agreement count between the l./r. sides of a band join. */
-  private def sigAgreement: Column =
+  private[graft] def sigAgreement: Column =
     (0 until 8).map(i =>
       when(col(s"l.mh$i") === col(s"r.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -914,8 +957,7 @@ object Dedup {
     "dd_incremental",
     (s, d) => {
       import s.implicits._
-      val norm = md5(array_join(split(trim($"text"), "\\s+"), " "))
-      val fps = Tables.documents(s, d).select($"doc_id", norm.as("fp"))
+      val fps = cachedFingerprints(s, d)
       val corpusFp = fps.filter($"doc_id" < 400)
         .groupBy($"fp").agg(min($"doc_id").as("exact_of"))
       val exact = fps.filter($"doc_id" >= 400)
@@ -1076,8 +1118,7 @@ object Dedup {
   private[queries] def keeperFrame(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     import s.implicits._
-    val norm = md5(array_join(split(trim($"text"), "\\s+"), " "))
-    val fps = Tables.documents(s, d).select($"doc_id", norm.as("fp"))
+    val fps = cachedFingerprints(s, d)
     val canon = fps.groupBy($"fp").agg(min($"doc_id").as("exact_canonical"))
     val base = fps.join(canon, "fp").select($"doc_id", $"exact_canonical")
     base.join(cachedClusters(s, d), Seq("doc_id"), "left")

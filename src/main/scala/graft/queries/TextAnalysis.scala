@@ -722,30 +722,48 @@ object TextAnalysis {
     * map-side expression over documents joined to the keeper frame
     * (id-keyed), then a single hash-aggregate on (lang, source);
     * token counting rides the same pass. */
+  /** Per-doc yield contribution (lang, source, n_tok, verdict) given
+    * a (doc_id, keeper) frame — the shared decision core of
+    * [[qCorpusYield]] and the corpus-drop job's incremental yield
+    * delta (tools/CorpusDrop): ONE expression set, so the summary can
+    * drift from neither the per-doc queries nor the incremental
+    * refresh path. */
+  private[graft] def yieldContrib(docs: DataFrame,
+      keepers: DataFrame): DataFrame = {
+    val nTok = size(tokens(col("text"))).cast("long")
+    val verdict = when(col("doc_id") =!= col("keeper"), "drop_dedup")
+      .when(qualityScoreExpr(col("text")) < 0.5, "drop_quality")
+      .when(predictedLangExpr(col("text")) === "unknown", "drop_lang")
+      .otherwise("kept")
+    docs.join(keepers, "doc_id")
+      .select(col("lang"), col("source"), nTok.as("n_tok"),
+        verdict.as("verdict"))
+  }
+
+  /** The (lang, source) yield rollup over a contribution frame —
+    * [[qCorpusYield]]'s aggregate, also applied by the corpus-drop
+    * job to batch-only contributions. */
+  private[graft] def yieldAggregate(contrib: DataFrame): DataFrame =
+    contrib.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("verdict") === "kept", col("n_tok")).otherwise(0L))
+          .as("n_tokens_kept"),
+        sum(when(col("verdict") === "drop_dedup", 1L).otherwise(0L))
+          .as("n_drop_dedup"),
+        sum(when(col("verdict") === "drop_quality", 1L).otherwise(0L))
+          .as("n_drop_quality"),
+        sum(when(col("verdict") === "drop_lang", 1L).otherwise(0L))
+          .as("n_drop_lang"))
+
   val qCorpusYield = GraftQuery(
     "t_corpus_yield",
     (s, d) => {
       import s.implicits._
-      val nTok = size(tokens($"text")).cast("long")
-      val verdict = when($"doc_id" =!= $"keeper", "drop_dedup")
-        .when(qualityScoreExpr($"text") < 0.5, "drop_quality")
-        .when(predictedLangExpr($"text") === "unknown", "drop_lang")
-        .otherwise("kept")
-      Tables.documents(s, d)
-        .join(Dedup.keeperFrame(s, d).select($"doc_id", $"keeper"), "doc_id")
-        .select($"lang", $"source", nTok.as("n_tok"), verdict.as("verdict"))
-        .groupBy($"lang", $"source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"n_tok").as("n_tokens"),
-          sum(when($"verdict" === "kept", 1L).otherwise(0L)).as("n_kept"),
-          sum(when($"verdict" === "kept", $"n_tok").otherwise(0L))
-            .as("n_tokens_kept"),
-          sum(when($"verdict" === "drop_dedup", 1L).otherwise(0L))
-            .as("n_drop_dedup"),
-          sum(when($"verdict" === "drop_quality", 1L).otherwise(0L))
-            .as("n_drop_quality"),
-          sum(when($"verdict" === "drop_lang", 1L).otherwise(0L))
-            .as("n_drop_lang"))
+      yieldAggregate(yieldContrib(
+        Tables.documents(s, d),
+        Dedup.keeperFrame(s, d).select($"doc_id", $"keeper")))
     },
     Some(s"""${Dedup.sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
       ${Dedup.bandsCte}, ${Dedup.clusterCtes}, ${Dedup.keeperCtes},

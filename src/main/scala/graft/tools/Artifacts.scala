@@ -52,6 +52,11 @@ object Artifacts {
       ("signatures", "doc_id", (s, d) => Dedup.sessionSignatures(s, d)),
       ("clusters", "doc_id", (s, d) => Dedup.sessionClusters(s, d)),
       ("shingles", "doc_id", (s, d) => Dedup.sessionShingleSets(s, d)),
+      // exact-dup fingerprints — the fourth dedup artifact: dd_exact,
+      // the keeper frame and incremental triage read (doc_id, fp),
+      // and the corpus-drop job probes the OLD corpus's fps to
+      // classify a batch without re-scanning corpus text
+      ("fingerprints", "doc_id", (s, d) => Dedup.sessionFingerprints(s, d)),
       // the sim frames are checkpointed here so the materializer's
       // stats/count/write passes see a real size (an un-checkpointed
       // training plan's join-multiplied stats estimate is garbage)
@@ -175,10 +180,10 @@ object Artifacts {
     } finally s.close()
   }
 
-  private final case class Manifest(source: String, fingerprint: String,
+  private[graft] final case class Manifest(source: String, fingerprint: String,
       buckets: Map[String, Int], versions: Map[String, Int])
 
-  private def readManifest(outDir: String): Manifest = {
+  private[graft] def readManifest(outDir: String): Manifest = {
     val txt = new String(
       java.nio.file.Files.readAllBytes(manifestPath(outDir)), "UTF-8")
     val source = """"source":"([^"]+)"""".r.findFirstMatchIn(txt)
@@ -244,7 +249,13 @@ object Artifacts {
     val fresh = manifestExists(outDir) && {
       val m = readManifest(outDir)
       m.source == srcDir &&
-        (m.fingerprint.isEmpty || m.fingerprint == sourceFingerprint(srcDir))
+        (m.fingerprint.isEmpty || m.fingerprint == sourceFingerprint(srcDir)) &&
+        // the manifest must cover every CURRENT artifact name — a dir
+        // materialized by an older binary (before an artifact was
+        // added to the set) would otherwise attach and then fail on
+        // the missing table's path (caught round 15: a pre-existing
+        // bench dir lacked the new fingerprints artifact)
+        names.forall(m.buckets.contains)
     }
     if (!fresh) {
       if (manifestExists(outDir))

@@ -44,7 +44,7 @@ class ArtifactLifecycleSpec extends SparkSpec {
     SweepCheck.clearSessionArtifacts(spark)
     val written = Artifacts.materialize(spark, d, outDir)
     assert(written.map(_._1) == Seq("signatures", "clusters", "shingles",
-      "kmeans_cells", "pq_books", "pq_codes", "bpe_merges"))
+      "fingerprints", "kmeans_cells", "pq_books", "pq_codes", "bpe_merges"))
     assert(written.forall(_._2 > 0), s"empty artifact in $written")
     assert(Artifacts.manifestExists(outDir))
 
