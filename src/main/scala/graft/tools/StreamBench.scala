@@ -45,7 +45,13 @@ import org.apache.spark.sql.types.StructType
   *    indexes reused from the 20-slice runs — the batch-size axis
   *    measured for the artifact-backed families too, so per-row cost
   *    at production batch sizes is a record, not an inference from
-  *    the dedup family.
+  *    the dedup family;
+  *  - `cdc_rocksdb_*` / `scd2_*` / `scd2_rocksdb_*` (round 15): the
+  *    CDC event-time machine and the SCD-2 maintainer on BOTH state
+  *    store providers, each under the same kill/restart protocol —
+  *    the RocksDB rows are the configuration a 100 TB deployment
+  *    actually runs (changelog-checkpointed local state), recorded
+  *    next to the HDFS-map default the specs gate on.
   *
   * Replay protocol: inputs are staged as `slices` range-partitioned
   * parquet files sorted by event time (file k = k-th time slice), and
@@ -304,42 +310,78 @@ object StreamBench {
       q.stop(); st
     }
 
-    // ---- cdc: stateful event machine + kill/restart midway ----
+    // ---- stateful machines + kill/restart midway, on BOTH state
+    // store providers (VERDICT r14 #6: the HDFS-backed map is the
+    // spec default, RocksDB is what a 100 TB deployment actually
+    // runs — record the CDC event-time machine and SCD-2 on each,
+    // including the recovery probe) ----
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    def withProvider[A](rocks: Boolean)(body: => A): A =
+      if (!rocks) body
+      else {
+        val prev = util.Try(spark.conf.get(providerKey)).toOption
+        spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider")
+        try body finally prev match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None    => spark.conf.unset(providerKey)
+        }
+      }
+
     def sightings(in: DataFrame) = in
       .select($"ts", $"user_id", $"value").as[(java.sql.Timestamp, Long, Double)]
       .map { case (ts, uid, v) =>
         Cdc.Sighting(ts, Listing.minimal(uid.toString,
           (v * 100).toLong, foundDate = 1704067200L))
       }
-    def cdcQuery() = Cdc.streamingEventsEventTime(
-        sightings(fileStream(s"$work/events_in", evSchema)),
-        stalenessSec = 3L * 86400)
-      .writeStream.format("parquet")
-      .option("path", s"$work/cdc_out")
-      .option("checkpointLocation", s"$work/ckpt_cdc").start()
 
-    // phase 1: run roughly half the slices, then kill
-    val q1 = cdcQuery()
-    val deadline = System.currentTimeMillis() + 600000L
-    while (q1.recentProgress.count(_.numInputRows > 0) < slices / 2 &&
-        System.currentTimeMillis() < deadline)
-      Thread.sleep(200)
-    val phase1Batches = q1.recentProgress.count(_.numInputRows > 0)
-    val phase1Rows = q1.recentProgress.map(_.numInputRows).sum
-    q1.stop()
+    /** Kill/restart protocol shared by the stateful machines: run
+      * ~half the slices, stop, restart from the checkpoint (recovery
+      * lag = start() to first committed batch), drain the tail.
+      * Returns (tail stats, phase-1 batches, phase-1 rows, recovery). */
+    def killRestart(tag: String, rocks: Boolean)(
+        mk: DataFrame => DataFrame): (StreamStats, Int, Long, Double) =
+      withProvider(rocks) {
+        def start() = mk(fileStream(s"$work/events_in", evSchema))
+          .writeStream.format("parquet")
+          .option("path", s"$work/${tag}_out")
+          .option("checkpointLocation", s"$work/ckpt_$tag").start()
+        val q1 = start()
+        val deadline = System.currentTimeMillis() + 600000L
+        while (q1.recentProgress.count(_.numInputRows > 0) < slices / 2 &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        val phase1Batches = q1.recentProgress.count(_.numInputRows > 0)
+        val phase1Rows = q1.recentProgress.map(_.numInputRows).sum
+        q1.stop()
+        val tRestart = System.nanoTime()
+        val q2 = start()
+        while (q2.recentProgress.isEmpty &&
+            System.currentTimeMillis() < deadline + 600000L)
+          Thread.sleep(50)
+        val recoverySec = (System.nanoTime() - tRestart) / 1e9
+        val (_, tailWall) = timed { q2.processAllAvailable() }
+        val st = statsOf(q2, nEvents - phase1Rows, tailWall,
+          spark.read.parquet(s"$work/${tag}_out").count())
+        q2.stop()
+        (st, phase1Batches, phase1Rows, recoverySec)
+      }
 
-    // phase 2: restart from the checkpoint; recovery lag = start() to
-    // first committed batch, then drain the tail
-    val tRestart = System.nanoTime()
-    val q2 = cdcQuery()
-    while (q2.recentProgress.isEmpty &&
-        System.currentTimeMillis() < deadline + 600000L)
-      Thread.sleep(50)
-    val recoverySec = (System.nanoTime() - tRestart) / 1e9
-    val (_, tailWall) = timed { q2.processAllAvailable() }
-    val cdcStats = statsOf(q2, nEvents - phase1Rows, tailWall,
-      spark.read.parquet(s"$work/cdc_out").count())
-    q2.stop()
+    def cdcPlan(in: DataFrame): DataFrame =
+      Cdc.streamingEventsEventTime(sightings(in), stalenessSec = 3L * 86400).toDF()
+    def scd2Plan(in: DataFrame): DataFrame =
+      graft.streaming.StreamingScd2.versions(
+        in.select($"user_id", $"event_id",
+          unix_timestamp($"ts").as("sec"), $"value")).toDF()
+
+    val (cdcStats, phase1Batches, phase1Rows, recoverySec) =
+      killRestart("cdc", rocks = false)(cdcPlan)
+    val (cdcRocksStats, cdcRocksP1B, cdcRocksP1R, cdcRocksRecovery) =
+      killRestart("cdc_rocks", rocks = true)(cdcPlan)
+    val (scd2Stats, _, _, scd2Recovery) =
+      killRestart("scd2", rocks = false)(scd2Plan)
+    val (scd2RocksStats, _, _, scd2RocksRecovery) =
+      killRestart("scd2_rocks", rocks = true)(scd2Plan)
 
     def fmt(n: String, s: StreamStats): String = {
       val rps = if (s.wallSec > 0) (s.rows / s.wallSec).round else 0L
@@ -365,7 +407,14 @@ object StreamBench {
         s""""phash_prep_sec":${f"$phPrep%.2f"},""" +
         fmt("cdc_tail", cdcStats) + "," +
         s""""cdc_phase1":{"batches":$phase1Batches,"rows":$phase1Rows},""" +
-        s""""cdc_recovery_sec":${f"$recoverySec%.2f"}}""")
+        s""""cdc_recovery_sec":${f"$recoverySec%.2f"},""" +
+        fmt("cdc_rocksdb_tail", cdcRocksStats) + "," +
+        s""""cdc_rocksdb_phase1":{"batches":$cdcRocksP1B,"rows":$cdcRocksP1R},""" +
+        s""""cdc_rocksdb_recovery_sec":${f"$cdcRocksRecovery%.2f"},""" +
+        fmt("scd2_tail", scd2Stats) + "," +
+        s""""scd2_recovery_sec":${f"$scd2Recovery%.2f"},""" +
+        fmt("scd2_rocksdb_tail", scd2RocksStats) + "," +
+        s""""scd2_rocksdb_recovery_sec":${f"$scd2RocksRecovery%.2f"}}""")
     spark.stop()
   }
 }
