@@ -57,6 +57,34 @@ object Tables {
     * the q1 hot path.
     * Oracle shape: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
     */
+  /** Scale-adaptive EXPLICIT partition count for the layout-declared
+    * loop checkpoints (guide §2.2/§2.4): max(session shuffle
+    * partitions, on-disk input bytes / bytesPerPartition). An explicit
+    * count is required because an AQE-coalescible `repartition(col)`
+    * materializes `CoalescedHashPartitioning`, which downstream
+    * aggregates can consume but co-partitioned JOINS cannot align to —
+    * EnsureRequirements re-shuffles both sides (measured round 15:
+    * the declared coalesced layout removed no join exchange). Deriving
+    * the count from input size keeps the same binary from
+    * over-partitioning sf0.1 (floor = the session's core-count
+    * shuffle.partitions) or starving sf10+ (grows linearly with the
+    * corpus; 16 MB of parquet ≈ one comfortably-in-memory partition of
+    * derived edge rows, the same operating point as the loop
+    * advisories). */
+  def scaledPartitions(s: SparkSession, d: String, tables: Seq[String],
+      bytesPerPartition: Long = 16L << 20): Int = {
+    val bytes = tables.map { t =>
+      val f = new java.io.File(s"$d/$t.parquet")
+      if (f.isDirectory) f.listFiles().map(_.length()).sum
+      else if (f.isFile) f.length()
+      else 0L
+    }.sum
+    val base = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val n = math.max(base, math.ceil(bytes.toDouble / bytesPerPartition).toInt)
+    // dev knob for partition-count A/B probes (LoopProbe experiments)
+    sys.env.get("SPARK_GRAFT_CKPT_PARTS").map(_.toInt).getOrElse(n)
+  }
+
   def dsum(c: Column): Column = org.apache.spark.sql.graft.I128Sum.dsum(c)
 
   /** The decimal-routed original, kept as the reference implementation

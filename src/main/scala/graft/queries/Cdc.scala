@@ -400,20 +400,31 @@ object Cdc {
     // after the runner materializes. Left resident they stacked one
     // DESERIALIZED E-scale generation per bench pass (the r12 sf10
     // regression: triangles +107% running right after this query)
-    val edges = graft.tools.Checkpoints.defer(
+    val edges0 = graft.tools.Checkpoints.defer(
       e0.union(e0.select($"b".as("a"), $"a".as("b")))
         .repartition($"a").sortWithinPartitions($"a")
         .deserCheckpoint())
     val deg = graft.tools.Checkpoints.defer(
-      edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+      edges0.groupBy($"a").agg(count(lit(1)).as("deg"))
         .sortWithinPartitions($"a")
         .deserCheckpoint())
+    // deg FOLDED ONTO the edge table once (an exchange-free a-keyed
+    // SMJ against the co-partitioned deg): each round then computes
+    // the per-edge contribution `pr div deg` directly — bit-identical
+    // to the per-node quotient, since pr and deg are per-node
+    // constants — instead of paying a V-scale pr ⋈ deg join + sort
+    // per round (guide §2.4: two operations keyed the same way share
+    // one exchange; here the join moves out of the loop entirely).
+    val edges = graft.tools.Checkpoints.defer(
+      edges0.join(deg.select($"a", $"deg"), Seq("a"))
+        .select($"a", $"b", $"deg")
+        .deserCheckpoint()) // a-keyed join output: layout (a, n) + a-sorted kept
+    graft.tools.Checkpoints.release(edges0)
     var pr = deg.select($"a".as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {
-      val contrib = pr.join(deg, pr("node") === deg("a"))
-        .select(pr("node").as("src"), expr("pr div deg").as("c"))
-      pr = edges.join(contrib, edges("a") === contrib("src"))
-        .groupBy(edges("b")).agg(sum($"c").as("inbox"))
+      pr = edges.join(pr, edges("a") === pr("node"))
+        .select($"b", expr("pr div deg").as("c"))
+        .groupBy($"b").agg(sum($"c").as("inbox"))
         .select($"b".as("node"),
           (lit(150000L) + expr("(850000 * inbox) div 1000000"))
             .as("pr"))
@@ -913,8 +924,21 @@ object Cdc {
     * aggregate was exchange-free all along; see the `lost` join note
     * for the shuffle-direction lesson.) */
   private[graft] def kcoreOver(s: org.apache.spark.sql.SparkSession,
-      e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+      e0: DataFrame, k: Int, rounds: Int, parts: Int = -1): DataFrame = {
     import s.implicits._
+    // EXPLICIT count (unlike the sibling loops): the immutable edge
+    // list is probed by an a-keyed join every round, and a plain
+    // HashPartitioning(a, n) is the only declarable layout a JOIN can
+    // align to (an AQE-coalescible repartition materializes
+    // CoalescedHashPartitioning, which only aggregates can consume).
+    // This loop never rewrites edges and its per-round sides are
+    // frontier-sized, so it gives up nothing to AQE's runtime
+    // broadcast conversion — measured round 15 at sf0.1: −16% with
+    // the explicit count, where the rewriting fixpoint loop (which
+    // NEEDS those conversions) measured +48% and keeps the
+    // coalescible form.
+    val n = if (parts > 0) parts
+      else s.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // The edge list is IMMUTABLE here: checkpointed once (partitioned
     // and sorted by `a`) and never rewritten. Maintaining the shrunken
     // subgraph per round — two edge-scale anti-join scans plus a full
@@ -930,7 +954,7 @@ object Cdc {
     // the shrinking-edges design: at k=60 round 1 peels ~87% of the
     // graph, so its rounds 2+ want the collapsed list.)
     val edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
-      .repartition($"a").sortWithinPartitions($"a")
+      .repartition(n, $"a").sortWithinPartitions($"a")
       .serCheckpoint()
     // the ONLY full-graph degree aggregate (exchange-free over the
     // pre-partitioned list); rounds maintain it by delta. The final
@@ -1020,7 +1044,8 @@ object Cdc {
     * maintenance equals recomputation cascade step for step. */
   val qGraphKcore = GraftQuery(
     "q_graph_kcore",
-    (s, d) => kcoreOver(s, tradeEdges(s, d, lit(true)), k = 10, rounds = 3),
+    (s, d) => kcoreOver(s, tradeEdges(s, d, lit(true)), k = 10, rounds = 3,
+      parts = Tables.scaledPartitions(s, d, Seq("orders", "lineitem"))),
     Some {
       // Every round CTE is MATERIALIZED: DuckDB inlines CTEs by
       // default, and each u_r is referenced by both d_r and u_{r+1} —

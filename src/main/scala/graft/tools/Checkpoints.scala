@@ -41,10 +41,20 @@ object Checkpoints {
     * for that headroom. Session-cached ARTIFACTS probed many times
     * stay deserialized — their read count amortizes the footprint. */
   implicit class SerCheckpoint[T](private val ds: org.apache.spark.sql.Dataset[T]) {
+    // Both variants route through LayoutCheckpoint (round 15): under
+    // AQE, Dataset.localCheckpoint forgets the materialized hash
+    // partitioning + per-partition sort (LogicalRDD reads
+    // UnknownPartitioning), so every consumer of a pre-partitioned
+    // checkpoint re-paid an Exchange+Sort the loop had already paid.
+    // LayoutCheckpoint declares the executed plan's true layout on the
+    // checkpoint. The cast is sound at every call site (all frames are
+    // untyped DataFrames); a typed Dataset would need its encoder
+    // re-attached.
     def serCheckpoint(): org.apache.spark.sql.Dataset[T] = {
       tapPlan(ds)
-      ds.localCheckpoint(true,
+      org.apache.spark.sql.graft.LayoutCheckpoint.checkpoint(ds,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .asInstanceOf[org.apache.spark.sql.Dataset[T]]
     }
 
     /** Deserialized variant for loops that re-read their checkpoints
@@ -60,8 +70,9 @@ object Checkpoints {
       * the loop's retained state provably fits, serialized elsewhere. */
     def deserCheckpoint(): org.apache.spark.sql.Dataset[T] = {
       tapPlan(ds)
-      ds.localCheckpoint(true,
+      org.apache.spark.sql.graft.LayoutCheckpoint.checkpoint(ds,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .asInstanceOf[org.apache.spark.sql.Dataset[T]]
     }
   }
 
