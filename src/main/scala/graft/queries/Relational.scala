@@ -827,32 +827,36 @@ object Relational {
     * tools silently disagree; cardinality and completeness are the
     * columns a loader actually gates on.
     *
-    * Scale shape: a single aggregate over the scan. The multi-column
-    * exact distincts make Catalyst plan one Expand (×11 row fan-out,
-    * map-side) into one shuffle by grouping-set id — the standard
-    * one-pass multi-distinct plan, NOT 11 scans of the table (plan
-    * asserted in the spec: exactly one parquet scan of lineitem). At
-    * 100 TB the same report would swap exact distincts for HLL
-    * sketches query-side (t_approx_distinct_tokens is that shape);
-    * the exact formulation is what the oracle can hash. */
+    * Scale shape (revised round 15): one PRUNED single-column scan +
+    * two-phase distinct aggregate per column, unioned — the
+    * q_join_skew_report recipe. The previous one-pass formulation let
+    * Catalyst plan the standard multi-distinct Expand: a ×12 row
+    * fan-out into a partial hash-aggregate keyed on (gid, all 11
+    * columns), which at any scale turns N rows into 12N wide
+    * hash-table probes before the shuffle — measured round 15 at
+    * sf0.1: 4.8s, with the Expand aggregate owning nearly all of it;
+    * the per-column form runs 2.1s (−57%). On columnar storage the
+    * "one table pass" the Expand bought is not a bytes win at all:
+    * eleven single-column parquet scans read exactly the same pages
+    * as one 11-column scan, each branch's shuffle carries only its
+    * own column's distinct values, and the branches run as
+    * independent stages (guide §2.6). At 100 TB the report still
+    * swaps exact distincts for the HLL twin below; the exact
+    * formulation is what the oracle can hash. */
   val qTableProfile = GraftQuery(
     "q_table_profile",
     (s, d) => {
       import s.implicits._
-      val li = Tables.lineitem(s, d)
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
         "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
-      val aggs = cols.flatMap { c =>
-        Seq(count(col(c)).as(s"cnt_$c"),
-          countDistinct(col(c)).as(s"nd_$c"))
-      }
-      val wide = li.agg(count(lit(1)).as("n_rows"),
-        aggs: _*)
-      val stackArgs = cols.map(c =>
-        s"'$c', n_rows, n_rows - cnt_$c, nd_$c").mkString(", ")
-      wide.select(expr(
-        s"stack(${cols.length}, $stackArgs) AS (col, n_rows, n_nulls, n_distinct)"))
+      cols.map { c =>
+        Tables.lineitem(s, d).select(col(c))
+          .agg(count(lit(1)).as("n_rows"), count(col(c)).as("cnt"),
+            countDistinct(col(c)).as("nd"))
+          .select(lit(c).as("col"), $"n_rows",
+            ($"n_rows" - $"cnt").as("n_nulls"), $"nd".as("n_distinct"))
+      }.reduce(_ unionByName _)
     },
     Some {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
@@ -1383,12 +1387,20 @@ object Relational {
       import s.implicits._
       // order×brand-scale per-run scratch (three consumers), deferred
       // to the runner's post-materialization drain
+      // orderkey-keyed explicit layout: the repartition BEFORE the
+      // distinct serves the dedup aggregate (hash(orderkey) clusters
+      // (orderkey, brand)) AND is declared on the checkpoint, so the
+      // pair self-join below reads both sides exchange- and sort-free
+      // (guide §2.4; measured round 15: 3 ob-scale exchanges → 1)
       val ob = graft.tools.Checkpoints.defer(
-        Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-          .join(Tables.part(s, d)
-            .select($"p_partkey".as("l_partkey"), $"p_brand"), "l_partkey")
-          .select($"l_orderkey", $"p_brand").distinct()
-          .localCheckpoint(true))
+        org.apache.spark.sql.graft.LayoutCheckpoint.checkpoint(
+          Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+            .join(Tables.part(s, d)
+              .select($"p_partkey".as("l_partkey"), $"p_brand"), "l_partkey")
+            .repartition($"l_orderkey")
+            .select($"l_orderkey", $"p_brand").distinct()
+            .sortWithinPartitions($"l_orderkey"),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val tot = ob.agg(countDistinct($"l_orderkey").as("n_orders"))
       val ca = ob.groupBy($"p_brand").agg(count(lit(1)).as("c"))
       ob.as("x").join(ob.as("y"), "l_orderkey")

@@ -369,45 +369,101 @@ object Similarity {
   /** The trained (vec_id, cell) assignment of [[qKmeansCells]] —
     * exposed so KmeansSpec can score the partition against a random
     * baseline. */
+  /** Driver-resident centroid model: (cell, quantized vector) pairs.
+    * Bounded by the model hyperparameter k (8 coarse cells / 16 PQ
+    * codes per subspace) — the same driver-budget class as the BPE
+    * merge table and the pinBounded centroid relations it replaces:
+    * k·dim longs, corpus-independent. */
+  private type CentModel = Seq[(Int, Vector[Long])]
+
+  /** Exact int64 dot replicated driver-side — the same Long
+    * multiply-accumulate as the native QuantizedDotProduct, same
+    * overflow envelope (see the ADC headroom scaladoc). */
+  private def driverDot(a: Seq[Long], b: Seq[Long]): Long = {
+    var i = 0; var acc = 0L
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** The argmax-cell EXPRESSION over literal centroids — the map-side
+    * replacement for `crossJoin(broadcast(cent)) + groupBy(vec_id) +
+    * ArgMax2`, which paid a k-fold row fan-out, a corpus-scale
+    * partial aggregate and a V-scale shuffle PER ASSIGNMENT (7 of
+    * them per ivfpq derive). The centroids are the driver-pinned
+    * model table the old path already collected ([[graft.tools.Checkpoints.pinBounded]]);
+    * embedding them as literals moves the same k dot products into
+    * the scan projection — zero joins, zero shuffles, whole-stage
+    * codegen.
+    *
+    * Selection semantics replicate ArgMax2 bit-for-bit on the values
+    * these call sites produce: greatest (ord, tie) pair with ord =
+    * the identically-computed rounded cosine and tie = −cell; the
+    * `+ 0.0` normalizes IEEE −0.0 to 0.0 so the struct comparator
+    * ties exactly where ArgMax2's `===` tied (under ==/>, ±0.0 are
+    * equal; raw struct ordering would rank them). NaN never reaches
+    * the comparison: the unguarded form runs behind the family's
+    * qn > 0 filter with non-zero centroids, and the guarded form
+    * (zero subvector / zero codebook cell) pins ccos to −2.0 exactly
+    * like the old pqAssignTo. cn is computed driver-side with the
+    * same Long dot → toDouble → Math.sqrt chain the executor ran. */
+  private def bestCellExpr(q: Column, qn: Column, cents: CentModel,
+      guarded: Boolean): Column = {
+    val scored = cents.sortBy(_._1).map { case (c, cv) =>
+      val cn = math.sqrt(driverDot(cv, cv).toDouble)
+      val raw = round(idot(q, lit(cv.toArray)).cast("double") /
+        (qn * lit(cn)), 6)
+      val ccos =
+        if (!guarded) raw
+        else when(qn > 0 && lit(cn) > 0, raw).otherwise(-2.0)
+      struct((ccos + lit(0.0)).as("ord"), lit(-c.toLong).as("tie"))
+    }
+    (-greatest(scored: _*).getField("tie")).cast("int")
+  }
+
+  /** One Lloyd recenter computed as ONE hash-aggregate: per-cell
+    * elementwise sums as `dim` long-sum columns (the old posexplode →
+    * (cell, pos) aggregate → collect_list pipeline collapsed — a
+    * dim-fold row fan-out and two shuffles per round, gone), merged
+    * into the driver model; absent cells keep their centroid (the old
+    * `coalesce(ncv, ocv)` left join). The collect is ≤ k rows — the
+    * model itself, the BpeTrainer driver-budget class. */
+  private def recenterRound(e: org.apache.spark.sql.DataFrame,
+      cellCol: Column, cents: CentModel, dim: Int): CentModel = {
+    val aggs = (1 to dim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
+    val rows = e.select(cellCol.as("cell"), col("q"))
+      .groupBy(col("cell"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val sums = rows.map(r => r.getInt(0) ->
+      (1 to dim).map(i => r.getLong(i)).toVector).toMap
+    cents.map { case (c, old) => c -> sums.getOrElse(c, old) }
+  }
+
   private[graft] def kmeansAssign(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int = 8, iters: Int = 2): org.apache.spark.sql.DataFrame = {
       import s.implicits._
-      val e = Tables.embeddings(s, d)
-        .select($"vec_id", quant($"embedding").as("q"))
-        .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
-        .filter($"qn" > 0) // zero-norm policy — see cosineTopK scaladoc
-        .localCheckpoint(true)
-      def assignTo(cent: org.apache.spark.sql.DataFrame) = {
-        val cn = sqrt(idot($"cv", $"cv").cast("double"))
-        val ccos = round(idot($"q", $"cv").cast("double") / ($"qn" * cn), 6)
-        e.crossJoin(broadcast(cent))
-          .select($"vec_id", ccos.as("ccos"), $"cell")
-          .groupBy($"vec_id")
-          .agg(ArgMax2.of($"ccos", -$"cell").as("m"))
-          .select($"vec_id", (-$"m.tie").cast("int").as("cell"))
-      }
-      def recenter(cent: org.apache.spark.sql.DataFrame,
-          assign: org.apache.spark.sql.DataFrame) = {
-        val sums = e.join(assign, "vec_id")
-          .select($"cell", posexplode($"q").as(Seq("pos", "v")))
-          .groupBy($"cell", $"pos").agg(sum($"v").as("sv"))
-          .groupBy($"cell")
-          .agg(transform(array_sort(collect_list(struct($"pos", $"sv"))),
-            x => x("sv")).as("ncv"))
-        // the centroid table is the MODEL — k rows, corpus-independent
-        // — so it pins to a driver-local relation, not a checkpoint: a
-        // checkpointed aggregate's residual task closure rides every
-        // downstream stage at ~1-2 MiB (see Checkpoints.pinBounded)
-        graft.tools.Checkpoints.pinBounded(
-          cent.select($"cell", $"cv".as("ocv"))
-            .join(sums, Seq("cell"), "left")
-            .select($"cell", coalesce($"ncv", $"ocv").as("cv")))
-      }
-      var cent = graft.tools.Checkpoints.pinBounded(
-        e.filter($"vec_id" < k)
-          .select($"vec_id".cast("int").as("cell"), $"q".as("cv")))
-      for (_ <- 1 to iters) cent = recenter(cent, assignTo(cent))
-      assignTo(cent)
+      // deferred per-run scratch (round 15): un-registered, each bench
+      // pass stacked a fresh corpus-scale generation of this checkpoint
+      val e = graft.tools.Checkpoints.defer(
+        Tables.embeddings(s, d)
+          .select($"vec_id", quant($"embedding").as("q"))
+          .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
+          .filter($"qn" > 0) // zero-norm policy — see cosineTopK scaladoc
+          .localCheckpoint(true))
+      // seed model: ≤ k rows collected — the same rows the old code
+      // pinned to a driver-local relation via pinBounded
+      var cent: CentModel = e.filter($"vec_id" < k)
+        .select($"vec_id".cast("int").as("cell"), $"q").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Long](1).toVector)
+        .toSeq.sortBy(_._1)
+      if (cent.isEmpty)
+        return e.filter(lit(false))
+          .select($"vec_id", lit(0).cast("int").as("cell"))
+      for (_ <- 1 to iters)
+        cent = recenterRound(e,
+          bestCellExpr($"q", $"qn", cent, guarded = false), cent, 64)
+      e.select($"vec_id",
+        bestCellExpr($"q", $"qn", cent, guarded = false).as("cell"))
   }
 
   /** Derivation counter for ArtifactLifecycleSpec — how many times the
@@ -589,11 +645,13 @@ object Similarity {
     * the one quantize + slice recipe training and encoding share. */
   private[graft] def pqSubvectors(emb: org.apache.spark.sql.DataFrame):
       Seq[org.apache.spark.sql.DataFrame] = {
-    val e = emb
+    // deferred per-run scratch (round 15): un-registered, each bench
+    // pass stacked a fresh corpus-scale generation of this checkpoint
+    val e = graft.tools.Checkpoints.defer(emb
       .select(col("vec_id"), quant(col("embedding")).as("qf"))
       .withColumn("qfn", sqrt(idot(col("qf"), col("qf")).cast("double")))
       .filter(col("qfn") > 0) // family zero-norm policy on the FULL vector
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     (0 until 4).map { j =>
       e.select(col("vec_id"), slice(col("qf"), j * 16 + 1, 16).as("q"))
         .withColumn("qn", sqrt(idot(col("q"), col("q")).cast("double")))
@@ -604,28 +662,61 @@ object Similarity {
       Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame)] = {
     val k = 16
-    pqSubvectors(emb).map { ej =>
-      def recenter(cent: org.apache.spark.sql.DataFrame,
-          assign: org.apache.spark.sql.DataFrame) = {
-        val sums = ej.join(assign, "vec_id")
-          .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos")).agg(sum(col("v")).as("sv"))
-          .groupBy(col("cell"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("sv")))),
-            x => x("sv")).as("ncv"))
-        // codebook = model table (16 rows/subspace): driver-pinned,
-        // same rationale as kmeansAssign's centroids
-        graft.tools.Checkpoints.pinBounded(
-          cent.select(col("cell"), col("cv").as("ocv"))
-            .join(sums, Seq("cell"), "left")
-            .select(col("cell"), coalesce(col("ncv"), col("ocv")).as("cv")))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ejs = pqSubvectors(emb)
+    // ONE j-keyed frame trains all 4 subspaces together (round 15):
+    // the old per-subspace chains ran 4 × (seed collect + assign +
+    // recenter + assign) with a driver barrier between each — 4
+    // sequential job cascades over the same corpus checkpoint. Seeds
+    // and the recenter are now one bounded collect + one batched
+    // aggregate each, and assignments are literal-codebook map-side
+    // expressions ([[bestCellExpr]]) — identical per-(j, cell)
+    // arithmetic, so every code and codebook is bit-identical.
+    val ejAll = ejs.zipWithIndex.map { case (ej, j) =>
+      ej.select(lit(j).as("j"), col("vec_id"), col("q"), col("qn"))
+    }.reduce(_ unionByName _)
+    // per-subspace seed books: one ≤ 4k-row collect (the model-table
+    // driver-budget class; the old path pinBounded the same rows)
+    val seedRows = ejAll.filter(col("vec_id") < k)
+      .select(col("j"), col("vec_id").cast("int").as("cell"), col("q"))
+      .collect()
+    var books: Map[Int, CentModel] = seedRows.groupBy(_.getInt(0)).map {
+      case (j, rows) => j -> rows.map(r =>
+        r.getInt(1) -> r.getSeq[Long](2).toVector).toSeq.sortBy(_._1)
+    }
+    val trained = books.keySet.toSeq.sorted
+    if (trained.nonEmpty) {
+      // one batched recenter for every subspace with seeds: per
+      // (j, cell) elementwise sums as 16 long-sum columns, ≤ 4k rows
+      // collected (the recenterRound shape, j-keyed)
+      val cellCol = trained.map(j =>
+          j -> bestCellExpr(col("q"), col("qn"), books(j), guarded = true))
+        .foldRight(lit(-1)) { case ((j, e), acc) =>
+          when(col("j") === j, e).otherwise(acc) }
+      val aggs = (1 to 16).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
+      val rows = ejAll.filter(col("j").isin(trained: _*))
+        .select(col("j"), cellCol.as("cell"), col("q"))
+        .groupBy(col("j"), col("cell"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val sums = rows.map(r => (r.getInt(0), r.getInt(1)) ->
+        (2 to 17).map(r.getLong).toVector).toMap
+      books = books.map { case (j, cm) =>
+        j -> cm.map { case (c, old) => c -> sums.getOrElse((j, c), old) }
       }
-      val seeds = graft.tools.Checkpoints.pinBounded(
-        ej.filter(col("vec_id") < k)
-          .select(col("vec_id").cast("int").as("cell"), col("q").as("cv")))
-      val book = recenter(seeds, pqAssignTo(ej, seeds))
-      (ej, book, pqAssignTo(ej, book))
+    }
+    (0 until 4).map { j =>
+      val cm = books.getOrElse(j, Seq.empty)
+      val book = cm.map { case (c, cv) => (c, cv: Seq[Long]) }
+        .toDF("cell", "cv")
+      val assign =
+        if (cm.isEmpty)
+          ejs(j).filter(lit(false))
+            .select(col("vec_id"), lit(0).cast("int").as("cell"))
+        else ejs(j).select(col("vec_id"),
+          bestCellExpr(col("q"), col("qn"), cm, guarded = true).as("cell"))
+      (ejs(j), book, assign)
     }
   }
 
