@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Banded Hamming-space near-dup machinery, shared by every
@@ -32,15 +31,42 @@ object HammingBands {
     * doc_b. */
   def nearDupPairs(sketches: DataFrame, nBands: Int, bandBits: Int,
       cap: Int, theta: Int): DataFrame = {
-    val sh = sketches.localCheckpoint(true)
+    // deferred per-run scratch (round 15): un-registered, repeated
+    // bench passes stacked a fresh generation of this checkpoint
+    val sh = graft.tools.Checkpoints.defer(sketches.localCheckpoint(true))
     val mask = (1L << bandBits) - 1
     val bandVals: Column = array((0 until nBands).map(b =>
       shiftright(col("sh"), bandBits * b).bitwiseAND(lit(mask))): _*)
-    val capped = sh
+    // cap via the native bounded top-k aggregate, not a bucket window
+    // (round 15): row_number().over(partitionBy(band, bval)) sorted
+    // the whole exploded nBands×N table inside its bucket partitions;
+    // the aggregate keeps the cap lowest doc_ids per bucket with
+    // bounded map-side state, so the one shuffle moves ≤ cap entries
+    // per (bucket, input partition) and a degenerate bucket costs cap
+    // heap slots instead of a full bucket sort. score = −doc_id ranks
+    // lowest ids first (exact in a double up to 2^53 — far above any
+    // real doc-id space); the kept SET is identical to rn <= cap.
+    val banded = sh
       .select(col("doc_id"), posexplode(bandVals).as(Seq("band", "bval")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("band"), col("bval")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= cap).drop("rn")
+    val capped =
+      if (cap <= (1 << 16))
+        banded
+          .groupBy(col("band"), col("bval"))
+          .agg(org.apache.spark.sql.graft.TopKAggregate
+            .of(col("doc_id"), -col("doc_id").cast("double"), cap).as("tk"))
+          .select(col("band"), col("bval"), explode(col("tk")).as("e"))
+          .select(col("e.id").as("doc_id"), col("band"), col("bval"))
+      else {
+        // cap effectively disabled (recall probes pass Int.MaxValue):
+        // the bounded aggregate would preallocate cap-sized buffers,
+        // so the uncapped diagnostic path keeps the window form
+        import org.apache.spark.sql.expressions.Window
+        banded
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("band"), col("bval"))
+              .orderBy(col("doc_id"))))
+          .filter(col("rn") <= cap).drop("rn")
+      }
     val pairs = capped.as("l")
       .join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bval") === col("r.bval") &&

@@ -362,6 +362,17 @@ object Cdc {
     * PagerankSpec), so deriving a delta slice reads delta-sized
     * order data, not history. */
   private[graft] def tradeEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, pred: Column): DataFrame =
+    tradeEdgesRaw(s, d, pred).distinct()
+
+  /** The un-deduplicated (a, b) pair stream — for loop builders that
+    * fold the dedup into their own layout exchange (hash(a) clusters
+    * (a, b), so a dropDuplicates AFTER the a-keyed repartition needs
+    * no exchange of its own; the standalone `.distinct()` here paid a
+    * separate (a, b)-keyed shuffle immediately followed by the loop's
+    * a-keyed one — guide §2.4, two ops keyed compatibly share one
+    * exchange). */
+  private[graft] def tradeEdgesRaw(s: org.apache.spark.sql.SparkSession,
       d: String, pred: Column): DataFrame = {
     import s.implicits._
     Tables.orders(s, d).filter(pred).select($"o_orderkey", $"o_custkey")
@@ -369,7 +380,6 @@ object Cdc {
         $"o_orderkey" === $"l_orderkey")
       .select(concat(lit("c"), $"o_custkey").as("a"),
         concat(lit("s"), $"l_suppkey").as("b"))
-      .distinct()
   }
 
   /** The 3-round fixed-point iteration over a directed-distinct edge
@@ -402,7 +412,11 @@ object Cdc {
     // regression: triangles +107% running right after this query)
     val edges0 = graft.tools.Checkpoints.defer(
       e0.union(e0.select($"b".as("a"), $"a".as("b")))
-        .repartition($"a").sortWithinPartitions($"a")
+        // dedup rides the layout exchange (hash(a) clusters (a, b));
+        // accepts raw OR already-distinct input — dropDuplicates is
+        // idempotent, and the c…/s… namespaces keep the doubled halves
+        // disjoint, so dedup-after-doubling == doubling-after-dedup
+        .repartition($"a").dropDuplicates().sortWithinPartitions($"a")
         .deserCheckpoint())
     val deg = graft.tools.Checkpoints.defer(
       edges0.groupBy($"a").agg(count(lit(1)).as("deg"))
@@ -476,7 +490,7 @@ object Cdc {
 
   val qGraphPagerank = GraftQuery(
     "q_graph_pagerank",
-    (s, d) => pagerankOver(s, tradeEdges(s, d, lit(true))),
+    (s, d) => pagerankOver(s, tradeEdgesRaw(s, d, lit(true))),
     Some(pagerankOracle),
     bench = true,
     confs = LoopAdvisory)
@@ -752,6 +766,16 @@ object Cdc {
       val fromSelf = lab.join(selfW, $"node" === selfW("a"))
         .select($"node", $"lab", $"sw".as("w"))
       lab = fromNeighbors.union(fromSelf)
+        // ONE node-keyed shuffle serves BOTH aggregate levels
+        // (hashpartitioning(node) clusters (node, lab) too), where the
+        // plain two-level groupBy paid two exchanges per round: the
+        // (node, lab) vote-sum shuffle AND a re-shuffle of the summed
+        // pairs onto node for the argmax (guide §2.4). The vote rows
+        // shuffled raw are (long, long, long) — barely wider than the
+        // partially-aggregated pairs they replace (gather output is
+        // keyed by the NEIGHBOR side, so map-side partial agg on
+        // (node, lab) collapsed little).
+        .repartition($"node")
         .groupBy($"node", $"lab").agg(sum($"w").as("wt"))
         .groupBy($"node")
         .agg(ArgMax2.of($"wt", -$"lab").as("m"))
@@ -954,7 +978,8 @@ object Cdc {
     // the shrinking-edges design: at k=60 round 1 peels ~87% of the
     // graph, so its rounds 2+ want the collapsed list.)
     val edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
-      .repartition(n, $"a").sortWithinPartitions($"a")
+      // dedup rides the layout exchange — see pagerankOver
+      .repartition(n, $"a").dropDuplicates().sortWithinPartitions($"a")
       .serCheckpoint()
     // the ONLY full-graph degree aggregate (exchange-free over the
     // pre-partitioned list); rounds maintain it by delta. The final
@@ -1044,7 +1069,7 @@ object Cdc {
     * maintenance equals recomputation cascade step for step. */
   val qGraphKcore = GraftQuery(
     "q_graph_kcore",
-    (s, d) => kcoreOver(s, tradeEdges(s, d, lit(true)), k = 10, rounds = 3,
+    (s, d) => kcoreOver(s, tradeEdgesRaw(s, d, lit(true)), k = 10, rounds = 3,
       parts = Tables.scaledPartitions(s, d, Seq("orders", "lineitem"))),
     Some {
       // Every round CTE is MATERIALIZED: DuckDB inlines CTEs by
@@ -1113,7 +1138,8 @@ object Cdc {
     // runner's post-materialization drain frees them
     var edges = graft.tools.Checkpoints.defer(
       e0.union(e0.select($"b".as("a"), $"a".as("b")))
-        .repartition($"a").sortWithinPartitions($"a")
+        // dedup rides the layout exchange — see pagerankOver
+        .repartition($"a").dropDuplicates().sortWithinPartitions($"a")
         .serCheckpoint())
     var deg = graft.tools.Checkpoints.defer(
       edges.groupBy($"a").agg(count(lit(1)).as("dg"))
@@ -1187,7 +1213,7 @@ object Cdc {
     * than silently passing — the bound is self-auditing. */
   val qGraphKcoreFull = GraftQuery(
     "q_graph_kcore_full",
-    (s, d) => kcoreFixpointOver(s, tradeEdges(s, d, lit(true)),
+    (s, d) => kcoreFixpointOver(s, tradeEdgesRaw(s, d, lit(true)),
       k = 60, maxRounds = 24),
     Some {
       val peel = (r: Int) => s"""
