@@ -371,16 +371,32 @@ object Cdc {
     * no exchange of its own; the standalone `.distinct()` here paid a
     * separate (a, b)-keyed shuffle immediately followed by the loop's
     * a-keyed one — guide §2.4, two ops keyed compatibly share one
-    * exchange). */
+    * exchange).
+    *
+    * Node ids are LONG-encoded (custkey·2 / suppkey·2+1 — the LPA
+    * convention, injective so distinct/degree/grouping are isomorphic
+    * to the string form) and decoded to the oracle's 'c…'/'s…' names
+    * only in each loop's final projection ([[decodeNode]]): every
+    * in-loop shuffle, sort and hash then moves 8-byte longs instead
+    * of variable-width UTF8 strings (guide §2.3 — narrower types,
+    * halve the column, halve its shuffle bytes). */
   private[graft] def tradeEdgesRaw(s: org.apache.spark.sql.SparkSession,
       d: String, pred: Column): DataFrame = {
     import s.implicits._
     Tables.orders(s, d).filter(pred).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
-      .select(concat(lit("c"), $"o_custkey").as("a"),
-        concat(lit("s"), $"l_suppkey").as("b"))
+      .select(($"o_custkey" * 2).cast("long").as("a"),
+        ($"l_suppkey" * 2 + 1).cast("long").as("b"))
   }
+
+  /** Long node id → the oracle's string name ('c'||custkey /
+    * 's'||suppkey) — the lpaOver decode, shared by every loop that
+    * iterates on long-encoded ids. `n` must be a column named after
+    * an attribute in scope (the `expr` forms reference it by name). */
+  private[graft] def decodeNode(name: String): Column =
+    when(col(name) % 2 === 0, concat(lit("c"), expr(s"$name div 2")))
+      .otherwise(concat(lit("s"), expr(s"($name - 1) div 2")))
 
   /** The 3-round fixed-point iteration over a directed-distinct edge
     * list (doubled to undirected here). Shared verbatim by the batch
@@ -414,8 +430,8 @@ object Cdc {
       e0.union(e0.select($"b".as("a"), $"a".as("b")))
         // dedup rides the layout exchange (hash(a) clusters (a, b));
         // accepts raw OR already-distinct input — dropDuplicates is
-        // idempotent, and the c…/s… namespaces keep the doubled halves
-        // disjoint, so dedup-after-doubling == doubling-after-dedup
+        // idempotent, and the even/odd id encoding keeps the doubled
+        // halves disjoint, so dedup-after-doubling == doubling-after-dedup
         .repartition($"a").dropDuplicates().sortWithinPartitions($"a")
         .deserCheckpoint())
     val deg = graft.tools.Checkpoints.defer(
@@ -443,7 +459,7 @@ object Cdc {
           (lit(150000L) + expr("(850000 * inbox) div 1000000"))
             .as("pr"))
     }
-    pr.select($"node", $"pr".as("pr_micro"))
+    pr.select(decodeNode("node").as("node"), $"pr".as("pr_micro"))
   }
 
   private val pagerankOracle: String = {
@@ -989,7 +1005,8 @@ object Cdc {
     var deg = graft.tools.Checkpoints.defer(
       edges.groupBy($"a").agg(count(lit(1)).as("dg"))
         .serCheckpoint())
-    var out: DataFrame = Seq.empty[(String, Int, Long)]
+    // long-encoded ids through the whole peel; decoded once at output
+    var out: DataFrame = Seq.empty[(Long, Int, Long)]
       .toDF("node", "peel_round", "deg")
     var r = 1
     var settled = false
@@ -1042,7 +1059,8 @@ object Cdc {
     graft.tools.Checkpoints.release(edges)
     // deg IS the survivors' residual degree table — no final aggregate
     out.unionByName(
-      deg.select($"a".as("node"), lit(0).as("peel_round"), $"dg".as("deg")))
+        deg.select($"a".as("node"), lit(0).as("peel_round"), $"dg".as("deg")))
+      .select(decodeNode("node").as("node"), $"peel_round", $"deg")
   }
 
   /** k-core decomposition (bounded peel) on the customer–supplier
@@ -1144,7 +1162,8 @@ object Cdc {
     var deg = graft.tools.Checkpoints.defer(
       edges.groupBy($"a").agg(count(lit(1)).as("dg"))
         .serCheckpoint())
-    var out: DataFrame = Seq.empty[(String, Int, Long)]
+    // long-encoded ids through the whole peel; decoded once at output
+    var out: DataFrame = Seq.empty[(Long, Int, Long)]
       .toDF("node", "peel_round", "deg")
     var r = 1
     var converged = false
@@ -1191,7 +1210,8 @@ object Cdc {
     }
     // deg IS the survivors' residual degree table — no final aggregate
     out.unionByName(
-      deg.select($"a".as("node"), lit(0).as("peel_round"), $"dg".as("deg")))
+        deg.select($"a".as("node"), lit(0).as("peel_round"), $"dg".as("deg")))
+      .select(decodeNode("node").as("node"), $"peel_round", $"deg")
   }
 
   /** Full (fixpoint) k-core decomposition on the trade graph — the

@@ -560,11 +560,31 @@ object Dedup {
     * Pairs seen in several tables collapse via one distinct. */
   def annCandidatePairs(sig: DataFrame, tables: Int, bits: Int,
       cap: Int): DataFrame = {
-    val capped = annBuckets(sig, tables, bits)
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))))
-      .filter(col("rn") <= cap).drop("rn")
+    // cap via the native bounded top-k aggregate, not a bucket window
+    // (the HammingBands recipe): the window form sorted the whole
+    // exploded tables×N bucket stream inside its partitions; the
+    // aggregate keeps the cap lowest vec_ids per (tbl, bucket) with
+    // bounded map-side state, so the one shuffle moves ≤ cap entries
+    // per (bucket, input partition) and a degenerate hot bucket costs
+    // cap heap slots instead of a full bucket sort. score = −vec_id
+    // ranks lowest ids first (exact in a double to 2^53); the kept SET
+    // is identical to rn <= cap. Recall probes pass Int.MaxValue —
+    // the bounded aggregate would preallocate cap-sized buffers, so
+    // the uncapped diagnostic path keeps the window form.
+    val buckets = annBuckets(sig, tables, bits)
+    val capped =
+      if (cap <= (1 << 16))
+        buckets
+          .groupBy(col("tbl"), col("bucket"))
+          .agg(org.apache.spark.sql.graft.TopKAggregate
+            .of(col("vec_id"), -col("vec_id").cast("double"), cap).as("tk"))
+          .select(col("tbl"), col("bucket"), explode(col("tk")).as("e"))
+          .select(col("e.id").as("vec_id"), col("tbl"), col("bucket"))
+      else buckets
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))))
+        .filter(col("rn") <= cap).drop("rn")
     val l = capped.select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
     val r = capped.select(col("vec_id").as("b_id"), col("tbl"), col("bucket"))
     l.join(r, Seq("tbl", "bucket"))

@@ -439,30 +439,51 @@ object Similarity {
     cents.map { case (c, old) => c -> sums.getOrElse(c, old) }
   }
 
+  /** The ONE quantized-corpus checkpoint (vec_id, q, qn > 0) every
+    * similarity trainer derives from — the coarse k-means and the PQ
+    * subspace slicer previously each materialized their own identical
+    * copy (two corpus scans, two checkpoints); a caller composing
+    * both (sim_ivfpq_topk's derive) now builds it once and shares
+    * (guide §2.4 / §1.2: don't compute what you already have).
+    * Deferred per-run scratch — drained by the runner after
+    * materialization, never carried across runs. */
+  private[graft] def quantCorpus(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.tools.Checkpoints.defer(emb
+      .select(col("vec_id"), quant(col("embedding")).as("q"))
+      .withColumn("qn", sqrt(idot(col("q"), col("q")).cast("double")))
+      .filter(col("qn") > 0) // zero-norm policy — see cosineTopK scaladoc
+      .localCheckpoint(true))
+
+  /** The coarse k-means training loop over a pre-built
+    * [[quantCorpus]] frame — returns the trained model (empty when
+    * the corpus has no seed vectors). Split from [[kmeansAssign]] so
+    * a composing caller can train and then fold the assignment
+    * expression into its own projection. */
+  private[graft] def kmeansTrainOn(e: org.apache.spark.sql.DataFrame,
+      k: Int, iters: Int): CentModel = {
+    // seed model: ≤ k rows collected — the same rows the old code
+    // pinned to a driver-local relation via pinBounded
+    var cent: CentModel = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("q")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toVector)
+      .toSeq.sortBy(_._1)
+    if (cent.isEmpty) return cent
+    for (_ <- 1 to iters)
+      cent = recenterRound(e,
+        bestCellExpr(col("q"), col("qn"), cent, guarded = false), cent, 64)
+    cent
+  }
+
   private[graft] def kmeansAssign(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int = 8, iters: Int = 2): org.apache.spark.sql.DataFrame = {
       import s.implicits._
-      // deferred per-run scratch (round 15): un-registered, each bench
-      // pass stacked a fresh corpus-scale generation of this checkpoint
-      val e = graft.tools.Checkpoints.defer(
-        Tables.embeddings(s, d)
-          .select($"vec_id", quant($"embedding").as("q"))
-          .withColumn("qn", sqrt(idot($"q", $"q").cast("double")))
-          .filter($"qn" > 0) // zero-norm policy — see cosineTopK scaladoc
-          .localCheckpoint(true))
-      // seed model: ≤ k rows collected — the same rows the old code
-      // pinned to a driver-local relation via pinBounded
-      var cent: CentModel = e.filter($"vec_id" < k)
-        .select($"vec_id".cast("int").as("cell"), $"q").collect()
-        .map(r => r.getInt(0) -> r.getSeq[Long](1).toVector)
-        .toSeq.sortBy(_._1)
+      val e = quantCorpus(Tables.embeddings(s, d))
+      val cent = kmeansTrainOn(e, k, iters)
       if (cent.isEmpty)
-        return e.filter(lit(false))
+        e.filter(lit(false))
           .select($"vec_id", lit(0).cast("int").as("cell"))
-      for (_ <- 1 to iters)
-        cent = recenterRound(e,
-          bestCellExpr($"q", $"qn", cent, guarded = false), cent, 64)
-      e.select($"vec_id",
+      else e.select($"vec_id",
         bestCellExpr($"q", $"qn", cent, guarded = false).as("cell"))
   }
 
@@ -641,30 +662,30 @@ object Similarity {
       .select(col("vec_id"), (-col("m.tie")).cast("int").as("cell"))
   }
 
+  /** Per-subspace sliced (vec_id, q, qn) views over a pre-built
+    * [[quantCorpus]] frame (the family zero-norm filter is on the
+    * FULL vector, exactly the quantCorpus contract). */
+  private[graft] def pqSubvectorsOf(e: org.apache.spark.sql.DataFrame):
+      Seq[org.apache.spark.sql.DataFrame] =
+    (0 until 4).map { j =>
+      e.select(col("vec_id"), slice(col("q"), j * 16 + 1, 16).as("q"))
+        .withColumn("qn", sqrt(idot(col("q"), col("q")).cast("double")))
+    }
+
   /** Per-subspace sliced (vec_id, q, qn) tables from raw embeddings —
     * the one quantize + slice recipe training and encoding share. */
   private[graft] def pqSubvectors(emb: org.apache.spark.sql.DataFrame):
-      Seq[org.apache.spark.sql.DataFrame] = {
-    // deferred per-run scratch (round 15): un-registered, each bench
-    // pass stacked a fresh corpus-scale generation of this checkpoint
-    val e = graft.tools.Checkpoints.defer(emb
-      .select(col("vec_id"), quant(col("embedding")).as("qf"))
-      .withColumn("qfn", sqrt(idot(col("qf"), col("qf")).cast("double")))
-      .filter(col("qfn") > 0) // family zero-norm policy on the FULL vector
-      .localCheckpoint(true))
-    (0 until 4).map { j =>
-      e.select(col("vec_id"), slice(col("qf"), j * 16 + 1, 16).as("q"))
-        .withColumn("qn", sqrt(idot(col("q"), col("q")).cast("double")))
-    }
-  }
+      Seq[org.apache.spark.sql.DataFrame] =
+    pqSubvectorsOf(quantCorpus(emb))
 
-  private[graft] def pqTrainOn(emb: org.apache.spark.sql.DataFrame):
-      Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame)] = {
+  /** The batched PQ codebook training over pre-sliced subspace
+    * frames — returns the trained per-subspace models. Split from
+    * [[pqTrainOn]] so a composing caller (sim_ivfpq_topk's derive)
+    * can train and fold the code expressions into its own
+    * projection. */
+  private[graft] def pqTrainModels(ejs: Seq[org.apache.spark.sql.DataFrame])
+      : Map[Int, CentModel] = {
     val k = 16
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val ejs = pqSubvectors(emb)
     // ONE j-keyed frame trains all 4 subspaces together (round 15):
     // the old per-subspace chains ran 4 × (seed collect + assign +
     // recenter + assign) with a driver barrier between each — 4
@@ -706,6 +727,16 @@ object Similarity {
         j -> cm.map { case (c, old) => c -> sums.getOrElse((j, c), old) }
       }
     }
+    books
+  }
+
+  private[graft] def pqTrainOn(emb: org.apache.spark.sql.DataFrame):
+      Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ejs = pqSubvectors(emb)
+    val books = pqTrainModels(ejs)
     (0 until 4).map { j =>
       val cm = books.getOrElse(j, Seq.empty)
       val book = cm.map { case (c, cv) => (c, cv: Seq[Long]) }
@@ -1033,35 +1064,118 @@ object Similarity {
     "sim_ivfpq_topk",
     (s, d) => {
       import s.implicits._
-      val coarse = sessionCoarseAssign(s, d)
-      val trained = pqTrained(s, d)
-      val lut = trained.zipWithIndex.map { case ((ej, book, _), j) =>
-        ej.filter($"vec_id" < 10)
-          .select($"vec_id".as("p_id"), $"q")
-          .crossJoin(broadcast(book))
-          .select($"p_id", lit(j).as("j"), $"cell".as("pq_cell"),
-            idot($"q", $"cv").as("pd"))
-      }.reduce(_ unionByName _)
-      val probeCoarse = coarse.filter($"vec_id" < 10)
-        .select($"vec_id".as("p_id"), $"cell".as("pcoarse"))
-      val probeSide = lut.join(probeCoarse, "p_id")
-        .select($"p_id", $"j".as("pj"), $"pq_cell".as("ppq_cell"),
-          $"pd", $"pcoarse")
-      val codes = trained.zipWithIndex.map { case ((_, _, a), j) =>
-        a.select($"vec_id", lit(j).as("j"), $"cell".as("pq_cell"))
-      }.reduce(_ unionByName _)
-      codes.join(coarse, "vec_id")
-        .join(broadcast(probeSide),
-          $"j" === $"pj" && $"pq_cell" === $"ppq_cell" &&
-            $"cell" === $"pcoarse" && $"vec_id" =!= $"p_id")
-        .groupBy($"p_id", $"vec_id")
-        .agg(sum($"pd").as("score"))
-        .groupBy($"p_id")
-        .agg(TopKAggregate.of($"vec_id", $"score".cast("double"), 5).as("tk"))
-        .select($"p_id", posexplode($"tk").as(Seq("pos", "e")))
-        .select($"p_id", $"e.id".as("vec_id"),
-          $"e.score".cast("long").as("adc_score"),
-          ($"pos" + 1).cast("int").as("rk"))
+      // the common (probe-side + score + rank) tail over a
+      // (vec_id, cell, j, pq_cell) corpus stream — shared by the
+      // attached and fused-derive heads below
+      def searchTail(codesCoarse: org.apache.spark.sql.DataFrame,
+          lut: org.apache.spark.sql.DataFrame,
+          probeCoarse: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val probeSide = lut.join(probeCoarse, "p_id")
+          .select($"p_id", $"j".as("pj"), $"pq_cell".as("ppq_cell"),
+            $"pd", $"pcoarse")
+        codesCoarse
+          .join(broadcast(probeSide),
+            $"j" === $"pj" && $"pq_cell" === $"ppq_cell" &&
+              $"cell" === $"pcoarse" && $"vec_id" =!= $"p_id")
+          .groupBy($"p_id", $"vec_id")
+          .agg(sum($"pd").as("score"))
+          .groupBy($"p_id")
+          .agg(TopKAggregate.of($"vec_id", $"score".cast("double"), 5).as("tk"))
+          .select($"p_id", posexplode($"tk").as(Seq("pos", "e")))
+          .select($"p_id", $"e.id".as("vec_id"),
+            $"e.score".cast("long").as("adc_score"),
+            ($"pos" + 1).cast("int").as("rk"))
+      }
+      val artifactBacked =
+        graft.tools.Artifacts.lookup(s, d, "kmeans_cells").isDefined &&
+          graft.tools.Artifacts.lookup(s, d, "pq_books").isDefined &&
+          graft.tools.Artifacts.lookup(s, d, "pq_codes").isDefined
+      if (artifactBacked) {
+        // attached read path (the production shape): coarse cells and
+        // codes come from the persisted index tables; composing them
+        // is the two-table join a deployed index pays
+        val coarse = sessionCoarseAssign(s, d)
+        val trained = pqTrained(s, d)
+        val lut = trained.zipWithIndex.map { case ((ej, book, _), j) =>
+          ej.filter($"vec_id" < 10)
+            .select($"vec_id".as("p_id"), $"q")
+            .crossJoin(broadcast(book))
+            .select($"p_id", lit(j).as("j"), $"cell".as("pq_cell"),
+              idot($"q", $"cv").as("pd"))
+        }.reduce(_ unionByName _)
+        val probeCoarse = coarse.filter($"vec_id" < 10)
+          .select($"vec_id".as("p_id"), $"cell".as("pcoarse"))
+        val codes = trained.zipWithIndex.map { case ((_, _, a), j) =>
+          a.select($"vec_id", lit(j).as("j"), $"cell".as("pq_cell"))
+        }.reduce(_ unionByName _)
+        searchTail(codes.join(coarse, "vec_id"), lut, probeCoarse)
+      } else {
+        // fused derive (round 15): the coarse cell and the PQ codes
+        // are literal-model map-side expressions over the SAME
+        // quantized row, so they ride ONE shared corpus checkpoint —
+        // the old composition materialized the quantized corpus twice
+        // (k-means' and PQ's identical checkpoints) and paid a
+        // V-scale SMJ to re-join its own two projections on vec_id
+        // (guide §2.4: remove shuffles outright; the join had nothing
+        // to reconcile). Training, expressions and arithmetic are the
+        // exact shared builders, so every cell/code is bit-identical
+        // to the parent queries'.
+        indexDerivations.incrementAndGet()
+        val e = quantCorpus(Tables.embeddings(s, d))
+        val cent = kmeansTrainOn(e, 8, 2)
+        if (cent.isEmpty)
+          // no seed vectors: the composed form's coarse side is empty,
+          // so the search result is too (schema preserved)
+          e.filter(lit(false)).select($"vec_id".as("p_id"), $"vec_id",
+            lit(0L).as("adc_score"), lit(0).cast("int").as("rk"))
+        else {
+          val ejs = pqSubvectorsOf(e)
+          val books = pqTrainModels(ejs)
+          // One (vec_id, cell, j, pq_cell) branch per subspace, each a
+          // map-side projection over the shared checkpoint. The coarse
+          // cell is recomputed per branch (3 extra evaluations of a
+          // codegen'd literal-model expression) instead of computed
+          // once and fused or re-attached, because both alternatives
+          // measured worse: a single fused projection of cell + all 4
+          // codes makes the consuming stage's generated aggregate
+          // method exceed janino's 64 KB limit — codegen compilation
+          // fails and the WHOLE stage (broadcast join + partial agg
+          // included) runs interpreted, +29% at sf0.1 — and a vec_id
+          // re-join of two separate projections is exactly the
+          // V-scale SMJ this restructure removes. Union children
+          // codegen as separate stages, so each branch stays far
+          // under the method limit (guide §1.2 per-task work: keep
+          // the hot path inside whole-stage codegen).
+          // Projection barriers keep each slice / norm computed once
+          // (CollapseProject keeps a non-cheap alias referenced more
+          // than once — the t_corpus_yield lesson).
+          val codesCoarse = (0 until 4).map { j =>
+            val sliced = e.select($"vec_id", $"q", $"qn",
+              slice($"q", j * 16 + 1, 16).as("qj"))
+            val normed = sliced.select($"vec_id", $"q", $"qn", $"qj",
+              sqrt(idot($"qj", $"qj").cast("double")).as("qnj"))
+            normed.select($"vec_id",
+              bestCellExpr($"q", $"qn", cent, guarded = false).as("cell"),
+              lit(j).as("j"),
+              bestCellExpr($"qj", $"qnj", books(j), guarded = true)
+                .as("pq_cell"))
+          }.reduce(_ unionByName _)
+          val lut = (0 until 4).map { j =>
+            val book = books(j).map { case (c, cv) => (c, cv: Seq[Long]) }
+              .toDF("cell", "cv")
+            ejs(j).filter($"vec_id" < 10)
+              .select($"vec_id".as("p_id"), $"q")
+              .crossJoin(broadcast(book))
+              .select($"p_id", lit(j).as("j"), $"cell".as("pq_cell"),
+                idot($"q", $"cv").as("pd"))
+          }.reduce(_ unionByName _)
+          val probeCoarse = e.filter($"vec_id" < 10)
+            .select($"vec_id".as("p_id"),
+              bestCellExpr($"q", $"qn", cent, guarded = false).as("pcoarse"))
+          searchTail(codesCoarse, lut, probeCoarse)
+        }
+      }
     },
     Some {
       def probe(j: Int) = s"""

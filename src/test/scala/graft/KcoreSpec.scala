@@ -10,13 +10,21 @@ import org.apache.spark.sql.functions._
 class KcoreSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Constructed edges enter in the loops' long encoding (custkey·2 /
+    * suppkey·2+1 — the tradeEdgesRaw contract); the loops decode back
+    * to 'c…'/'s…' on output, so the hand-written assertions below are
+    * unchanged. */
+  private def enc(n: String): Long =
+    if (n.startsWith("c")) n.drop(1).toLong * 2 else n.drop(1).toLong * 2 + 1
+  private def encEdges(pairs: Seq[(String, String)]) =
+    pairs.map { case (a, b) => (enc(a), enc(b)) }.toDF("a", "b")
+
   test("constructed path + clique: cascade peels round by round") {
     // Path c1–s1–c2–s2–c3 (endpoints fall first, the middle last) and
     // a 2×2 complete bipartite core that must survive k=2 untouched.
-    val edges = Seq(
+    val edges = encEdges(Seq(
       ("c1", "s1"), ("c2", "s1"), ("c2", "s2"), ("c3", "s2"),
-      ("c10", "s10"), ("c10", "s11"), ("c11", "s10"), ("c11", "s11"))
-      .toDF("a", "b")
+      ("c10", "s10"), ("c10", "s11"), ("c11", "s10"), ("c11", "s11")))
     val out = queries.Cdc.kcoreOver(spark, edges, k = 2, rounds = 3)
       .collect()
       .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
@@ -38,11 +46,10 @@ class KcoreSpec extends SparkSpec {
     // 4 full peel rounds before the middle node falls isolated —
     // deeper than the bounded query's 3-round horizon — while the
     // K2,2 clique must survive untouched at its full degree.
-    val edges = Seq(
+    val edges = encEdges(Seq(
       ("c1", "s1"), ("c2", "s1"), ("c2", "s2"), ("c3", "s2"),
       ("c3", "s3"), ("c4", "s3"), ("c4", "s4"), ("c5", "s4"),
-      ("c10", "s10"), ("c10", "s11"), ("c11", "s10"), ("c11", "s11"))
-      .toDF("a", "b")
+      ("c10", "s10"), ("c10", "s11"), ("c11", "s10"), ("c11", "s11")))
     val out = queries.Cdc.kcoreFixpointOver(spark, edges, k = 2, maxRounds = 24)
       .collect()
       .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
@@ -59,10 +66,9 @@ class KcoreSpec extends SparkSpec {
   }
 
   test("fixpoint guard: maxRounds cap reproduces the bounded peel") {
-    val edges = Seq(
+    val edges = encEdges(Seq(
       ("c1", "s1"), ("c2", "s1"), ("c2", "s2"), ("c3", "s2"),
-      ("c10", "s10"), ("c10", "s11"), ("c11", "s10"), ("c11", "s11"))
-      .toDF("a", "b")
+      ("c10", "s10"), ("c10", "s11"), ("c11", "s10"), ("c11", "s11")))
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
     val capped = asMap(
