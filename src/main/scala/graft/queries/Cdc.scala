@@ -386,8 +386,10 @@ object Cdc {
     Tables.orders(s, d).filter(pred).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
-      .select(($"o_custkey" * 2).cast("long").as("a"),
-        ($"l_suppkey" * 2 + 1).cast("long").as("b"))
+      // cast BEFORE the multiply (ADVICE r15): an INT-typed parquet
+      // custkey above 2^30 would wrap in the column's native type
+      .select(($"o_custkey".cast("long") * 2).as("a"),
+        ($"l_suppkey".cast("long") * 2 + 1).as("b"))
   }
 
   /** Long node id → the oracle's string name ('c'||custkey /
@@ -403,8 +405,20 @@ object Cdc {
     * and incremental queries so "refresh" can never mean "a slightly
     * different pagerank". */
   private[graft] def pagerankOver(s: org.apache.spark.sql.SparkSession,
-      e0: DataFrame): DataFrame = {
+      e0: DataFrame, parts: Int = -1): DataFrame = {
     import s.implicits._
+    // EXPLICIT count (the kcoreOver rationale): the edge table is
+    // probed by an a-keyed JOIN every round, and plain
+    // HashPartitioning(a, n) is the only declarable layout a join can
+    // align to — the AQE-coalescible repartition materializes
+    // CoalescedHashPartitioning, which no later hash layout can match,
+    // so EnsureRequirements re-shuffled AND re-sorted the E-scale edge
+    // checkpoint into every round's SMJ (plans/r16/
+    // q_graph_pagerank_before.txt: Exchange+Sort over every
+    // UnknownPartitioning edges scan). Input-scaled, never a local
+    // constant (Tables.scaledPartitions).
+    val n = if (parts > 0) parts
+      else s.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // partitioned AND sorted on the probe key pre-checkpoint
     // (localCheckpoint's LogicalRDD keeps outputPartitioning and
     // outputOrdering): the degree aggregate reads the edge list
@@ -432,7 +446,7 @@ object Cdc {
         // accepts raw OR already-distinct input — dropDuplicates is
         // idempotent, and the even/odd id encoding keeps the doubled
         // halves disjoint, so dedup-after-doubling == doubling-after-dedup
-        .repartition($"a").dropDuplicates().sortWithinPartitions($"a")
+        .repartition(n, $"a").dropDuplicates().sortWithinPartitions($"a")
         .deserCheckpoint())
     val deg = graft.tools.Checkpoints.defer(
       edges0.groupBy($"a").agg(count(lit(1)).as("deg"))
@@ -506,7 +520,8 @@ object Cdc {
 
   val qGraphPagerank = GraftQuery(
     "q_graph_pagerank",
-    (s, d) => pagerankOver(s, tradeEdgesRaw(s, d, lit(true))),
+    (s, d) => pagerankOver(s, tradeEdgesRaw(s, d, lit(true)),
+      parts = Tables.scaledPartitions(s, d, Seq("orders", "lineitem"))),
     Some(pagerankOracle),
     bench = true,
     confs = LoopAdvisory)
@@ -581,7 +596,8 @@ object Cdc {
       val base = cachedBaseEdges(s, d, split)
       val delta = tradeEdges(s, d,
         $"o_orderdate" >= lit(split).cast("date"))
-      pagerankOver(s, base.unionByName(delta).distinct())
+      pagerankOver(s, base.unionByName(delta).distinct(),
+        parts = Tables.scaledPartitions(s, d, Seq("orders", "lineitem")))
     },
     Some(pagerankOracle),
     confs = LoopAdvisory)
@@ -743,7 +759,10 @@ object Cdc {
     Tables.orders(s, d).filter(pred).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
-      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      // cast BEFORE the multiply (ADVICE r15) — same wrap risk as
+      // tradeEdgesRaw, and the long ids are what the loop shuffles
+      .select(($"o_custkey".cast("long") * 2).as("a"),
+        ($"l_suppkey".cast("long") * 2 + 1).as("b"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
   }
 
@@ -751,8 +770,17 @@ object Cdc {
     * list (doubled to undirected here) — shared verbatim by the batch
     * and incremental queries, the [[pagerankOver]] discipline. */
   private[graft] def lpaOver(s: org.apache.spark.sql.SparkSession,
-      e0: DataFrame): DataFrame = {
+      e0: DataFrame, parts: Int = -1): DataFrame = {
     import s.implicits._
+    // EXPLICIT count, the pagerankOver/kcoreOver rationale: a plain
+    // HashPartitioning(b, n) is the only declarable layout the
+    // per-round gather JOIN can align to — the coalescible
+    // repartition's CoalescedHashPartitioning forced EnsureRequirements
+    // to re-shuffle AND re-sort the E-scale edge checkpoint into every
+    // round's SMJ. Input-scaled (Tables.scaledPartitions), never a
+    // local constant.
+    val n = if (parts > 0) parts
+      else s.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // partitioned AND sorted ON THE PROBE KEY before the checkpoint:
     // LogicalRDD preserves outputPartitioning and outputOrdering, so
     // every round's neighbor-gather SMJ reads the corpus-scale edge
@@ -767,11 +795,16 @@ object Cdc {
     // for the loop's whole life
     val edges = graft.tools.Checkpoints.defer(e0
       .union(e0.select($"b".as("a"), $"a".as("b"), $"w"))
-      .repartition($"b").sortWithinPartitions($"b")
+      .repartition(n, $"b").sortWithinPartitions($"b")
       .serCheckpoint())
+    // selfW is JOINED per round (fromSelf), so it needs the same
+    // declarable plain layout: the a-keyed aggregate's own exchange
+    // keeps map-side partial agg (E→V before the wire), then ONE
+    // V-scale explicit re-key pins HashPartitioning(a, n) — paid once
+    // at build, saving the per-round re-shuffle of both join sides.
     val selfW = graft.tools.Checkpoints.defer(
       edges.groupBy($"a").agg(max($"w").as("sw"))
-        .sortWithinPartitions($"a")
+        .repartition(n, $"a").sortWithinPartitions($"a")
         .serCheckpoint())
     var lab = selfW.select($"a".as("node"), $"a".as("lab"))
     var prevLab: Option[DataFrame] = None
@@ -790,8 +823,11 @@ object Cdc {
         // shuffled raw are (long, long, long) — barely wider than the
         // partially-aggregated pairs they replace (gather output is
         // keyed by the NEIGHBOR side, so map-side partial agg on
-        // (node, lab) collapsed little).
-        .repartition($"node")
+        // (node, lab) collapsed little). EXPLICIT n: the aggregate
+        // output then declares plain HashPartitioning(node, n), so the
+        // NEXT round's two joins (edges gather + self-vote) read this
+        // round's checkpoint with no exchange on either side.
+        .repartition(n, $"node")
         .groupBy($"node", $"lab").agg(sum($"w").as("wt"))
         .groupBy($"node")
         .agg(ArgMax2.of($"wt", -$"lab").as("m"))
@@ -864,7 +900,8 @@ object Cdc {
 
   val qGraphCommunities = GraftQuery(
     "q_graph_communities",
-    (s, d) => lpaOver(s, weightedTradeEdges(s, d, lit(true))),
+    (s, d) => lpaOver(s, weightedTradeEdges(s, d, lit(true)),
+      parts = Tables.scaledPartitions(s, d, Seq("orders", "lineitem"))),
     Some(communitiesOracle),
     bench = true,
     confs = LpaAdvisory)
@@ -925,7 +962,8 @@ object Cdc {
         $"o_orderdate" >= lit(split).cast("date"))
       val merged = base.unionByName(delta)
         .groupBy($"a", $"b").agg(sum($"w").as("w"))
-      lpaOver(s, merged)
+      lpaOver(s, merged,
+        parts = Tables.scaledPartitions(s, d, Seq("orders", "lineitem")))
     },
     Some(communitiesOracle),
     confs = LpaAdvisory)

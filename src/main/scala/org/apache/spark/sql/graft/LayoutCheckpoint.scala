@@ -4,7 +4,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression, SortOrder}
-import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection, UnknownPartitioning}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.storage.StorageLevel
@@ -70,13 +70,30 @@ object LayoutCheckpoint {
             e.references.forall(a => mapping.contains(a))
         def rewrite(e: Expression): Expression =
           e.transform { case a: Attribute => mapping(a) }
-        val part: Partitioning = finalPlan.outputPartitioning match {
+        // A join's output partitioning is a PartitioningCollection
+        // whose members reference BOTH sides' key attributes; the
+        // dropped duplicate key (e.g. the build side's copy after a
+        // USING join) made the whole collection non-rewritable and the
+        // checkpoint degraded to Unknown — re-paying an E-scale
+        // Exchange+Sort per loop round (measured round 15: the
+        // pagerank edges⋈deg checkpoint). Rewrite each member
+        // independently and keep the survivors: each member is an
+        // executed-layout fact on its own, so declaring the rewritable
+        // subset asserts nothing new.
+        def rewritePart(p: Partitioning): Option[Partitioning] = p match {
+          case pc: PartitioningCollection =>
+            val kept = pc.partitionings.flatMap(rewritePart)
+            if (kept.isEmpty) None
+            else if (kept.size == 1) Some(kept.head)
+            else Some(PartitioningCollection(kept))
           case e: Expression if rewritable(e) =>
             val r = rewrite(e)
-            if (r.references.subsetOf(outSet)) r.asInstanceOf[Partitioning]
-            else UnknownPartitioning(0)
-          case _ => UnknownPartitioning(0)
+            if (r.references.subsetOf(outSet)) Some(r.asInstanceOf[Partitioning])
+            else None
+          case _ => None
         }
+        val part: Partitioning = rewritePart(finalPlan.outputPartitioning)
+          .getOrElse(UnknownPartitioning(0))
         // a sort order stays valid prefix-wise: keep the longest
         // rewritable prefix whose attributes survive in the output
         val ord: Seq[SortOrder] = finalPlan.outputOrdering
