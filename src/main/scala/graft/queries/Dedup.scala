@@ -353,13 +353,24 @@ object Dedup {
     // probe-key pre-partitioning + pre-sort (the lpaOver discipline):
     // the pair graph crosses the wire once and is sorted once, not
     // once per round — each round's SMJ only shuffles+sorts the
-    // node-scale label table
+    // node-scale label table. EXPLICIT count (round 16, the
+    // pagerankOver rationale): plain HashPartitioning(dst, n) is the
+    // only declarable layout the per-round join can align to — the
+    // coalescible form re-shuffled AND re-sorted the edge checkpoint
+    // into every round's SMJ.
+    val n = pairs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("dst")).sortWithinPartitions(col("dst"))
+      .repartition(n, col("dst")).sortWithinPartitions(col("dst"))
       .serCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
+    // dedup rides the node-keyed layout exchange (pagerankOver
+    // discipline), and the declared (node, n) layout makes every
+    // round's label-side join exchange-free
+    var labels = edges.select(col("src").as("node"))
+      .repartition(n, col("node")).dropDuplicates()
+      .sortWithinPartitions(col("node"))
       .withColumn("label", col("node"))
       .serCheckpoint()
     var rounds = 0

@@ -238,15 +238,28 @@ object Multimodal {
   private[graft] def crossmodalKeepList(
       docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    def dups(sketch: org.apache.spark.sql.Column) =
+    // ONE documents scan computes BOTH sketches (round 16): the two
+    // nearDupPairs calls each re-read the text column and re-ran their
+    // sketch expression over the full corpus — the heaviest map work
+    // in the query, paid twice. A single checkpointed (doc_id, sh_vis,
+    // sh_txt) table feeds both banding passes; nearDupPairs'
+    // per-family checkpoint then snapshots a V-scale projection of it
+    // instead of re-scanning the corpus.
+    import graft.tools.Checkpoints.SerCheckpoint
+    val sketches = graft.tools.Checkpoints.defer(
+      docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.BlockHash60.of(col("text")).as("sh_vis"),
+        org.apache.spark.sql.graft.SimHash60.of(col("text")).as("sh_txt"))
+        .serCheckpoint())
+    def dups(shCol: String) =
       graft.operators.HammingBands.nearDupPairs(
-        docs.select(col("doc_id"), sketch.as("sh")),
+        sketches.select(col("doc_id"), col(shCol).as("sh")),
         nBands = 4, bandBits = 15, cap = 256, theta = 3)
         .filter(col("is_dup")).select(col("doc_a"), col("doc_b"))
-    val vis = dups(org.apache.spark.sql.graft.BlockHash60.of(col("text")))
-      .localCheckpoint(true)
-    val txt = dups(org.apache.spark.sql.graft.SimHash60.of(col("text")))
-      .localCheckpoint(true)
+    val vis = graft.tools.Checkpoints.defer(
+      dups("sh_vis").serCheckpoint())
+    val txt = graft.tools.Checkpoints.defer(
+      dups("sh_txt").serCheckpoint())
     val labels = Dedup.connectedComponents(
       vis.unionByName(txt).distinct())
       .withColumnRenamed("node", "doc_id")
