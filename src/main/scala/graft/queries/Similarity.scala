@@ -702,15 +702,23 @@ object Similarity {
     val seedRows = ejAll.filter(col("vec_id") < k)
       .select(col("j"), col("vec_id").cast("int").as("cell"), col("q"))
       .collect()
-    var books: Map[Int, CentModel] = seedRows.groupBy(_.getInt(0)).map {
+    val books: Map[Int, CentModel] = seedRows.groupBy(_.getInt(0)).map {
       case (j, rows) => j -> rows.map(r =>
         r.getInt(1) -> r.getSeq[Long](2).toVector).toSeq.sortBy(_._1)
     }
+    pqRecenterBatch(ejAll, books)
+  }
+
+  /** The one batched (j, cell) PQ recenter over a j-keyed subspace
+    * union — per (j, cell) elementwise sums as 16 long-sum columns,
+    * ≤ 4k rows collected (the recenterRound shape, j-keyed). Split
+    * from [[pqTrainModels]] (round 16) so the composed ivfpq trainer
+    * can run it CONCURRENTLY with the first coarse Lloyd round. */
+  private def pqRecenterBatch(ejAll: org.apache.spark.sql.DataFrame,
+      books0: Map[Int, CentModel]): Map[Int, CentModel] = {
+    var books = books0
     val trained = books.keySet.toSeq.sorted
     if (trained.nonEmpty) {
-      // one batched recenter for every subspace with seeds: per
-      // (j, cell) elementwise sums as 16 long-sum columns, ≤ 4k rows
-      // collected (the recenterRound shape, j-keyed)
       val cellCol = trained.map(j =>
           j -> bestCellExpr(col("q"), col("qn"), books(j), guarded = true))
         .foldRight(lit(-1)) { case ((j, e), acc) =>
@@ -728,6 +736,51 @@ object Similarity {
       }
     }
     books
+  }
+
+  /** The composed coarse + PQ trainer for the fused ivfpq derive
+    * (round 16, VERDICT r15 #3 — derive volatility): the sequential
+    * composition paid 5 serialized driver barriers after the corpus
+    * checkpoint (kmeans seed collect, 2 Lloyd recenters, PQ seed
+    * collect, PQ recenter), and on a loaded box every barrier's
+    * straggler tail serialized into the median. This trainer
+    *  - collects BOTH seed sets in one ≤16-row job (the PQ seed
+    *    subvectors are driver-side slices of the same quantized rows —
+    *    `quant` and `slice` are both elementwise, so slicing after
+    *    collect is bit-identical to collecting the sliced table), and
+    *  - runs the first coarse Lloyd round CONCURRENTLY with the single
+    *    batched PQ recenter (guide §2.6 — independent jobs: each needs
+    *    only the seed models; the second Lloyd round is the only
+    *    dependent step left).
+    * 6 barriers → 4, two of them overlapped. Every aggregate and
+    * assignment expression is the exact shared builder, so cells,
+    * codes and books stay bit-identical to the parent queries'. */
+  private[graft] def trainIvfPq(e: org.apache.spark.sql.DataFrame,
+      ejs: Seq[org.apache.spark.sql.DataFrame])
+      : (CentModel, Map[Int, CentModel]) = {
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("q")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toVector)
+    var cent: CentModel = seeds.filter(_._1 < 8).toSeq.sortBy(_._1)
+    if (cent.isEmpty) return (cent, Map.empty)
+    var books: Map[Int, CentModel] = (0 until 4).map { j =>
+      j -> seeds.map { case (c, q) =>
+        c -> q.slice(j * 16, j * 16 + 16) }.toSeq.sortBy(_._1)
+    }.toMap
+    val ejAll = ejs.zipWithIndex.map { case (ej, j) =>
+      ej.select(lit(j).as("j"), col("vec_id"), col("q"), col("qn"))
+    }.reduce(_ unionByName _)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fKm = Future(recenterRound(e,
+      bestCellExpr(col("q"), col("qn"), cent, guarded = false), cent, 64))
+    val fPq = Future(pqRecenterBatch(ejAll, books))
+    cent = Await.result(fKm, Duration.Inf)
+    books = Await.result(fPq, Duration.Inf)
+    cent = recenterRound(e,
+      bestCellExpr(col("q"), col("qn"), cent, guarded = false), cent, 64)
+    (cent, books)
   }
 
   private[graft] def pqTrainOn(emb: org.apache.spark.sql.DataFrame):
@@ -1123,15 +1176,18 @@ object Similarity {
         // to the parent queries'.
         indexDerivations.incrementAndGet()
         val e = quantCorpus(Tables.embeddings(s, d))
-        val cent = kmeansTrainOn(e, 8, 2)
+        // batched + overlapped trainer (round 16): one shared seed
+        // collect, first Lloyd round concurrent with the PQ recenter —
+        // see trainIvfPq; models bit-identical to the sequential
+        // kmeansTrainOn + pqTrainModels composition
+        val ejs = pqSubvectorsOf(e)
+        val (cent, books) = trainIvfPq(e, ejs)
         if (cent.isEmpty)
           // no seed vectors: the composed form's coarse side is empty,
           // so the search result is too (schema preserved)
           e.filter(lit(false)).select($"vec_id".as("p_id"), $"vec_id",
             lit(0L).as("adc_score"), lit(0).cast("int").as("rk"))
         else {
-          val ejs = pqSubvectorsOf(e)
-          val books = pqTrainModels(ejs)
           // One (vec_id, cell, j, pq_cell) branch per subspace, each a
           // map-side projection over the shared checkpoint. The coarse
           // cell is recomputed per branch (3 extra evaluations of a
