@@ -803,9 +803,25 @@ object Cdc {
     // V-scale explicit re-key pins HashPartitioning(a, n) — paid once
     // at build, saving the per-round re-shuffle of both join sides.
     val selfW = graft.tools.Checkpoints.defer(
-      edges.groupBy($"a").agg(max($"w").as("sw"))
+      edges.groupBy($"a").agg(max($"w").as("sw"), count(lit(1)).as("dg"))
         .repartition(n, $"a").sortWithinPartitions($"a")
         .serCheckpoint())
+    // Degree-cap gate (round 16, VERDICT r15 #2): the single raw
+    // node-keyed gather concentrates a hot node's ENTIRE vote stream
+    // on one reduce partition — AQE cannot split a
+    // repartition+aggregate stage — while the skew-proof form
+    // ((node, lab)-keyed raw exchange, then the argmax's own
+    // partial-aggregated exchange) pays ~30% more on uniform graphs
+    // (LpaGatherProbe, 20M votes: uniform 3.4s vs 4.8s; 30%-hot-node
+    // 8.0s vs 3.8s). Pick per graph from the degree stats the selfW
+    // aggregate already computes: skew-proof iff the hottest node's
+    // vote stream exceeds 4× a balanced partition's share. One
+    // bounded driver action on a checkpointed V-scale table; both
+    // forms are exact aggregations, so results are identical either
+    // way (probe-verified parity).
+    val degStats = selfW.agg(sum($"dg"), max($"dg")).first
+    val hotGather = !degStats.isNullAt(1) &&
+      degStats.getLong(1) > 4L * math.max(1L, degStats.getLong(0) / n)
     var lab = selfW.select($"a".as("node"), $"a".as("lab"))
     var prevLab: Option[DataFrame] = None
     for (_ <- 1 to 3) {
@@ -814,24 +830,41 @@ object Cdc {
         .select($"a".as("node"), $"lab", $"w")
       val fromSelf = lab.join(selfW, $"node" === selfW("a"))
         .select($"node", $"lab", $"sw".as("w"))
-      lab = fromNeighbors.union(fromSelf)
-        // ONE node-keyed shuffle serves BOTH aggregate levels
-        // (hashpartitioning(node) clusters (node, lab) too), where the
-        // plain two-level groupBy paid two exchanges per round: the
-        // (node, lab) vote-sum shuffle AND a re-shuffle of the summed
-        // pairs onto node for the argmax (guide §2.4). The vote rows
-        // shuffled raw are (long, long, long) — barely wider than the
-        // partially-aggregated pairs they replace (gather output is
-        // keyed by the NEIGHBOR side, so map-side partial agg on
-        // (node, lab) collapsed little). EXPLICIT n: the aggregate
-        // output then declares plain HashPartitioning(node, n), so the
-        // NEXT round's two joins (edges gather + self-vote) read this
-        // round's checkpoint with no exchange on either side.
-        .repartition(n, $"node")
-        .groupBy($"node", $"lab").agg(sum($"w").as("wt"))
-        .groupBy($"node")
-        .agg(ArgMax2.of($"wt", -$"lab").as("m"))
-        .select($"node", (-$"m.tie").as("lab"))
+      val votes = fromNeighbors.union(fromSelf)
+      val argmaxed =
+        if (hotGather)
+          // skew-proof gather: the raw exchange keys on (node, lab) —
+          // a hot node's votes spread across its labels' hash range —
+          // and the argmax's OWN exchange carries map-side partial
+          // argmax (≤ 1 row per node per partition), so no reduce
+          // partition ever holds more than its hash share; one final
+          // V-scale re-key restores the loop layout.
+          votes
+            .repartition(n, $"node", $"lab")
+            .groupBy($"node", $"lab").agg(sum($"w").as("wt"))
+            .groupBy($"node")
+            .agg(ArgMax2.of($"wt", -$"lab").as("m"))
+            .select($"node", (-$"m.tie").as("lab"))
+            .repartition(n, $"node")
+        else votes
+          // ONE node-keyed shuffle serves BOTH aggregate levels
+          // (hashpartitioning(node) clusters (node, lab) too), where the
+          // plain two-level groupBy paid two exchanges per round: the
+          // (node, lab) vote-sum shuffle AND a re-shuffle of the summed
+          // pairs onto node for the argmax (guide §2.4). The vote rows
+          // shuffled raw are (long, long, long) — barely wider than the
+          // partially-aggregated pairs they replace (gather output is
+          // keyed by the NEIGHBOR side, so map-side partial agg on
+          // (node, lab) collapsed little). EXPLICIT n: the aggregate
+          // output then declares plain HashPartitioning(node, n), so the
+          // NEXT round's two joins (edges gather + self-vote) read this
+          // round's checkpoint with no exchange on either side.
+          .repartition(n, $"node")
+          .groupBy($"node", $"lab").agg(sum($"w").as("wt"))
+          .groupBy($"node")
+          .agg(ArgMax2.of($"wt", -$"lab").as("m"))
+          .select($"node", (-$"m.tie").as("lab"))
+      lab = argmaxed
         // materialize per round: the next round reads lab twice
         // (neighbor gather + self-vote) and the lazy lineage would
         // re-execute every prior round once per consumer. Registered

@@ -150,4 +150,44 @@ class PagerankSpec extends SparkSpec {
       "second refresh must probe the cached artifact")
     assert(got == batch)
   }
+
+  test("LPA degree-cap gate: hot-star graph == uniform-path labels == replay") {
+    // A star whose center owns most of the vote volume flips the
+    // skew-proof gather (maxDeg > 4·E/n at parts=64); the same graph
+    // at parts=2 keeps the single raw node-keyed gather. Both physical
+    // forms are exact aggregations, so the labels must be identical —
+    // and equal to the in-memory replay of the same LPA arithmetic.
+    val hub = 1L // odd = 's0'
+    val hotEdges = (0 until 3000).map(i => (2L * i, hub, 1L)) // 3000 customers
+    val sideEdges = (0 until 30).map(i =>
+      (2L * (4000 + i), 2L * i + 3, 5L)) // a few strong off-star ties
+    val e0seq = hotEdges ++ sideEdges
+    val e0 = e0seq.toDF("a", "b", "w")
+    val hot = queries.Cdc.lpaOver(spark, e0, parts = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val uni = queries.Cdc.lpaOver(spark, e0, parts = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hot == uni, "gate branches must be result-identical")
+    // driver replay (the batch-test arithmetic on the synthetic list)
+    val edges = e0seq ++ e0seq.map { case (a, b, w) => (b, a, w) }
+    val selfW = edges.groupBy(_._1)
+      .map { case (nd, es) => nd -> es.map(_._3).max }
+    var lab: Map[Long, Long] = selfW.map { case (nd, _) => nd -> nd }.toMap
+    for (_ <- 1 to 3) {
+      val votes = scala.collection.mutable.Map[(Long, Long), Long]()
+      edges.foreach { case (a, b, w) =>
+        val k = (a, lab(b)); votes(k) = votes.getOrElse(k, 0L) + w }
+      selfW.foreach { case (nd, sw) =>
+        val k = (nd, lab(nd)); votes(k) = votes.getOrElse(k, 0L) + sw }
+      lab = votes.toSeq.groupBy(_._1._1).map { case (nd, vs) =>
+        nd -> vs.map { case ((_, l), wt) => (wt, -l) }.max._2 * -1
+      }
+    }
+    val sizes = lab.values.groupBy(identity).map { case (l, v) => l -> v.size.toLong }
+    val expected = lab.map { case (nd, l) =>
+      val name = if (nd % 2 == 0) s"c${nd / 2}" else s"s${(nd - 1) / 2}"
+      (name, l, sizes(l))
+    }.toSet
+    assert(hot == expected, "hot-gather labels must equal the replay")
+  }
 }
