@@ -48,14 +48,21 @@ object HammingBands {
     // real doc-id space); the kept SET is identical to rn <= cap.
     val banded = sh
       .select(col("doc_id"), posexplode(bandVals).as(Seq("band", "bval")))
+    // threshold 1024, not 2^16 (ADVICE r15): TopKBuf preallocates
+    // 16·cap-byte buffers per bucket group and shift-inserts in
+    // O(cap) — near the old threshold that beats no window; only
+    // cap ≤ 256 is exercised today
     val capped =
-      if (cap <= (1 << 16))
+      if (cap <= 1024)
         banded
           .groupBy(col("band"), col("bval"))
           .agg(org.apache.spark.sql.graft.TopKAggregate
             .of(col("doc_id"), -col("doc_id").cast("double"), cap).as("tk"))
           .select(col("band"), col("bval"), explode(col("tk")).as("e"))
-          .select(col("e.id").as("doc_id"), col("band"), col("bval"))
+          // cast back to the INPUT id type (ADVICE r15) so both cap
+          // branches agree on output schema (no-op for int64 ids)
+          .select(col("e.id").cast(sketches.schema("doc_id").dataType)
+            .as("doc_id"), col("band"), col("bval"))
       else {
         // cap effectively disabled (recall probes pass Int.MaxValue):
         // the bounded aggregate would preallocate cap-sized buffers,

@@ -637,8 +637,18 @@ object Cdc {
   private[graft] def supplierTopKEdges(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int): DataFrame = {
     import s.implicits._
-    val os = Tables.lineitem(s, d)
-      .select($"l_orderkey", $"l_suppkey").distinct()
+    val n = Tables.scaledPartitions(s, d, Seq("lineitem"))
+    // ONE distinct (order, supplier) table, checkpointed in the
+    // self-join's key layout (round 16): the plain `os.join(os…)`
+    // re-derived the scan + distinct on BOTH sides and then re-shuffled
+    // both onto orderkey — one orderkey-keyed checkpoint (dedup rides
+    // the layout exchange, pagerankOver discipline) makes the
+    // co-occurrence self-join scan-once and exchange-free.
+    val os = graft.tools.Checkpoints.defer(
+      Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+        .repartition(n, $"l_orderkey").dropDuplicates()
+        .sortWithinPartitions($"l_orderkey")
+        .serCheckpoint())
     val pairs = os
       .join(os.select($"l_orderkey".as("k2"), $"l_suppkey".as("s2")),
         $"l_orderkey" === $"k2" && $"l_suppkey" =!= $"s2")
@@ -659,8 +669,16 @@ object Cdc {
     "q_graph_triangles",
     (s, d) => {
       import s.implicits._
+      // checkpointed in the WEDGE join's key layout (round 16): the
+      // (x, y)-keyed distinct layout satisfied no consumer, so the
+      // x-keyed self-join re-shuffled + re-sorted BOTH probe sides of
+      // the capped edge list (plans/r16/q_graph_triangles_before.txt);
+      // one bounded n·k-scale re-key makes the wedge join exchange-
+      // and sort-free on both sides.
+      val n = Tables.scaledPartitions(s, d, Seq("lineitem"))
       val edges = graft.tools.Checkpoints.defer(
         supplierTopKEdges(s, d, 5)
+          .repartition(n, $"x").sortWithinPartitions($"x", $"y")
           .serCheckpoint()) // three probe sides of one per-run artifact
       val wedges = edges
         .join(edges.select($"x".as("x2"), $"y".as("y2")),

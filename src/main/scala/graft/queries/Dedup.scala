@@ -583,14 +583,25 @@ object Dedup {
     // the bounded aggregate would preallocate cap-sized buffers, so
     // the uncapped diagnostic path keeps the window form.
     val buckets = annBuckets(sig, tables, bits)
+    // threshold 1024, not 2^16 (ADVICE r15): TopKBuf preallocates
+    // 16·cap-byte arrays per (tbl, bucket) group and shift-inserts in
+    // O(cap) — near the old threshold that is ~1 MB per group buffer
+    // and O(n·cap) on a hot bucket, likely worse than the window it
+    // replaces; only cap ≤ 256 is exercised today, and the window
+    // form stays correct (just unbounded-state) for bigger caps.
     val capped =
-      if (cap <= (1 << 16))
+      if (cap <= 1024)
         buckets
           .groupBy(col("tbl"), col("bucket"))
           .agg(org.apache.spark.sql.graft.TopKAggregate
             .of(col("vec_id"), -col("vec_id").cast("double"), cap).as("tk"))
           .select(col("tbl"), col("bucket"), explode(col("tk")).as("e"))
-          .select(col("e.id").as("vec_id"), col("tbl"), col("bucket"))
+          // cast back to the INPUT id type (ADVICE r15): the struct
+          // field is unconditionally BIGINT, so the two branches could
+          // disagree on output schema for non-long vec_id inputs
+          // (no-op for today's int64 ids)
+          .select(col("e.id").cast(sig.schema("vec_id").dataType)
+            .as("vec_id"), col("tbl"), col("bucket"))
       else buckets
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
