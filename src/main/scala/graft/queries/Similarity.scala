@@ -1140,9 +1140,16 @@ object Similarity {
             $"e.score".cast("long").as("adc_score"),
             ($"pos" + 1).cast("int").as("rk"))
       }
+      // ANY attached artifact routes through the composed path, whose
+      // components each fall back to training just their own model
+      // (sessionCoarseAssign / pqTrained) — a partial attach (e.g.
+      // only kmeans_cells) must not silently retrain EVERYTHING via
+      // the fused derive below (ADVICE r15: the all-or-nothing gate
+      // ignored attached artifacts and bumped indexDerivations).
+      // Results are identical either way: training is deterministic.
       val artifactBacked =
-        graft.tools.Artifacts.lookup(s, d, "kmeans_cells").isDefined &&
-          graft.tools.Artifacts.lookup(s, d, "pq_books").isDefined &&
+        graft.tools.Artifacts.lookup(s, d, "kmeans_cells").isDefined ||
+          graft.tools.Artifacts.lookup(s, d, "pq_books").isDefined ||
           graft.tools.Artifacts.lookup(s, d, "pq_codes").isDefined
       if (artifactBacked) {
         // attached read path (the production shape): coarse cells and

@@ -141,6 +141,34 @@ class ArtifactLifecycleSpec extends SparkSpec {
     SweepCheck.clearSessionArtifacts(spark)
   }
 
+  test("partial attach: ivfpq reads attached coarse cells, trains only PQ") {
+    import graft.tools.Artifacts
+    val d = sf("sf0.001")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_art_part").toString
+
+    SweepCheck.clearSessionArtifacts(spark)
+    val want = Registry.byName("sim_ivfpq_topk").run(spark, d)
+      .collect().map(_.toSeq).toSet
+
+    Artifacts.materialize(spark, d, outDir)
+    SweepCheck.clearSessionArtifacts(spark)
+    Artifacts.attach(spark, outDir)
+    // simulate a partial attach: only kmeans_cells remains registered
+    spark.sql("DROP TABLE IF EXISTS graft_art_pq_books")
+    spark.sql("DROP TABLE IF EXISTS graft_art_pq_codes")
+
+    val df = Registry.byName("sim_ivfpq_topk").run(spark, d)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_art_kmeans_cells"),
+      "partial attach must route through the composed path and read " +
+        s"the attached coarse assignment, not retrain everything:\n$plan")
+    assert(df.collect().map(_.toSeq).toSet == want,
+      "partial-attach results must equal the derived results")
+
+    Artifacts.detach(spark)
+    SweepCheck.clearSessionArtifacts(spark)
+  }
+
   test("re-materialization is reader-atomic: a resolved snapshot survives it") {
     import graft.tools.{Artifacts, Versioned}
     val d = sf("sf0.001")
