@@ -754,28 +754,51 @@ object Dedup {
     "dd_chunk_dedup",
     (s, d) => {
       import s.implicits._
-      val toks = split(trim($"text"), "\\s+")
-      val nCh = ceil(size(toks) / lit(10.0)).cast("int")
-      val chunkArr = transform(sequence(lit(0), nCh - 1),
-        i => md5(array_join(slice(toks, i * 10 + 1, lit(10)), " ")))
-      val chunks = Tables.documents(s, d)
-        .select($"doc_id", size(toks).as("n_toks"),
-          posexplode(chunkArr).as(Seq("pos", "fp")))
-        .select($"doc_id", $"pos", $"fp",
-          least(lit(10), $"n_toks" - $"pos" * 10).cast("long").as("n_tok"))
-      val winners = chunks.groupBy($"fp")
-        .agg(min(struct($"doc_id", $"pos")).as("w"))
-        .select($"fp", $"w.doc_id".as("w_doc"), $"w.pos".as("w_pos"))
-      chunks.join(winners, "fp")
-        .withColumn("kept", $"doc_id" === $"w_doc" && $"pos" === $"w_pos")
+      // Chunk table computed ONCE (round 16). The old form paid the
+      // split+md5 Generate over documents TWICE (winners side + join
+      // side), recomputed split(trim(text)) per CHUNK row for n_tok
+      // (the t_corpus_yield lesson: codegen CSE doesn't collapse
+      // split through generator/lambda children), and broadcast the
+      // CHUNK-scale table into the winners join — a 100 TB hazard.
+      // Projection barriers materialize toks/n_toks once per doc,
+      // one checkpoint feeds both aggregates, and the chunk-scale
+      // join is gone entirely: per-chunk `kept` only ever feeds
+      // per-doc sums, so winners aggregate straight to per-doc kept
+      // stats (one fp group wins exactly one chunk) and re-join the
+      // per-doc totals at DOC scale (guide §2.3/§2.4). min(struct)
+      // carries n_tok as a third field — (doc_id, pos) is unique
+      // within a group, so the winner and its n_tok are unchanged.
+      // The isnotnull(fp) filter mirrors the old inner join's key
+      // semantics (null-text docs drop out entirely, as before).
+      val chunks = graft.tools.Checkpoints.defer(
+        Tables.documents(s, d)
+          .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+          .select($"doc_id", $"toks", size($"toks").as("n_toks"))
+          .select($"doc_id", $"n_toks",
+            transform(sequence(lit(0),
+                ceil($"n_toks" / lit(10.0)).cast("int") - 1),
+              i => md5(array_join(slice($"toks", i * 10 + 1, lit(10)), " ")))
+              .as("ch"))
+          .select($"doc_id", $"n_toks", posexplode($"ch").as(Seq("pos", "fp")))
+          .select($"doc_id", $"pos", $"fp",
+            least(lit(10), $"n_toks" - $"pos" * 10).cast("long").as("n_tok"))
+          .filter($"fp".isNotNull)
+          .serCheckpoint())
+      val kept = chunks.groupBy($"fp")
+        .agg(min(struct($"doc_id", $"pos", $"n_tok")).as("w"))
+        .select($"w.doc_id".as("doc_id"), $"w.n_tok".as("kept_tok"))
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when($"kept", 1L).otherwise(0L)).as("n_kept_chunks"),
-          sum($"n_tok").as("n_tokens"),
-          sum(when($"kept", $"n_tok").otherwise(0L)).as("n_tokens_kept"))
-        .select($"doc_id", $"n_chunks", $"n_kept_chunks", $"n_tokens",
-          $"n_tokens_kept",
-          round(lit(1.0) - $"n_tokens_kept".cast("double") / $"n_tokens", 6)
+        .agg(count(lit(1)).as("n_kept_chunks"),
+          sum($"kept_tok").as("n_tokens_kept"))
+      chunks.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum($"n_tok").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_chunks",
+          coalesce($"n_kept_chunks", lit(0L)).as("n_kept_chunks"),
+          $"n_tokens",
+          coalesce($"n_tokens_kept", lit(0L)).as("n_tokens_kept"),
+          round(lit(1.0) -
+            coalesce($"n_tokens_kept", lit(0L)).cast("double") / $"n_tokens", 6)
             .as("frac_tokens_removed"))
     },
     Some("""
@@ -1584,6 +1607,13 @@ object Dedup {
     (s, d) => {
       import s.implicits._
       val srcOf = Tables.documents(s, d).select($"doc_id", $"source")
+      // Probed round 16 (guide §2.4): re-keying the distinct onto an
+      // h repartition (the r15 tradeEdgesRaw pattern) measured
+      // 5.5–5.9 s vs 3.3–4.2 s for this form at sf0.1 — unlike
+      // tradeEdgesRaw, the raw exploded shingle volume here far
+      // exceeds the distinct volume, so losing the plain distinct()'s
+      // map-side partial dedup before the exchange costs more than
+      // the probe-side exchanges the shared layout removes. Floor.
       val mem = cachedShingleSets(s, d).join(srcOf, "doc_id")
         .select($"source", explode($"hsh").as("h"))
         .distinct()
@@ -1788,6 +1818,14 @@ object Dedup {
     "dd_substring_runs",
     (s, d) => {
       import s.implicits._
+      // Probed round 16 (guide §2.4): re-keying this checkpoint on gh
+      // (so the distinct-df aggregate and self-join ride one layout
+      // exchange) measured 4.5–5.0 s vs 3.3–3.6 s for this form at
+      // sf0.1 — the anchor table is TOKEN-scale, so one extra full
+      // repartition of it costs more than the consumer exchanges it
+      // removes (which AQE coalesces, and the self-join's build side
+      // broadcasts anyway). This shape is the measured floor: the
+      // cost is the gram-hash Generate + the run window, not layout.
       val anchors = Tables.documents(s, d)
         .select($"doc_id", posexplode(
           org.apache.spark.sql.graft.GramPositionHashes.of($"text", SubstringRunK)))
