@@ -36,25 +36,29 @@ object Bench {
   private[graft] val ArtifactBacked =
     Set("dd_keep_list", "t_corpus_yield", "sim_ivfpq_topk", "t_bpe_encode")
 
-  /** The round-14 canonical medians at sf0.1 (BASELINE.md "Round-14
-    * canonical baseline") — embedded so every bench line carries its
-    * own per-query ratios and a box-state verdict (VERDICT r14 #7:
-    * the 2× comparison self-normalizes instead of needing a
-    * same-loadavg forensic paragraph each round). Update alongside
-    * any future canonical re-record. */
+  /** The round-16 canonical medians at sf0.1 (BASELINE.md "Round-16
+    * canonical re-record"; VERDICT r15 #6 — the r14 table had gone
+    * stale as the 2× comparator after two optimization rounds) —
+    * embedded so every bench line carries its own per-query ratios
+    * and a box-state verdict (VERDICT r14 #7: the 2× comparison
+    * self-normalizes instead of needing a same-loadavg forensic
+    * paragraph each round). Recorded idle (loadavg_start 0.11, light
+    * gauge 0.857 vs the r14 table, i.e. a fast box phase), default
+    * median-of-3 noop protocol, local[32]. Update alongside any
+    * future canonical re-record. */
   private[graft] val CanonicalSf01: Map[String, Double] = Map(
-    "q1_pricing_summary" -> 0.75, "q2_top_orders_per_customer" -> 0.61,
-    "q3_revenue_by_nation" -> 0.84, "q6_forecast_revenue" -> 0.32,
-    "q10_returned_revenue" -> 1.01, "q18_large_orders" -> 0.85,
-    "q_table_profile" -> 4.59, "q_basket_pairs" -> 2.70,
-    "t_bpe_encode" -> 0.94, "t_corpus_yield" -> 2.30,
-    "dd_keep_list" -> 0.58, "dd_simhash_neardup" -> 1.42,
-    "sim_cosine_topk" -> 0.58, "sim_ivfpq_topk" -> 4.86,
-    "w_tumbling_hourly" -> 0.42, "w_sessionize_30m" -> 0.71,
-    "q_graph_pagerank" -> 5.85, "q_graph_triangles" -> 3.34,
-    "q_graph_communities" -> 5.78, "q_graph_kcore" -> 4.48,
-    "q_graph_kcore_full" -> 5.52)
-  private[graft] val CanonicalSf01Total = 48.44
+    "q1_pricing_summary" -> 0.77, "q2_top_orders_per_customer" -> 0.44,
+    "q3_revenue_by_nation" -> 0.71, "q6_forecast_revenue" -> 0.24,
+    "q10_returned_revenue" -> 0.84, "q18_large_orders" -> 0.74,
+    "q_table_profile" -> 2.06, "q_basket_pairs" -> 2.21,
+    "t_bpe_encode" -> 0.66, "t_corpus_yield" -> 1.14,
+    "dd_keep_list" -> 0.17, "dd_simhash_neardup" -> 1.10,
+    "sim_cosine_topk" -> 0.50, "sim_ivfpq_topk" -> 2.84,
+    "w_tumbling_hourly" -> 0.37, "w_sessionize_30m" -> 0.62,
+    "q_graph_pagerank" -> 3.49, "q_graph_triangles" -> 2.44,
+    "q_graph_communities" -> 4.64, "q_graph_kcore" -> 2.16,
+    "q_graph_kcore_full" -> 3.90)
+  private[graft] val CanonicalSf01Total = 32.05
 
   /** Scan-bound sub-second queries whose plans have not changed in
     * rounds: their median canonical ratio is a pure box-load gauge
